@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Cleaners, RawSource, Transform}
+import graft.etl.RawSource.OracleCleaners
+
+/** Reference-parity queries (SURVEY.md §2): each cleaner P1-P5, the F1/F2
+  * filters, and the full transform pipeline, run over the deterministic
+  * synthetic raw-products table ([[graft.etl.RawSource]]) so every semantic
+  * of `/root/reference/utils/transform.py` is hash-checked against DuckDB.
+  */
+object EtlQueries {
+
+  private def withRaw(sql: String): String =
+    s"WITH raw AS (${RawSource.rawSql}) $sql"
+
+  /** F1 predicate in DuckDB SQL (`/root/reference/utils/transform.py:19-23`). */
+  private val dirtyFilterSql: String = Transform.DirtyPatterns.toSeq.sortBy(_._1)
+    .map { case (c, pats) =>
+      s"$c IS NOT NULL AND $c NOT IN (${pats.map(p => s"'$p'").mkString(", ")})"
+    }.mkString(" AND ")
+
+  private val cleanedSelectSql: String =
+    s"""SELECT p_partkey, title,
+       |  ${OracleCleaners.price("price")} AS price,
+       |  ${OracleCleaners.rating("rating")} AS rating,
+       |  ${OracleCleaners.colors("colors")} AS colors,
+       |  ${OracleCleaners.size("size")} AS size,
+       |  ${OracleCleaners.gender("gender")} AS gender,
+       |  timestamp
+       |FROM raw WHERE $dirtyFilterSql""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "etl_clean_price" -> Q(
+      (s, dir) => RawSource.syntheticRaw(s, dir)
+        .select(col("p_partkey"), col("price").as("price_raw"),
+          Cleaners.cleanPrice(col("price")).as("price_clean"))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT p_partkey, price AS price_raw, " +
+        s"${OracleCleaners.price("price")} AS price_clean FROM raw ORDER BY p_partkey")),
+      "P1 clean_price (/root/reference/utils/transform.py:27-44)"),
+
+    "etl_clean_rating" -> Q(
+      (s, dir) => RawSource.syntheticRaw(s, dir)
+        .select(col("p_partkey"), col("rating").as("rating_raw"),
+          Cleaners.cleanRating(col("rating")).as("rating_clean"))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT p_partkey, rating AS rating_raw, " +
+        s"${OracleCleaners.rating("rating")} AS rating_clean FROM raw ORDER BY p_partkey")),
+      "P2 clean_rating (/root/reference/utils/transform.py:46-57)"),
+
+    "etl_clean_colors" -> Q(
+      (s, dir) => RawSource.syntheticRaw(s, dir)
+        .select(col("p_partkey"), col("colors").as("colors_raw"),
+          Cleaners.cleanColors(col("colors")).as("colors_clean"))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT p_partkey, colors AS colors_raw, " +
+        s"${OracleCleaners.colors("colors")} AS colors_clean FROM raw ORDER BY p_partkey")),
+      "P3 clean_colors (/root/reference/utils/transform.py:59-76)"),
+
+    "etl_clean_size" -> Q(
+      (s, dir) => RawSource.syntheticRaw(s, dir)
+        .select(col("p_partkey"), col("size").as("size_raw"),
+          Cleaners.cleanSize(col("size")).as("size_clean"))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT p_partkey, size AS size_raw, " +
+        s"${OracleCleaners.size("size")} AS size_clean FROM raw ORDER BY p_partkey")),
+      "P4 clean_size (/root/reference/utils/transform.py:78-91)"),
+
+    "etl_clean_gender" -> Q(
+      (s, dir) => RawSource.syntheticRaw(s, dir)
+        .select(col("p_partkey"), col("gender").as("gender_raw"),
+          Cleaners.cleanGender(col("gender")).as("gender_clean"))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT p_partkey, gender AS gender_raw, " +
+        s"${OracleCleaners.gender("gender")} AS gender_clean FROM raw ORDER BY p_partkey")),
+      "P5 clean_gender (/root/reference/utils/transform.py:93-106)"),
+
+    "etl_dirty_filter" -> Q(
+      (s, dir) => Transform.removeDirtyData(RawSource.syntheticRaw(s, dir))
+        .select("p_partkey", "title", "price", "rating")
+        .orderBy("p_partkey"),
+      Some(withRaw("SELECT p_partkey, title, price, rating FROM raw " +
+        s"WHERE $dirtyFilterSql ORDER BY p_partkey")),
+      "F1 dirty-pattern anti-filter (/root/reference/utils/transform.py:108-121)"),
+
+    "etl_pipeline" -> Q(
+      (s, dir) => Transform.transform(RawSource.syntheticRaw(s, dir))
+        .orderBy("p_partkey"),
+      Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
+        "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
+        "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
+      "Full F1→P1-P6→F2 transform (/root/reference/utils/transform.py:123-174)")
+  )
+}
