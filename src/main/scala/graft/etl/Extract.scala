@@ -1,0 +1,134 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RawProduct
+
+/** The reference's extraction stage (S1-S5, SURVEY.md §2.1) re-shaped for
+  * Spark: where `/root/reference/utils/extract.py:90-141` fetches and parses
+  * 50 pages serially (1.5 s politeness sleep → ≥75 s floor), here page HTML
+  * is a `Dataset[String]` and card parsing is a `flatMap` — embarrassingly
+  * parallel, one task per partition of pages, no driver involvement. At
+  * 100 TB of crawl data the same shape holds: `spark.read.text`/parquet over
+  * pre-fetched HTML → `flatMap(parse)` is a narrow, codegen-adjacent stage.
+  *
+  * The HTML scanner is hand-rolled (offline jars carry no jsoup): a
+  * balanced-tag element finder sufficient for the card grammar pinned by
+  * `/root/reference/tests/test_extract.py:14-24` (FIXTURES.md §2).
+  */
+object Extract {
+
+  /** `/root/reference/utils/extract.py:20-21`. */
+  val BaseUrl = "https://fashion-studio.dicoding.dev"
+  val TotalPages = 50
+
+  // ---------------------------------------------------------------- S2
+  /** Page-URL generator: page 1 is the bare base URL, later pages get
+    * `/page{n}` (`/root/reference/utils/extract.py:100`). A parallelizable
+    * `range` scan, unlike the reference's serial loop. */
+  def pageUrls(spark: SparkSession): DataFrame =
+    spark.range(1, TotalPages + 1L)
+      .select(
+        col("id").as("page"),
+        when(col("id") === 1, BaseUrl)
+          .otherwise(concat(lit(s"$BaseUrl/page"), col("id"))).as("url"))
+
+  // ------------------------------------------------------- HTML scanner
+  /** Inner text of an HTML fragment: drop tags, decode the entities the
+    * fixture grammar can contain, collapse-trim. */
+  private[etl] def innerText(html: String): String =
+    html.replaceAll("(?s)<[^>]*>", "")
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&nbsp;", " ")
+      .trim
+
+  /** Value of an attribute inside a start tag, or None. */
+  private[etl] def attrValue(startTag: String, attr: String): Option[String] = {
+    val m = s"""(?is)\\b$attr\\s*=\\s*("([^"]*)"|'([^']*)')""".r.findFirstMatchIn(startTag)
+    m.map(g => Option(g.group(2)).getOrElse(g.group(3)))
+  }
+
+  private def classAttr(startTag: String): String =
+    attrValue(startTag, "class").getOrElse("")
+
+  /** All elements `<tag ...>...</tag>` whose class attribute satisfies
+    * `classPred`, in document order (nested matches included, matching
+    * BeautifulSoup's `select`/`find_all`). Returns (startTagSource, innerHtml).
+    */
+  private[etl] def findElements(
+      html: String, tag: String, classPred: String => Boolean): Seq[(String, String)] = {
+    val open = s"(?is)<$tag\\b[^>]*>".r
+    val anyBoundary = s"(?is)<(/?)$tag\\b[^>]*>".r
+    open.findAllMatchIn(html).flatMap { m =>
+      if (!classPred(classAttr(m.matched))) None
+      else {
+        // scan forward for the balancing close tag
+        var depth = 1
+        var end = -1
+        val it = anyBoundary.findAllMatchIn(html.substring(m.end))
+        while (depth > 0 && it.hasNext) {
+          val b = it.next()
+          if (b.group(1) == "/") depth -= 1 else depth += 1
+          if (depth == 0) end = m.end + b.start
+        }
+        val inner = if (end >= 0) html.substring(m.end, end)
+                    else html.substring(m.end) // unclosed: rest of document
+        Some((m.matched, inner))
+      }
+    }.toSeq
+  }
+
+  private def hasClassToken(tokens: Set[String])(cls: String): Boolean =
+    cls.split("\\s+").exists(tokens.contains)
+
+  // ---------------------------------------------------------------- S3
+  /** Card selection (`/root/reference/utils/extract.py:110-118`): primary
+    * selectors `div.collection-card, div.product-card, div.item-card`; if
+    * none match, fall back to class-substring selectors
+    * `div[class*='product'|'collection'|'item']`. */
+  private[etl] def selectCards(pageHtml: String): Seq[String] = {
+    val primary = findElements(pageHtml, "div",
+      hasClassToken(Set("collection-card", "product-card", "item-card")))
+    val cards =
+      if (primary.nonEmpty) primary
+      else findElements(pageHtml, "div", cls =>
+        cls.contains("product") || cls.contains("collection") || cls.contains("item"))
+    cards.map(_._2)
+  }
+
+  /** One card → one raw product (`/root/reference/utils/extract.py:35-87`):
+    * `h3.product-title` required (card dropped if absent);
+    * `span.price` defaults to `"N/A"`; every `<p>` is scanned with the
+    * reference's substring if/elif chain — `"Rating:"` (prefix stripped),
+    * `"Colors"` (text kept VERBATIM, `extract.py:70`), `"Size:"`/`"Gender:"`
+    * (prefix stripped); a later matching `<p>` overwrites an earlier one.
+    * `timestamp` is caller-supplied so tests and batch runs stay
+    * deterministic (the reference stamps `datetime.now()`, `extract.py:83`).
+    */
+  def parseProductCard(cardHtml: String, timestamp: String): Option[RawProduct] = {
+    if (cardHtml == null || cardHtml.trim.isEmpty) return None
+    findElements(cardHtml, "h3", _.split("\\s+").contains("product-title"))
+      .headOption.map(e => innerText(e._2)).map { title =>
+        val price = findElements(cardHtml, "span", _.split("\\s+").contains("price"))
+          .headOption.map(e => innerText(e._2)).getOrElse("N/A")
+        var rating = "N/A"; var colors = "N/A"; var size = "N/A"; var gender = "N/A"
+        findElements(cardHtml, "p", _ => true).foreach { case (_, inner) =>
+          val text = innerText(inner)
+          if (text.contains("Rating:")) rating = text.replace("Rating:", "").trim
+          else if (text.contains("Colors")) colors = text
+          else if (text.contains("Size:")) size = text.replace("Size:", "").trim
+          else if (text.contains("Gender:")) gender = text.replace("Gender:", "").trim
+        }
+        RawProduct(title, price, rating, colors, size, gender, timestamp)
+      }
+  }
+
+  /** S3+S5 distributed: pages of HTML → raw-products DataFrame. The
+    * reference's serial page loop becomes one narrow `flatMap` stage. */
+  def extract(pages: Dataset[String], timestamp: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap(html => selectCards(html).flatMap(parseProductCard(_, timestamp))).toDF()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.etl
+
+import scala.util.{Failure, Try}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's load stage (K1-K4, SURVEY.md §2.8) behind a `Sink` seam.
+  *
+  * Semantics preserved from `/root/reference/utils/load.py`:
+  *   - empty-DataFrame guard raises (`load.py:45-49` → [[LoadError]]);
+  *   - ≥1 destination required (`load.py:279-280` → IllegalArgumentException);
+  *   - per-sink error isolation — one sink failing never stops the others
+  *     (`load.py:282-324` → a `Try` per sink);
+  *   - every sink is a full overwrite (`to_csv` fresh file, `to_sql
+  *     if_exists='replace'`, Sheets clear-then-write → `SaveMode.Overwrite`).
+  *
+  * Scale posture: the DataFrame is persisted once before a multi-sink
+  * fan-out (the reference re-serializes the table per sink,
+  * `load.py:288-322`), and sinks write partition-parallel —
+  * `singleFile=true` (reference parity: one `products.csv`) is for
+  * sf-small outputs only.
+  */
+final case class LoadError(message: String, cause: Throwable)
+    extends RuntimeException(message, cause)
+object LoadError {
+  def apply(message: String): LoadError = LoadError(message, null)
+}
+
+trait Sink {
+  def name: String
+  /** Write the frame, returning a location descriptor. Must throw
+    * [[LoadError]] on an empty frame (reference `load.py:45-49`). */
+  def write(df: DataFrame): String
+  protected def requireNonEmpty(df: DataFrame): Unit =
+    if (df.isEmpty) throw LoadError(s"DataFrame is empty, nothing to save to $name")
+}
+
+/** K1 — CSV sink (`/root/reference/utils/load.py:37-73`). */
+final case class CsvSink(path: String, singleFile: Boolean = false) extends Sink {
+  val name = "csv"
+  def write(df: DataFrame): String = {
+    requireNonEmpty(df)
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+}
+
+/** Parquet sink — the idiomatic Spark counterpart of the reference's local
+  * file sink, used by the harness. */
+final case class ParquetSink(path: String) extends Sink {
+  val name = "parquet"
+  def write(df: DataFrame): String = {
+    requireNonEmpty(df)
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+}
+
+/** K3 — JDBC sink (`/root/reference/utils/load.py:162-243`).
+  * `SaveMode.Overwrite` = drop/recreate ≈ `if_exists='replace'`
+  * (`load.py:221-228`). Untestable offline (no JDBC server in the harness);
+  * the guard logic is what the specs exercise. */
+final case class JdbcSink(url: String, table: String,
+    properties: java.util.Properties = new java.util.Properties) extends Sink {
+  val name = "postgres"
+  def write(df: DataFrame): String = {
+    requireNonEmpty(df)
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, properties)
+    s"$url/$table"
+  }
+}
+
+object Load {
+
+  /** K4 — multi-sink fan-out (`/root/reference/utils/load.py:245-324`).
+    * Returns one `Try` per sink name; failures are isolated, success carries
+    * the sink's location descriptor. */
+  def loadData(df: DataFrame, sinks: Seq[Sink]): Map[String, Try[String]] = {
+    require(sinks.nonEmpty,
+      "At least one destination (csv, sheets, or postgres) must be specified")
+    val fanOut = sinks.size > 1
+    if (fanOut) df.persist(StorageLevel.MEMORY_AND_DISK)
+    try sinks.map(s => s.name -> Try(s.write(df))).toMap
+    finally if (fanOut) { df.unpersist(); () }
+  }
+
+  /** Reference parity helper: failures as `{sink}_error` entries, like the
+    * results dict of `load.py:282-324`. */
+  def resultSummary(results: Map[String, Try[String]]): Map[String, String] =
+    results.flatMap {
+      case (name, Failure(e)) => Seq(s"${name}_error" -> String.valueOf(e.getMessage))
+      case (name, t) => Seq(name -> t.get)
+    }
+}

@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.etl.{Cleaners, RawSource, Transform}
+import graft.etl.{Cleaners, CsvSink, Extract, RawSource, Transform}
 import graft.etl.RawSource.OracleCleaners
+import graft.model.Schemas
 
 /** Reference-parity queries (SURVEY.md §2): each cleaner P1-P5, the F1/F2
   * filters, and the full transform pipeline, run over the deterministic
@@ -91,6 +93,61 @@ object EtlQueries {
       Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
         "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
         "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
-      "Full F1→P1-P6→F2 transform (/root/reference/utils/transform.py:123-174)")
+      "Full F1→P1-P6→F2 transform (/root/reference/utils/transform.py:123-174)"),
+
+    // S3 end-to-end inside the harness: render each synthetic raw product as
+    // an HTML product card (the fixture grammar of
+    // /root/reference/tests/test_extract.py:14-24), run the distributed
+    // flatMap parser, then the full transform. The parser round-trips the
+    // synthesized fields, so the oracle derives the same output in pure SQL.
+    "etl_extract_parse" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pages = RawSource.syntheticRaw(s, dir)
+          .select(concat(
+            lit("""<html><body><div class="product-card"><h3 class="product-title">P"""),
+            lpad(col("p_partkey").cast("string"), 8, "0"),
+            lit("""</h3><span class="price">"""), col("price"),
+            lit("</span><p>Rating: "), col("rating"),
+            lit("</p><p>"), col("colors"),
+            lit("</p><p>"), col("size"),
+            lit("</p><p>"), col("gender"),
+            lit("</p></div></body></html>")).as("html"))
+          .as[String]
+        Transform.transform(Extract.extract(pages, "2025-05-17T14:36:09.466889"))
+          .orderBy("title")
+      },
+      Some(withRaw(
+        s"""SELECT * FROM (
+           |  SELECT 'P' || lpad(p_partkey::VARCHAR, 8, '0') AS title,
+           |    ${OracleCleaners.price("price")} AS price,
+           |    ${OracleCleaners.rating("rating")} AS rating,
+           |    ${OracleCleaners.colors("colors")} AS colors,
+           |    ${OracleCleaners.size("size")} AS size,
+           |    ${OracleCleaners.gender("gender")} AS gender,
+           |    timestamp
+           |  FROM raw
+           |  WHERE price IS NOT NULL AND price NOT IN ('Price Unavailable', 'N/A', '')
+           |    AND rating IS NOT NULL AND rating NOT IN ('Invalid Rating / 5', 'Not Rated', 'N/A', '')
+           |) WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL
+           |  AND size IS NOT NULL AND gender IS NOT NULL
+           |ORDER BY title""".stripMargin)),
+      "S3 HTML-card extraction, distributed flatMap (/root/reference/utils/extract.py:35-87)"),
+
+    // K1+S6 inside the harness: clean output → partition-parallel CSV write
+    // → schema'd read-back. Doubles round-trip exactly (shortest-repr write,
+    // exact parse), so the oracle is the same SQL as etl_pipeline.
+    "etl_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_csv")
+          .resolve("out").toString
+        CsvSink(out).write(Transform.transform(RawSource.syntheticRaw(s, dir)))
+        val schema = StructType(StructField("p_partkey", LongType) +: Schemas.clean.fields)
+        s.read.option("header", "true").schema(schema).csv(out).orderBy("p_partkey")
+      },
+      Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
+        "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
+        "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
+      "K1 CSV sink + S6 read-back roundtrip (/root/reference/utils/load.py:37-73, tests/test_load.py:38-43)")
   )
 }

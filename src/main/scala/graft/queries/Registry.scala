@@ -17,7 +17,22 @@ final case class Q(
     doc: String = "")
 
 object Registry {
-  /** Read one harness table (TESTDATA.md). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Read one harness table (TESTDATA.md). `events.parquet` carries a
+    * TIMESTAMP(NANOS) column that Spark's parquet reader rejects unless
+    * nanos are surfaced as longs, so that conf is forced here (runtime-set:
+    * it is read at scan planning). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events` with `ts` normalized from nanos-as-long to a microsecond
+    * timestamp — the same truncation DuckDB applies when it reads
+    * nanosecond parquet into its µs TIMESTAMP, so oracle comparisons agree. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

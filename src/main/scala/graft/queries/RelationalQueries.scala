@@ -1,21 +1,28 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Registry.table
 
 /** Relational surface (SURVEY.md §2.4-2.7, §7.2 M2): the join / aggregation /
-  * window / sort / set-op capabilities a Spark engine exposes for free via
-  * Catalyst, registered as oracle-checked queries over the TPC-H-ish tables.
-  * The reference itself has none of these (SURVEY.md §2.4-§2.6) — they are
-  * the capability extension mandated by BASELINE.json's north star.
+  * window / sort / set-op capabilities a Spark engine exposes via Catalyst,
+  * registered as oracle-checked queries over the TPC-H-ish tables. The
+  * reference itself has none of these (SURVEY.md §2.4-§2.6) — they are the
+  * capability extension mandated by BASELINE.json's north star.
+  *
+  * Scale notes are per-query; the shared posture: aggregations rely on
+  * map-side partial agg, dimension joins are explicitly `broadcast()`, fact-
+  * fact joins shuffle on their join key once and AQE coalesces/skew-splits at
+  * runtime, top-k is TakeOrdered (per-partition heap + driver merge of k).
   */
 object RelationalQueries {
 
   val all: Map[String, Q] = Map(
-    // TPC-H Q1 shape: map-side partial aggregation, one shuffle on the
-    // 6-value group key; at 100 TB the partial agg reduces shuffle volume by
-    // ~rows/6 so this stays network-trivial.
+    // ---------------------------------------------------------------- aggs
+    // Map-side partial aggregation → one shuffle of ≤ (partitions × 6 groups)
+    // rows. At 100 TB the shuffle stays KB-sized; scan dominates (and only
+    // reads the 7 referenced columns of the parquet).
     "q1_pricing_summary" -> Q(
       (s, dir) => table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -39,6 +46,354 @@ object RelationalQueries {
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      "TPC-H Q1-shaped grouped aggregation over lineitem")
+      "TPC-H Q1-shaped grouped aggregation over lineitem"),
+
+    "agg_distinct" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+             |  count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "count-distinct + plain aggregates per group"),
+
+    // ROLLUP/CUBE: grouping-set null markers are coalesced to 'ALL' on both
+    // sides so output ordering never depends on engine null-ordering.
+    "agg_rollup" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin),
+      "hierarchical grouping sets (ROLLUP)"),
+
+    "agg_cube" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin),
+      "full cross-dimension grouping sets (CUBE)"),
+
+    // --------------------------------------------------------------- joins
+    // Fact-fact joins shuffle both sides on the key; the customer dim is
+    // explicitly broadcast (at real TPC-H proportions customer ≪ lineitem).
+    "q3_top_orders" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = table(s, dir, "orders")
+        val l = table(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      "TPC-H Q3 shape: 3-way join, grouped revenue, top-k"),
+
+    "q5_nation_revenue" -> Q(
+      (s, dir) => {
+        val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = table(s, dir, "nation")
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = table(s, dir, "lineitem")
+        val su = table(s, dir, "supplier")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "TPC-H Q5 shape: 6-way join with broadcast dims"),
+
+    "join_broadcast_dims" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 2).as("avg_bal"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |  round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      "snowflake dim joins, broadcast on both hops"),
+
+    // Semi/anti joins never materialize the right side's columns — the
+    // scalable EXISTS / NOT EXISTS.
+    "join_semi" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_with_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_with_orders
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "left-semi join (EXISTS)"),
+
+    "join_anti" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_without_orders"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n_without_orders
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      "left-anti join (NOT EXISTS)"),
+
+    "join_outer" -> Q(
+      (s, dir) => {
+        val perCust = table(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        table(s, dir, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+             |FROM customer
+             |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+             |           FROM orders GROUP BY o_custkey) po
+             |  ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin),
+      "left-outer join against a pre-aggregated side"),
+
+    // ------------------------------------------------------------- windows
+    "window_topk_per_group" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      "top-k per group via ranked window (scales as one shuffle on the partition key)"),
+
+    // Running/lag/moving-average over a day-grained series. The daily
+    // pre-aggregate is rounded first so the window inputs are identical
+    // doubles on both engines; window sums then accumulate in ORDER BY
+    // order → bit-identical results.
+    "window_running" -> Q(
+      (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.orderBy("d")
+        daily
+          .withColumn("running_rev",
+            round(sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_rev", lag("rev", 1).over(w))
+          .withColumn("mov7_rev",
+            round(avg("rev").over(w.rowsBetween(-6, Window.currentRow)), 2))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS d,
+             |         round(sum(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+             |SELECT d, rev,
+             |  round(sum(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+             |  lag(rev, 1) OVER (ORDER BY d) AS prev_rev,
+             |  round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS mov7_rev
+             |FROM daily ORDER BY d""".stripMargin),
+      "running sum, lag, 7-row moving average over a daily series"),
+
+    // --------------------------------------------------------- sort / topk
+    // ORDER BY + LIMIT plans as TakeOrdered: per-partition top-k heaps, then
+    // a k-way driver merge — no global sort at any scale.
+    "topk_orders" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      "global top-k without global sort"),
+
+    // ------------------------------------------------------------- set ops
+    "set_ops" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = table(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000).select("c_custkey")
+        a.union(b).distinct().withColumn("tag", lit("union"))
+          .unionByName(a.intersect(b).withColumn("tag", lit("intersect")))
+          .unionByName(a.except(b).withColumn("tag", lit("except")))
+          .select("tag", "c_custkey")
+          .orderBy("tag", "c_custkey")
+      },
+      Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |SELECT 'union' AS tag, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+             |UNION ALL
+             |SELECT 'intersect', c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+             |UNION ALL
+             |SELECT 'except', c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+             |ORDER BY tag, c_custkey""".stripMargin),
+      "UNION / INTERSECT / EXCEPT (distinct semantics)"),
+
+    // ------------------------------------------------- scalar fn coverage
+    "string_funcs" -> Q(
+      (s, dir) => table(s, dir, "part")
+        .filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("upper_name"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 3).as("prefix3"),
+          regexp_replace(col("p_name"), " ", "-").as("dashed"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          instr(col("p_name"), "e").cast("int").as("first_e"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("devoweled"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("int").as("n_vowels"),
+          lpad(col("p_brand"), 12, "*").as("padded"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS upper_name,
+             |  CAST(length(p_name) AS INTEGER) AS name_len,
+             |  substring(p_name, 1, 3) AS prefix3,
+             |  replace(p_name, ' ', '-') AS dashed,
+             |  split_part(p_name, ' ', 1) AS first_word,
+             |  p_brand || '|' || p_type AS brand_type,
+             |  CAST(instr(p_name, 'e') AS INTEGER) AS first_e,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS devoweled,
+             |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+             |  lpad(p_brand, 12, '*') AS padded
+             |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin),
+      "string function surface (SURVEY.md §2.7 equivalents)"),
+
+    "date_funcs" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+             |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin),
+      "date/time function surface"),
+
+    "case_tiers" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high").as("tier"))
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .orderBy("tier"),
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+             |            WHEN o_totalprice < 150000 THEN 'mid'
+             |            ELSE 'high' END AS tier, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin),
+      "CASE WHEN bucketing + aggregation"),
+
+    // Scalar subquery without driver round-trips: the global average joins
+    // back in as a broadcast of a 1-row aggregate.
+    "subquery_above_avg" -> Q(
+      (s, dir) => {
+        val perCust = table(s, dir, "orders")
+          .groupBy("o_custkey").agg(sum("o_totalprice").as("spend"))
+        val avgSpend = perCust.agg(avg("spend").as("avg_spend"))
+        perCust.join(broadcast(avgSpend))
+          .filter(col("spend") > col("avg_spend"))
+          .select(col("o_custkey"), round(col("spend"), 2).as("spend"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH per_cust AS (
+             |  SELECT o_custkey, sum(o_totalprice) AS spend
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT o_custkey, round(spend, 2) AS spend FROM per_cust
+             |WHERE spend > (SELECT avg(spend) FROM per_cust)
+             |ORDER BY o_custkey""".stripMargin),
+      "scalar-subquery comparison via broadcast 1-row aggregate"),
+
+    "table_counts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val names = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        names.map(n => table(s, dir, n).agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("tbl"), col("n_rows")))
+          .reduce(_ unionByName _)
+          .orderBy("tbl")
+      },
+      Some(Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS tbl, count(*) AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")),
+      "full-table counts over every harness table (F3/S5 surface)")
   )
 }
