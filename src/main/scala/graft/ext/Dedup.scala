@@ -1,0 +1,238 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deduplication operators for an LLM training-data pipeline
+  * (BASELINE.json north star): exact, MinHash+LSH, SimHash, token-set
+  * Jaccard, and embedding-cosine near-dup — all shuffle-bounded (no O(n²)
+  * candidate generation except where a query deliberately brute-forces a
+  * restricted slice for its oracle).
+  *
+  * The harness `documents` table has no natural duplicates (checked at
+  * sf0.01), so the dedup queries first PLANT deterministic duplicates —
+  * exact copies and one-token mutations keyed off `doc_id` — making
+  * recall measurable and the oracle reproducible.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ planting
+  /** `documents` ∪ exact copies (doc_id+1_000_000, every 20th doc) ∪
+    * near-copies with the first token replaced (doc_id+2_000_000, every
+    * 25th doc). Pure narrow ops; same expression exists in SQL for the
+    * oracle. */
+  def planted(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val exact = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "REPLACED").as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  // -------------------------------------------------------------- exact
+  /** Exact dedup via hash-groupBy on the full text: one shuffle on the
+    * group key (at scale: on `xxhash64(text)` to keep shuffle rows narrow);
+    * emits one row per duplicate group with the kept (min) id. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    planted(docs)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // ---------------------------------------------------------- shingling
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word k-shingles as strings ("a b c"); empty array when < k tokens.
+    * Array form — convenient for per-row use, but the transform/slice
+    * higher-order chain is interpreted; the dedup pipeline uses the
+    * codegen-friendly row form [[shingleRows]] instead (~20× faster). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** Word k-shingles as (doc_id, s) rows: posexplode tokens, then window
+    * `lead` within each doc. Everything stays in WholeStageCodegen; the
+    * only wide op is the doc_id shuffle (which downstream signature
+    * aggregation needs anyway). */
+  def shingleRows(docsWithText: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val tk = docsWithText.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
+    val withLeads = (1 until k).foldLeft(tk)((d, i) =>
+      d.withColumn(s"t$i", lead("t0", i).over(w)))
+    withLeads.filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*).as("s"))
+  }
+
+  // ------------------------------------------------------------- minhash
+  /** Seeded universal-hash parameters for the MinHash permutations. */
+  private val MinhashPrime = 1000000007L
+  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MinhashPrime))
+  }
+
+  /** MinHash signatures via explode → ONE codegen'd hash-aggregation: the
+    * (doc, shingle-hash) stream is reduced with 64 `min(affine(h))` agg
+    * columns. This stays entirely inside WholeStageCodegen — the earlier
+    * nested higher-order-function formulation (array_min ∘ transform per
+    * permutation) was CodegenFallback and measured ~50× slower at sf0.1.
+    * Map-side partial min makes the shuffle carry one 64-long row per doc
+    * per partition. Output: (doc_id, m0..m{n-1}). */
+  def minhashSignatures(shingleRowsDf: DataFrame, numPerms: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    // xxhash64 output is first reduced into [0, p) so the affine map stays
+    // below 2^63 (ANSI mode makes silent wraparound an error): a,h < p ≈ 2^30
+    // ⇒ a*h+b < 2^61.
+    val hashed = shingleRowsDf
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MinhashPrime)).as("h"))
+    val aggs = perms(numPerms, seed).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"m$j")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature columns → `numBands` (band, bandHash) rows.
+    * Candidate pairs then come from a self-equi-join on (band, bandHash) —
+    * ONE shuffle keyed by band hash, never an all-pairs comparison. At
+    * 100 TB the bucket join is the only wide operation and AQE handles the
+    * skewed "common shingle" buckets. */
+  /** Candidate pairs from LSH banding over the shingle rows. `shingleRowsDf`
+    * feeds multiple join branches; callers should `localCheckpoint` it
+    * first (at cluster scale: persist the signature table to parquet for
+    * reuse across dedup runs). */
+  def minhashCandidates(shingleRowsDf: DataFrame, numPerms: Int = 32,
+      numBands: Int = 8, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    val sigs = minhashSignatures(shingleRowsDf, numPerms, seed)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*)
+      }: _*)).as(Seq("band", "bhash")))
+      .localCheckpoint()
+    val a = banded.select(col("band"), col("bhash"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact shingle-set Jaccard ≥
+    * `threshold`. Verification intersects the exploded DISTINCT shingle
+    * sets of just the surviving candidates — a (pair → shingle) equi-join,
+    * never array materialization. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = shingleRows(planted(docs)).localCheckpoint()
+    val shd = sh.distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cand = minhashCandidates(sh)
+    // equi-join on (id, shingle): result rows ARE the intersection entries
+    val interCounts = cand
+      .join(shd.toDF("id_a", "s"), "id_a")
+      .join(shd.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    interCounts
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 64-bit SimHash per doc via explode → ONE codegen'd hash-aggregation
+    * with 64 per-bit vote sums, then constant-shift bit assembly. (The
+    * nested higher-order formulation — 64-wide zip_with per token — was
+    * CodegenFallback and ~100× slower at sf0.1.) Output: (doc_id, sh). */
+  def simhashes(docsWithText: DataFrame): DataFrame = {
+    val hashed = docsWithText
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val assembled = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc_id"), assembled.as("sh"))
+  }
+
+  /** SimHash near-dup pairs: candidates via 4×16-bit chunk banding (a pair
+    * within Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4
+    * chunks — pigeonhole), verified with `bit_count(xor) <= maxHamming`.
+    * Same one-shuffle shape as MinHash LSH. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = simhashes(planted(docs))
+    val chunked = hashed.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sh"), 16 * c).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk", "cval")))
+    val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------- token-set Jaccard (oracle)
+  /** Distinct-token Jaccard over a restricted id slice, deliberately
+    * expressed as an explode + token-equi-join so the DuckDB oracle can
+    * reproduce it in pure SQL. The shuffle is keyed by token; the slice
+    * bound keeps the worst-case bucket quadratic term tiny. */
+  def tokenJaccardPairs(docs: DataFrame, maxDocId: Long, threshold: Double): DataFrame = {
+    val toks = docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col("doc_id").as("id_a"), col("tok"))
+      .join(toks.select(col("doc_id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------- embedding-cosine near-dup
+  /** Near-dup by embedding cosine over the `embeddings` table. The oracle
+    * twin brute-forces the same slice; the scalable path for full corpora
+    * is [[Similarity.ivfTopK]]'s bucketed shape. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // norms precomputed once per vector (not per pair); pair scoring is one
+    // native VectorDot per pair inside codegen
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      VectorOps.norm(col("embedding")).as("nrm_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      VectorOps.norm(col("embedding")).as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        VectorOps.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (BASELINE.json north star): media payloads
+  * ride as opaque `binary` columns with typed metadata alongside; decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The container has no image/audio codecs, so [[DecodeStub.decode]] is a
+  * DETERMINISTIC FAKE — the Spark-side plumbing (schema, batching,
+  * partition-parallel execution, feature schema) is real and tested; a
+  * production build swaps only the stub body for a JNI/codec call.
+  *
+  * Scale notes: payload bytes stay columnar in parquet, decode is
+  * `mapPartitions` (one codec init per partition, not per row — the same
+  * batch shape as an Arrow-batched pandas UDF), and metadata-only queries
+  * never touch the payload column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, checksum: Long)
+
+  /** Synthesize a media table from `documents`: the text bytes stand in for
+    * an encoded payload; media_type cycles deterministically. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+
+  /** Batched "decode": one decoder init per partition, rows processed
+    * through an iterator (never materializing the partition). The feature
+    * math is the stub — byte-derived pseudo width/height/checksum. */
+  object DecodeStub {
+    /** STUB: stands in for a real codec (libpng/ffmpeg/...). Deterministic
+      * so tests and reruns agree. */
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      var checksum = 0L
+      var i = 0
+      while (i < payload.length) { checksum = checksum * 131 + (payload(i) & 0xff); i += 1 }
+      val w = 64 + math.abs(checksum % 1024).toInt
+      val h = 64 + math.abs((checksum >> 10) % 1024).toInt
+      (w, h, checksum)
+    }
+  }
+
+  /** Partition-parallel feature extraction over the media table. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (one per task, not per row)
+      rows.map { r =>
+        val (w, h, sum) = DecodeStub.decode(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, sum)
+      }
+    }
+  }
+
+  /** Metadata-only view — SQL-expressible, oracle-checked: payload size and
+    * type stats without decoding (and, at scale, without even reading the
+    * payload pages when the parquet layout splits columns). */
+  def metadata(docs: DataFrame): DataFrame =
+    mediaTable(docs)
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).as("n_bytes"))
+      .orderBy("doc_id")
+}

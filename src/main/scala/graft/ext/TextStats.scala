@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table (BASELINE.json north star; TESTDATA.md). Everything is
+  * a pure `Column` expression — per-row, shuffle-free, codegen-fused; at
+  * 100 TB these run at scan speed with column pruning down to `text`.
+  *
+  * Each operator has an exact DuckDB-SQL twin in
+  * [[graft.queries.ExtQueries]]; the regexes stay in the Java∩RE2 subset.
+  */
+object TextStats {
+
+  /** Whitespace token count (tokens are `\s+`-separated runs). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * non-alnum-non-space marks each count as one token. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("int")
+
+  /** Distinct whitespace-token count. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(split(trim(text), "\\s+")))
+
+  // ------------------------------------------------------------- quality
+  val PunctPattern = "[.,;:!?]"
+  val StopwordPattern = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+
+  def punctCount(text: Column): Column = regexp_count(text, lit(PunctPattern)).cast("int")
+  def stopwordCount(text: Column): Column = regexp_count(text, lit(StopwordPattern)).cast("int")
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword rate
+    * (natural-language evidence) − punctuation-noise penalty. The exact
+    * formula is arbitrary; what matters is that it is deterministic,
+    * engine-reproducible, and cheap at scan speed. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = wsTokenCount(text).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val stopRate = least(stopwordCount(text).cast("double") / toks, lit(1.0))
+    val punctRate = least(punctCount(text).cast("double") / toks, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * stopRate + lit(0.2) * (lit(1.0) - punctRate), 6)
+  }
+
+  // -------------------------------------------------------------- langid
+  /** Distinctive-stopword vocabularies for the n-gram-free language-ID
+    * heuristic. Word-boundary regex hit counts per language; argmax wins,
+    * ties break in declaration order (en, de, es, fr, zh). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|to|in|that|it|for|with)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|que|de|un|una|por)\\b",
+    "fr" -> "\\b(le|la|les|est|et|que|des|une|pour|dans)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, p) => l -> regexp_count(lower(text), lit(p)).cast("int") }
+
+  /** Predicted language, `und` when no marker fires. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  // -------------------------------------------------------- fingerprints
+  /** Canonical text for fingerprinting: lowercase, alnum+space only,
+    * collapsed whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint = md5 of the normalized text (hex string both in
+    * Spark and DuckDB). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Rolling polynomial hash over tokens (base-31 mod 1e9+7; the small
+    * modulus keeps every intermediate below 2^35, ANSI-overflow-safe) — the
+    * Spark-only fast path for shard-local dedup keys; not oracle-compared
+    * (no SQL twin), pinned by unit test instead. */
+  def rollingHash(text: Column): Column = {
+    val M = 1000000007L
+    aggregate(
+      split(normalized(text), " "),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
+import graft.queries.Registry.{events, table}
+
+/** LLM-training-data-pipeline operators (BASELINE.json north star) as
+  * harness queries: dedup (exact / MinHash / SimHash / token-Jaccard /
+  * embedding), similarity search (brute + IVF), text analysis, event
+  * sessionization + windows, and multimodal metadata. Queries whose
+  * semantics are ANSI-expressible carry an exact DuckDB twin; the
+  * hash-based candidate generators (MinHash/SimHash/IVF) register
+  * rows-only and are pinned by ScalaTest instead (ExtSpec). */
+object ExtQueries {
+
+  /** DuckDB twin of [[Dedup.planted]]. */
+  private val plantedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      |UNION ALL SELECT doc_id + 2000000, regexp_replace(text, '^\S+', 'REPLACED')
+      |  FROM documents WHERE doc_id % 25 = 0""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------ text analysis
+    "text_tokens" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("len"),
+          TextStats.wsTokenCount(col("text")).as("n_ws_tokens"),
+          TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          TextStats.distinctTokenCount(col("text")).as("n_distinct_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS len,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+             |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS n_distinct_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "token counting: whitespace, BPE-ish regex, distinct"),
+
+    "text_quality" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.punctCount(col("text")).as("n_punct"),
+          TextStats.stopwordCount(col("text")).as("n_stopwords"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+             |  CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS INTEGER) AS n_stopwords,
+             |  round(0.4 * least(length(text) / 500.0, 1.0)
+             |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+             |                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+             |      + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+             |                    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)), 6) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "quality scoring: length/punctuation/stopword ratios"),
+
+    "text_langid" -> Q(
+      (s, dir) => {
+        val scores = TextStats.langScores(col("text"))
+        table(s, dir, "documents")
+          .select(Seq(col("doc_id"), col("lang")) ++
+            scores.map { case (l, c) => c.as(s"s_$l") } :+
+            TextStats.langId(col("text")).as("pred_lang"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that|it|for|with)\b')) AS INTEGER) AS s_en,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\b')) AS INTEGER) AS s_de,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|que|de|un|una|por)\b')) AS INTEGER) AS s_es,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|que|des|une|pour|dans)\b')) AS INTEGER) AS s_fr,
+             |    CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+             |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+             |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+             |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+             |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+             |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+             |       ELSE 'zh' END AS pred_lang
+             |FROM scored ORDER BY doc_id""".stripMargin),
+      "language-ID heuristic via stopword-marker hit counts"),
+
+    "text_fingerprint" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.normalized(col("text")).as("norm_text"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "document fingerprinting: md5 over canonicalized text"),
+
+    // -------------------------------------------------------------- dedup
+    "dedup_exact" -> Q(
+      (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),
+      Some(s"""WITH planted AS ($plantedSql)
+              |SELECT keep_id, n_copies FROM (
+              |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+              |  FROM planted GROUP BY text)
+              |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
+      "exact dedup: hash-groupBy on text over planted duplicates"),
+
+    "dedup_token_jaccard" -> Q(
+      (s, dir) => Dedup.tokenJaccardPairs(table(s, dir, "documents"), 150, 0.5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+             |  FROM documents WHERE doc_id < 150),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT id_a, id_b,
+             |    round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+             |  FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b)
+             |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      "n-gram(1) Jaccard near-dup pairs via token-equi-join"),
+
+    "dedup_minhash" -> Q(
+      (s, dir) => Dedup.minhashPairs(table(s, dir, "documents")),
+      None, // hash-permutation semantics not ANSI-expressible; pinned by ExtSpec
+      "MinHash(64) + LSH(16 bands) near-dup, exact-Jaccard verified"),
+
+    "dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashPairs(table(s, dir, "documents")),
+      None, // bit-vote hashing not ANSI-expressible; pinned by ExtSpec
+      "SimHash(64-bit) near-dup via chunk banding + Hamming verify"),
+
+    "dedup_embedding" -> Q(
+      (s, dir) => Dedup.embeddingNearDup(table(s, dir, "embeddings"), 0.3),
+      Some("""SELECT id_a, id_b, cos FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-dup pairs"),
+
+    // --------------------------------------------------------- similarity
+    "sim_topk_brute" -> Q(
+      (s, dir) => Similarity.bruteTopK(table(s, dir, "embeddings")),
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q_id, vec_id,
+             |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q JOIN embeddings ON vec_id <> q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
+             |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "exact cosine top-k (broadcast queries, per-query window)"),
+
+    "sim_topk_ivf" -> Q(
+      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings")),
+      None, // centroid probing not ANSI-expressible compactly; recall pinned by ExtSpec
+      "IVF-bucketed approximate top-k (nlist=16, nprobe=4)"),
+
+    // ------------------------------------------------------------- events
+    "events_sessionize" -> Q(
+      (s, dir) => Sessionize.sessionize(events(s, dir)),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, us, value,
+             |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sess AS (
+             |  SELECT user_id, us, value,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+             |  FROM flagged)
+             |SELECT user_id, sess_idx, count(*) AS n_events,
+             |  (max(us) - min(us)) / 1000000.0 AS duration_s,
+             |  round(sum(value), 2) AS total_value
+             |FROM sess GROUP BY user_id, sess_idx
+             |ORDER BY user_id, sess_idx""".stripMargin),
+      "gap-based sessionization (30-min gap) with per-session stats"),
+
+    "events_tumbling" -> Q(
+      (s, dir) => Sessionize.tumbling(events(s, dir)),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      "tumbling 1-hour windowed aggregation"),
+
+    "events_sliding" -> Q(
+      (s, dir) => Sessionize.sliding(events(s, dir)),
+      Some("""SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS window_start,
+             |  event_type, count(*) AS n
+             |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      "sliding 1-hour/15-min windowed aggregation (4 windows per event)"),
+
+    "events_props" -> Q(
+      (s, dir) => Sessionize.propsStats(events(s, dir)),
+      Some("""SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT event_type,
+             |        TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "semi-structured props field extraction + aggregation"),
+
+    // --------------------------------------------------------- multimodal
+    "multimodal_meta" -> Q(
+      (s, dir) => Multimodal.metadata(table(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CASE (doc_id % 3 + 1) WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav'
+             |       ELSE 'video/mp4' END AS media_type,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "multimodal metadata view over binary payload columns")
+  )
+}

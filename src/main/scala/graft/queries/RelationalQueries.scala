@@ -220,7 +220,7 @@ object RelationalQueries {
           .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
           .orderBy("o_custkey", "rn")
       },
-      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey
              |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.ext.Sessionize]]). The reference has no streaming at all
+  * (SURVEY.md §2.9); this is the §7.2-M3 extension: the same logical
+  * aggregations expressed over an unbounded source with watermarked state.
+  *
+  * Tests drive these with the parquet `events` table as a file-stream
+  * source and a memory sink (`processAllAvailable`), which exercises the
+  * real incremental planner. */
+object StreamingOps {
+
+  /** Schema of events.parquet as surfaced with nanosAsLong (ts: long). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory that accumulates event parquet
+    * files (the streaming contract: new files = new data; the directory
+    * must hold ONLY event files). ts is normalized to a microsecond
+    * timestamp exactly like the batch reader. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 1-hour tumbling counts per event type — the streaming twin
+    * of `Sessionize.tumbling`. Append mode: a window emits once its
+    * watermark passes. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  // ------------------------------------------------ stateful sessionize
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_s: Double, total_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: one state
+    * object per user; an EVENT-time timeout (watermark-driven) flushes idle
+    * sessions, so replays and tests are deterministic — processing-time
+    * timeouts would make emission wall-clock-dependent and keep the query
+    * scheduling batches forever. (Batch twin: `Sessionize.sessionize`; the
+    * streaming form trades the windowed sort for O(1) state per key — the
+    * 100 TB-friendly layout for unbounded input.) */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val typed = events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Event]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            SessionOut(uid, s.n, (s.last_us - s.start_us) / 1000000.0,
+              // same HALF_UP rounding as the batch twin's round(sum, 2)
+              BigDecimal(s.total).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            events.toSeq.sortBy(_.ts_us).foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapMinutes * 60000L)
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters of Spark 4's
+  * classic module, so graft's custom Catalyst expressions
+  * (e.g. [[graft.functions.VectorDot]]) can surface as `Column`s. This is
+  * the supported extension seam for libraries shipping native expressions —
+  * nothing here touches Spark internals beyond visibility. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry.table
+
+/** Pins the non-oracle extension operators: MinHash/SimHash near-dup
+  * recall on the planted duplicates, IVF vs brute-force ANN, rolling hash,
+  * multimodal decode plumbing. */
+class ExtSpec extends SparkSpec {
+
+  private def docs = table(spark, sf("sf0.001"), "documents")
+  private def embs = table(spark, sf("sf0.001"), "embeddings")
+
+  test("minhash: catches every planted exact dup, only verified pairs emitted") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expectedExact = docs.filter(col("doc_id") % 20 === 0)
+      .filter(size(Dedup.shingles(col("text"))) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val found = pairs.collect { case (a, b, _) if b == a + 1000000 => a }.toSet
+    assert(expectedExact.subsetOf(found),
+      s"missed exact dups: ${expectedExact -- found}")
+    assert(pairs.forall(_._3 >= 0.7), "pair below verification threshold")
+  }
+
+  test("minhash: catches most planted near-dups (one-token mutation)") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .filter(size(split(col("text"), "\\s+")) >= 20)
+      .select("doc_id").collect().map(_.getLong(0))
+    val caught = planted.count(id => pairs.contains((id, id + 2000000)))
+    assert(caught >= planted.length * 0.8,
+      s"near-dup recall too low: $caught/${planted.length}")
+  }
+
+  test("simhash: exact dups at hamming 0, all pairs within threshold") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.filter(p => p._1 < 1000000 && p._2 == p._1 + 1000000)
+    assert(exact.nonEmpty && exact.forall(_._3 == 0))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("ivf ANN: valid shape and bounded by brute-force scores") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val ivf = Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ivf.map(_._1).distinct.length == 8)
+    assert(ivf.groupBy(_._1).forall(_._2.length == 5))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    assert(ivf.forall { case (q, _, c) => c <= bruteBest(q) + 1e-9 })
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    val recall = ivf.count(p => bruteSet.contains((p._1, p._2))).toDouble / brute.length
+    info(f"IVF recall@5 vs brute: $recall%.2f (nlist=16, nprobe=4, random data)")
+    assert(recall > 0.0)
+  }
+
+  test("rolling hash: deterministic, whitespace/punct-insensitive via normalization") {
+    import spark.implicits._
+    val out = Seq("Hello,  World!", "hello world", "different text")
+      .toDF("text").select(TextStats.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+    assert(out.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("multimodal: batched decode plumbing produces stable features") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(docs).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats.sameElements(again), "decode must be deterministic")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.forall(f => f.n_bytes == texts(f.doc_id).getBytes("UTF-8").length))
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    assert(feats.map(_.media_type).toSet == Set("image/png", "audio/wav", "video/mp4"))
+  }
+}

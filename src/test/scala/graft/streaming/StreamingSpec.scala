@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Sessionize
+import graft.queries.Registry.events
+
+/** Structured Streaming twins vs their batch counterparts, driven through
+  * the real incremental planner (file source → memory sink,
+  * `processAllAvailable`). */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** FileStreamSource wants a directory of event files; stage the single
+    * harness parquet into one. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val want = Sessionize.tumbling(events(spark, dir)).collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes every session except each user's last") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val batch = Sessionize.sessionize(events(spark, dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      // Every session closed by an observed gap must emit; sessions whose
+      // close relies on the final watermark may or may not flush before the
+      // AvailableNow query terminates, so allow [batch-nUsers, batch].
+      val nUsers = batch.map(_._1).distinct.size
+      assert(got.size >= batch.size - nUsers && got.size <= batch.size,
+        s"expected between ${batch.size - nUsers} and ${batch.size} closed sessions, got ${got.size}")
+      val batchSet = batch.toSet
+      assert(got.forall(batchSet.contains), "streaming session not present in batch result")
+    } finally q.stop()
+  }
+}

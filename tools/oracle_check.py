@@ -43,6 +43,10 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL  {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
+        dt = [(c, s[c].dtype, d[c].dtype) for c in s.columns
+              if s[c].dtype != d[c].dtype]
+        if dt:
+            print(f"WARN  {name}: dtype drift {dt}")
         bad = None
         for c in s.columns:
             a, b = s[c], d[c]
