@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.AsofJoin
+import graft.queries.Registry.{events, table}
+
+/** Second relational wave: as-of / range joins, pivot, exact percentiles,
+  * multiset set-ops, grouping sets through the SQL front end, and the
+  * ranking-window family. */
+object AdvancedQueries {
+
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val all: Map[String, Q] = Map(
+    // As-of join via union+window (see AsofJoin scaladoc for the 100 TB
+    // rationale): most recent prior 'view' for each 'purchase'.
+    "asof_view_before_purchase" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isView = col("event_type") === "view"
+        ev.withColumn("prev_view_id",
+            last(when(isView, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("prev_view_us",
+            last(when(isView, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "prev_view_id", "prev_view_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, prev_view_id, prev_view_us FROM (
+             |  SELECT event_id, user_id, event_type,
+             |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER w AS prev_view_id,
+             |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER w AS prev_view_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+      "as-of join (latest earlier right row) via union+window"),
+
+    "join_range_followups" -> Q(
+      (s, dir) => AsofJoin.followUpsWithin(events(s, dir)),
+      Some("""SELECT p.event_id AS p_id, count(*) AS n_followups,
+             |  min(e.event_id) AS first_follow_id
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+             |      WHERE event_type = 'purchase') p
+             |JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+             |  ON p.user_id = e.user_id
+             | AND e.us > p.us AND e.us <= p.us + 300000000
+             |GROUP BY p.event_id ORDER BY p_id""".stripMargin),
+      "range (band) join: equi-key + time-window predicate"),
+
+    "pivot_segments" -> Q(
+      (s, dir) => {
+        val pivoted = table(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .pivot("c_mktsegment", Segments)
+          .count()
+        pivoted.select(col("c_nationkey") +:
+            Segments.map(seg => coalesce(col(s"`$seg`"), lit(0L)).as(seg)): _*)
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey,
+              |${Segments.map(seg => s"  count(*) FILTER (c_mktsegment = '$seg') AS $seg").mkString(",\n")}
+              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      "pivot (explicit values, no driver round-trip) vs FILTER aggregates"),
+
+    // Exact percentiles (linear interpolation — same definition as DuckDB's
+    // quantile_cont). At scale the approx_percentile sketch replaces this;
+    // exact is the oracle-able form.
+    "agg_percentiles" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      "exact percentiles with linear interpolation"),
+
+    "setops_all" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0).select("l_linenumber")
+        val b = table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 7 === 0).select("l_linenumber")
+        a.exceptAll(b).groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("except_all"))
+          .unionByName(
+            a.intersectAll(b).groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+              .withColumn("tag", lit("intersect_all")))
+          .select("tag", "l_linenumber", "n")
+          .orderBy("tag", "l_linenumber")
+      },
+      Some("""WITH a AS (SELECT l_linenumber FROM lineitem WHERE l_orderkey % 5 = 0),
+             |     b AS (SELECT l_linenumber FROM lineitem WHERE l_orderkey % 7 = 0)
+             |SELECT 'except_all' AS tag, l_linenumber, count(*) AS n
+             |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY l_linenumber
+             |UNION ALL
+             |SELECT 'intersect_all', l_linenumber, count(*)
+             |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY l_linenumber
+             |ORDER BY tag, l_linenumber""".stripMargin),
+      "multiset EXCEPT ALL / INTERSECT ALL"),
+
+    // The SQL front end: same engine, text plans — GROUPING SETS has no
+    // direct DataFrame API, so this also covers that gap.
+    "sql_grouping_sets" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |  coalesce(l_linestatus, 'ALL') AS ls,
+                |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                |FROM lineitem_v
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin),
+      "GROUPING SETS through spark.sql (SQL front end)"),
+
+    "window_ranking" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).as("quartile"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  CAST(rank() OVER w AS INTEGER) AS rnk,
+             |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM orders WHERE o_orderkey % 13 = 0
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      "ranking-window family: ntile, rank, dense_rank, percent_rank, cume_dist"),
+
+    // Custom native expression through the SQL front end (registered via
+    // GraftExtensions — SparkSessionExtensions/FunctionRegistry seam).
+    "sql_vector_dot" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+        s.sql("""SELECT vec_id, round(vector_dot(embedding, embedding), 4) AS norm_sq
+                |FROM embeddings_v ORDER BY vec_id""".stripMargin)
+      },
+      Some("""SELECT vec_id,
+             |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                         CAST(embedding AS DOUBLE[])), 4) AS norm_sq
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      "custom codegen expression exposed as a SQL function")
+  )
+}
