@@ -170,6 +170,23 @@ object AdvancedQueries {
              |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
              |                         CAST(embedding AS DOUBLE[])), 4) AS norm_sq
              |FROM embeddings ORDER BY vec_id""".stripMargin),
-      "custom codegen expression exposed as a SQL function")
+      "custom codegen expression exposed as a SQL function"),
+
+    // Whole-operator extension: custom LogicalPlan + Strategy + SparkPlan
+    // (bounded per-group heaps, O(n log k) after the key shuffle) — same
+    // semantics and oracle as the window formulation above.
+    "topk_native" -> Q(
+      (s, dir) => graft.plans.TopKPerGroup(
+          table(s, dir, "orders"), 3, Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)))
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      "custom top-k-per-group plan node (LogicalPlan+Strategy+SparkPlan)")
   )
 }

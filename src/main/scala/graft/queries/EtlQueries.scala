@@ -148,6 +148,22 @@ object EtlQueries {
       Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
         "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
         "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
-      "K1 CSV sink + S6 read-back roundtrip (/root/reference/utils/load.py:37-73, tests/test_load.py:38-43)")
+      "K1 CSV sink + S6 read-back roundtrip (/root/reference/utils/load.py:37-73, tests/test_load.py:38-43)"),
+
+    // JSON source/sink twin of the CSV roundtrip: line-delimited JSON
+    // write → schema'd read. Doubles survive via shortest-repr.
+    "etl_json_roundtrip" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_json")
+          .resolve("out").toString
+        Transform.transform(RawSource.syntheticRaw(s, dir))
+          .write.mode("overwrite").json(out)
+        val schema = StructType(StructField("p_partkey", LongType) +: Schemas.clean.fields)
+        s.read.schema(schema).json(out).orderBy("p_partkey")
+      },
+      Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
+        "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
+        "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
+      "JSON sink + schema'd read-back roundtrip")
   )
 }

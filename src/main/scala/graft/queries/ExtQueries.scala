@@ -167,6 +167,32 @@ object ExtQueries {
       None, // centroid probing not ANSI-expressible compactly; recall pinned by ExtSpec
       "IVF-bucketed approximate top-k (nlist=16, nprobe=4)"),
 
+    // Typed Aggregator (custom agg kernel): per-label embedding centroid.
+    // Elements formatted %.6f so the cross-engine compare is string-exact.
+    "agg_vector_mean" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ds = table(s, dir, "embeddings")
+          .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+        val agg = new graft.functions.VectorMean.VectorMeanAggregator(64)
+        ds.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select(col("label"),
+            concat_ws(",", transform(col("centroid"),
+              x => format_string("%.6f", x))).as("centroid_str"))
+          .orderBy("label")
+      },
+      Some("""SELECT label,
+             |  string_agg(printf('%.6f', m), ',' ORDER BY idx) AS centroid_str
+             |FROM (
+             |  SELECT label, idx, avg(v) AS m FROM (
+             |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |           generate_subscripts(embedding, 1) AS idx
+             |    FROM embeddings)
+             |  GROUP BY label, idx)
+             |GROUP BY label ORDER BY label""".stripMargin),
+      "custom typed Aggregator: element-wise vector mean (k-means centroid step)"),
+
     // ------------------------------------------------------------- events
     "events_sessionize" -> Q(
       (s, dir) => Sessionize.sessionize(events(s, dir)),

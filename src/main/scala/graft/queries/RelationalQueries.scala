@@ -380,6 +380,23 @@ object RelationalQueries {
              |ORDER BY o_custkey""".stripMargin),
       "scalar-subquery comparison via broadcast 1-row aggregate"),
 
+    // Two-phase salted aggregation — the skew-mitigation pattern: phase 1
+    // spreads a hot group key over 16 salt buckets (map-side partials land
+    // on 16 reducers instead of 1), phase 2 merges the partials. The oracle
+    // is the PLAIN aggregation: salting must be semantically invisible.
+    "agg_salted" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(round(sum("q"), 2).as("sum_qty"), sum("c").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "salted two-phase aggregation (skew mitigation, semantically invisible)"),
+
     "table_counts" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -11,6 +11,11 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (for custom plan nodes). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on an existing session (the
     * per-new-session path is `graft.plans.GraftExtensions`). */
   def registerTempFunction(spark: SparkSession, name: String,

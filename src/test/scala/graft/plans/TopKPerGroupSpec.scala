@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry.table
+
+/** The custom top-k plan node must agree exactly with the window-function
+  * formulation, and its physical plan must be heap-based (no sort). */
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("custom operator == row_number window formulation") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val native = TopKPerGroup(orders, 3, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)))
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+      .collect().toSeq
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val windowed = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+      .collect().toSeq
+    assert(native == windowed)
+    assert(native.nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one exchange and no sort before it") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val df = TopKPerGroup(orders, 3, Seq("o_custkey"), Seq(("o_totalprice", false)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("Sort "), s"no sort may feed the heap operator:\n$plan")
+  }
+
+  test("k larger than group size emits whole groups, ranks dense from 1") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val df = TopKPerGroup(orders, 1000000, Seq("o_custkey"), Seq(("o_orderkey", true)))
+    assert(df.count() == orders.count())
+    val ranks = df.groupBy("o_custkey").agg(max("rn").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n")).count()
+    assert(ranks == 0, "rank must be dense 1..n within each group")
+  }
+}
