@@ -53,6 +53,73 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("c_id"))
   }
 
+  // ------------------------------------------------------------ k-means
+  /** Assignment step under L2 (the metric whose mean-centroid update
+    * guarantees a non-increasing objective). Centroids: (c_id, c_emb). */
+  def assignClustersL2(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(asc("c_dist"), asc("c_id"))
+    embeddings.join(broadcast(centroids))
+      .withColumn("c_dist", VectorOps.l2(col("c_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"), col("c_dist"))
+  }
+
+  /** One k-means iteration: assign (L2) → per-cluster mean via the typed
+    * [[graft.functions.VectorMean.VectorMeanAggregator]]. Returns refined
+    * (c_id, c_emb: array<double>) centroids. Both steps are the standard
+    * scalable layout: broadcast centroids + one groupBy shuffle. */
+  def kmeansIter(embeddings: DataFrame, centroids: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignClustersL2(embeddings, centroids)
+      .select(col("c_id"), col("embedding")).as[(Long, Array[Float])]
+    val agg = new graft.functions.VectorMean.VectorMeanAggregator(dim)
+    assigned.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn.name("c_emb"))
+      .toDF("c_id", "c_emb")
+  }
+
+  /** Seed centroids for k-means / IVF: the deterministic `vec_id < nlist`
+    * vectors, widened to double. */
+  def seedCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
+    embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+
+  // ------------------------------------------------------------ LSH ANN
+  /** Signed-random-projection LSH: `nTables` independent `nBits`-bit
+    * signatures (sign of dot with seeded pseudo-Gaussian planes, the plane
+    * living as an array literal so [[VectorOps.dot]]'s codegen kernel
+    * scores it). Candidates share a signature in ≥1 table — the same
+    * one-bucket-join shape as MinHash banding. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nTables: Int = 4, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def gaussian(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(nTables)(Seq.fill(nBits)(gaussian()))
+    def signature(emb: org.apache.spark.sql.Column, t: Int) =
+      (0 until nBits).map { b =>
+        when(VectorOps.dot(typedLit(planes(t)(b)), emb) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    def withSigs(df: DataFrame, idCol: String, embCol: String) =
+      df.select(col(idCol), col(embCol),
+        posexplode(array((0 until nTables).map(t => signature(col(embCol), t)): _*))
+          .as(Seq("tbl", "sig")))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qSigs = withSigs(queries, "q_id", "q_emb")
+    val cSigs = withSigs(embeddings, "vec_id", "embedding")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    qSigs.join(cSigs, Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF ANN: probe the `nprobe` nearest centroid buckets per query, exact
     * cosine inside the probed buckets only. Returns the same shape as
     * [[bruteTopK]] (rows-only harness check; recall vs. brute is pinned in

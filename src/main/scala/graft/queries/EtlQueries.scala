@@ -164,6 +164,16 @@ object EtlQueries {
       Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
         "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
         "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
-      "JSON sink + schema'd read-back roundtrip")
+      "JSON sink + schema'd read-back roundtrip"),
+
+    // S2 page-URL generator as a parallelizable range scan
+    // (/root/reference/utils/extract.py:99-100 is a serial loop).
+    "etl_page_urls" -> Q(
+      (s, _) => graft.etl.Extract.pageUrls(s).orderBy("page"),
+      Some("""SELECT range AS page,
+             |  CASE WHEN range = 1 THEN 'https://fashion-studio.dicoding.dev'
+             |       ELSE 'https://fashion-studio.dicoding.dev/page' || range END AS url
+             |FROM range(1, 51) ORDER BY page""".stripMargin),
+      "S2 page-URL enumeration (range scan, not a serial loop)")
   )
 }

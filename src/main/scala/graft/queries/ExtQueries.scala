@@ -167,6 +167,11 @@ object ExtQueries {
       None, // centroid probing not ANSI-expressible compactly; recall pinned by ExtSpec
       "IVF-bucketed approximate top-k (nlist=16, nprobe=4)"),
 
+    "sim_topk_lsh" -> Q(
+      (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings")),
+      None, // seeded random hyperplanes not ANSI-expressible; pinned by ExtSpec
+      "signed-random-projection LSH approximate top-k (4 tables × 8 bits)"),
+
     // Typed Aggregator (custom agg kernel): per-label embedding centroid.
     // Elements formatted %.6f so the cross-engine compare is string-exact.
     "agg_vector_mean" -> Q(

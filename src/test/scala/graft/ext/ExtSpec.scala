@@ -59,6 +59,36 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("lsh ANN: valid shape, scores bounded by brute force") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val lsh = Similarity.lshTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    assert(lsh.groupBy(_._1).forall(_._2.length <= 5))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    assert(lsh.forall { case (q, _, c) => c <= bruteBest(q) + 1e-9 })
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    val recall = lsh.count(p => bruteSet.contains((p._1, p._2))).toDouble / brute.length
+    info(f"LSH recall@5 vs brute: $recall%.2f (4 tables × 8 bits, random data)")
+  }
+
+  test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
+    import org.apache.spark.sql.functions.avg
+    def sse(centroids: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignClustersL2(embs, centroids)
+        .agg(avg(col("c_dist") * col("c_dist"))).collect().head.getDouble(0)
+    val c0 = Similarity.seedCentroids(embs, 16)
+    val sse0 = sse(c0)
+    val c1 = Similarity.kmeansIter(embs, c0)
+    val sse1 = sse(c1)
+    val c2 = Similarity.kmeansIter(embs, c1)
+    val sse2 = sse(c2)
+    info(f"SSE: seed=$sse0%.4f iter1=$sse1%.4f iter2=$sse2%.4f")
+    assert(sse1 <= sse0 + 1e-9 && sse2 <= sse1 + 1e-9)
+    assert(c1.count() <= 16 && c1.head().getSeq[Double](1).size == 64)
+  }
+
   test("rolling hash: deterministic, whitespace/punct-insensitive via normalization") {
     import spark.implicits._
     val out = Seq("Hello,  World!", "hello world", "different text")
