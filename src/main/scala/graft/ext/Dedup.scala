@@ -126,7 +126,10 @@ object Dedup {
       .localCheckpoint()
     val a = banded.select(col("band"), col("bhash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "bhash")).filter(col("id_a") < col("id_b"))
+    // shuffle_hash pinned: both sides are data-dependent in size (duplicate-
+    // heavy corpora explode the buckets), so auto-broadcast is a scale trap
+    a.join(b.hint("shuffle_hash"), Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }
@@ -140,10 +143,11 @@ object Dedup {
     val shd = sh.distinct()
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = minhashCandidates(sh)
-    // equi-join on (id, shingle): result rows ARE the intersection entries
+    // equi-join on (id, shingle): result rows ARE the intersection entries.
+    // The shingle side is corpus-sized — pin it to shuffle joins.
     val interCounts = cand
-      .join(shd.toDF("id_a", "s"), "id_a")
-      .join(shd.toDF("id_b", "s"), Seq("id_b", "s"))
+      .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
+      .join(shd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     interCounts
       .join(sizes.toDF("id_a", "sz_a"), "id_a")

@@ -174,6 +174,30 @@ object EtlQueries {
              |  CASE WHEN range = 1 THEN 'https://fashion-studio.dicoding.dev'
              |       ELSE 'https://fashion-studio.dicoding.dev/page' || range END AS url
              |FROM range(1, 51) ORDER BY page""".stripMargin),
-      "S2 page-URL enumeration (range scan, not a serial loop)")
+      "S2 page-URL enumeration (range scan, not a serial loop)"),
+
+    // The five cleaners through the SQL front end (registered as SQL
+    // functions by GraftExtensions) — same oracle math as etl_clean_*.
+    "sql_cleaners" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.register(s)
+        RawSource.syntheticRaw(s, dir).createOrReplaceTempView("raw_products")
+        s.sql("""SELECT p_partkey,
+                |  clean_price(price) AS price_clean,
+                |  clean_rating(rating) AS rating_clean,
+                |  clean_colors(colors) AS colors_clean,
+                |  clean_size(size) AS size_clean,
+                |  clean_gender(gender) AS gender_clean
+                |FROM raw_products ORDER BY p_partkey""".stripMargin)
+      },
+      Some(withRaw(
+        s"""SELECT p_partkey,
+           |  ${OracleCleaners.price("price")} AS price_clean,
+           |  ${OracleCleaners.rating("rating")} AS rating_clean,
+           |  ${OracleCleaners.colors("colors")} AS colors_clean,
+           |  ${OracleCleaners.size("size")} AS size_clean,
+           |  ${OracleCleaners.gender("gender")} AS gender_clean
+           |FROM raw ORDER BY p_partkey""".stripMargin)),
+      "P1-P5 registered as SQL functions (FunctionRegistry seam)")
   )
 }

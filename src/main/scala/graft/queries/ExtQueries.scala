@@ -84,6 +84,26 @@ object ExtQueries {
              |FROM scored ORDER BY doc_id""".stripMargin),
       "language-ID heuristic via stopword-marker hit counts"),
 
+    // Corpus-level n-gram mining: bigram extraction reuses the codegen
+    // shingle-row path (posexplode + window lead), then a count + top-k.
+    "text_top_bigrams" -> Q(
+      (s, dir) => Dedup.shingleRows(
+          table(s, dir, "documents").select("doc_id", "text"), k = 2)
+        .groupBy("s").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("s"))
+        .limit(20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t,
+             |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+             |  FROM documents),
+             |big AS (
+             |  SELECT t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+             |  FROM toks)
+             |SELECT s, count(*) AS n FROM big WHERE s IS NOT NULL
+             |GROUP BY s ORDER BY n DESC, s LIMIT 20""".stripMargin),
+      "top-k corpus bigrams (n-gram mining over the shingle path)"),
+
     "text_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),

@@ -46,6 +46,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup on event_id: watermarked state keeps one entry
+    * per key inside the lateness horizon — the streaming twin of the batch
+    * exact-dedup operator, and the standard ingest-dedup for at-least-once
+    * sources. State is bounded by (events within watermark), not corpus
+    * size. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------ stateful sessionize
   final case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, total: Double)

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale must survive refactors — pushed filters, broadcast dim joins,
+  * single-stage narrow pipelines, TakeOrdered top-k. Assertions are kept
+  * loose (substring-level) so Spark-version plan cosmetics don't break
+  * them. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def explained(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  test("q1: shipdate predicate reaches the parquet scan") {
+    val plan = explained("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q1: scan is column-pruned to the referenced columns") {
+    val plan = explained("q1_pricing_summary")
+    assert(!plan.contains("l_orderkey"), s"q1 must not read join keys it never uses:\n$plan")
+  }
+
+  test("q3: both dimension joins broadcast") {
+    val plan = explained("q3_top_orders")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("etl_pipeline: narrow plan — the only exchange is the deterministic output sort") {
+    val plan = explained("etl_pipeline")
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("etl_pipeline: zero UDFs — everything is native expressions") {
+    val plan = explained("etl_pipeline")
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("topk_orders: global limit plans as TakeOrdered, not a global sort") {
+    val plan = explained("topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("join_semi/anti plan as semi/anti hash joins") {
+    assert(explained("join_semi").contains("LeftSemi"), explained("join_semi"))
+    assert(explained("join_anti").contains("LeftAnti"), explained("join_anti"))
+  }
+}

@@ -36,6 +36,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events (at-least-once ingest)") {
+    // stage the same file twice = every event delivered twice
+    val d = java.nio.file.Files.createTempDirectory("graft_events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events_b.parquet"))
+    val q = StreamingOps.dedupStream(StreamingOps.readEvents(spark, d.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("dedup_out").count()
+      val want = events(spark, dir).count()
+      assert(got == want, s"deduped stream rows $got != original $want")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes every session except each user's last") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.sessionizeStream(stream)
