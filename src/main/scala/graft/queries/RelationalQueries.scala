@@ -397,6 +397,33 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "salted two-phase aggregation (skew mitigation, semantically invisible)"),
 
+    // Column profiling — the data-quality sweep every ingest pipeline runs:
+    // one pass per column (unioned), each a single partial-agg shuffle.
+    "profile_customer" -> Q(
+      (s, dir) => {
+        val df = table(s, dir, "customer")
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+          .map { c =>
+            df.agg(
+              count(lit(1)).as("n"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+              countDistinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("string").as("min_s"),
+              max(col(c)).cast("string").as("max_s"))
+              .select(lit(c).as("column_name"), col("n"), col("n_null"),
+                col("n_distinct"), col("min_s"), col("max_s"))
+          }.reduce(_ unionByName _)
+          .orderBy("column_name")
+      },
+      Some(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(c => s"""SELECT '$c' AS column_name, count(*) AS n,
+                     |  count(*) - count($c) AS n_null,
+                     |  count(DISTINCT $c) AS n_distinct,
+                     |  CAST(min($c) AS VARCHAR) AS min_s,
+                     |  CAST(max($c) AS VARCHAR) AS max_s FROM customer""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+      "per-column profiling: counts, nulls, distincts, min/max"),
+
     "table_counts" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -46,6 +46,27 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * events within the following `windowMinutes`. Both sides are
+    * watermarked and the join condition carries the time bound, so state
+    * on each side is bounded by the interval + watermark — the canonical
+    * scalable stream-join layout. Emits raw (p_id, f_id) match pairs
+    * (inner join ⇒ eager append emission). */
+  def followUpsStream(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val e = events
+      .select(col("user_id").as("f_user"), col("event_id").as("f_id"), col("ts").as("f_ts"))
+      .withWatermark("f_ts", "10 minutes")
+    p.join(e,
+      col("p_user") === col("f_user") &&
+        col("f_ts") > col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("p_id", "f_id")
+  }
+
   /** Streaming exact dedup on event_id: watermarked state keeps one entry
     * per key inside the lateness horizon — the streaming twin of the batch
     * exact-dedup operator, and the standard ingest-dedup for at-least-once

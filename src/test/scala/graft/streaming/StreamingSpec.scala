@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch range join pairs") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.followUpsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("followups_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("followups_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: same pairs before aggregation
+      import org.apache.spark.sql.functions._
+      val ev = events(spark, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      val e = ev.select(col("user_id"), col("event_id").as("f_id"), unix_micros(col("ts")).as("f_us"))
+      val want = p.join(e, Seq("user_id"))
+        .filter(col("f_us") > col("p_us") && col("f_us") <= col("p_us") + lit(300000000L))
+        .select("p_id", "f_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"stream ${got.size} pairs vs batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes every session except each user's last") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.sessionizeStream(stream)
