@@ -198,6 +198,20 @@ object EtlQueries {
            |  ${OracleCleaners.size("size")} AS size_clean,
            |  ${OracleCleaners.gender("gender")} AS gender_clean
            |FROM raw ORDER BY p_partkey""".stripMargin)),
-      "P1-P5 registered as SQL functions (FunctionRegistry seam)")
+      "P1-P5 registered as SQL functions (FunctionRegistry seam)"),
+
+    // S1 at-scale design: the scrape stage as a DataSource V2 TableProvider
+    // whose input partitions executors read independently (SURVEY §2.1).
+    // numRows follows the sf's part count; the oracle runs at sf0.01
+    // (2000 rows) per the harness contract.
+    "source_dsv2_scrape" -> Q(
+      (s, dir) => {
+        val n = Registry.table(s, dir, "part").count()
+        s.read.format("graft.sources.ScrapeSource")
+          .option("numRows", n).option("numPartitions", 4).load()
+          .orderBy("p_partkey")
+      },
+      Some(graft.sources.ScrapeSource.rangeSql(2000) + " ORDER BY p_partkey"),
+      "custom DataSource V2 batch source (partitioned scrape generator)")
   )
 }
