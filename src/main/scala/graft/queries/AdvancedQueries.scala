@@ -187,6 +187,22 @@ object AdvancedQueries {
              |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders)
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
-      "custom top-k-per-group plan node (LogicalPlan+Strategy+SparkPlan)")
+      "custom top-k-per-group plan node (LogicalPlan+Strategy+SparkPlan)"),
+
+    // Correlated scalar subquery through the SQL front end — Catalyst's
+    // DecorrelateInnerQuery rewrites it to an aggregate + join (SURVEY §4).
+    "sql_correlated" -> Q(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer_v c
+                |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer_v c2
+                |                       WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+             |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                       WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "correlated scalar subquery (decorrelated to aggregate+join)")
   )
 }
