@@ -69,6 +69,21 @@ class ExtractSpec extends SparkSpec {
     assert(Extract.selectCards(page).size == 1)
   }
 
+  test("markup robustness: case, quote style, attribute order, nested tags") {
+    val messy =
+      """<DIV CLASS='product-card' data-x="1">
+        |  <h3 data-idx='7' class='featured product-title'><b>Bold</b> Product</h3>
+        |  <SPAN class="price old">$5.00</SPAN>
+        |  <p><em>Rating:</em> 4.0 / 5</p>
+        |</DIV>""".stripMargin
+    val cards = Extract.selectCards(messy)
+    assert(cards.size == 1)
+    val parsed = Extract.parseProductCard(cards.head, ts)
+    assert(parsed.map(_.title).contains("Bold Product"))
+    assert(parsed.map(_.price).contains("$5.00"))
+    assert(parsed.map(_.rating).contains("4.0 / 5"))
+  }
+
   test("end-to-end page → DataFrame (test_extract.py:88-130)") {
     import spark.implicits._
     val page =

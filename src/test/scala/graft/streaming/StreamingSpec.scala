@@ -56,6 +56,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: streaming aggregation lands as parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").resolve("agg").toString
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000))
+      val landed = spark.read.parquet(out)
+      val want = Sessionize.tumbling(events(spark, dir)).count()
+      assert(landed.count() == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch range join pairs") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.followUpsStream(stream)
