@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

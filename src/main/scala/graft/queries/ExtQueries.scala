@@ -116,6 +116,88 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "document fingerprinting: md5 over canonicalized text"),
 
+    // Composed curation pipeline — the realistic shape: fingerprint-dedup
+    // (keep lowest id) then quality-gate. Pure composition of the operators
+    // above; one groupBy shuffle + one join.
+    "curation_pipeline" -> Q(
+      (s, dir) => {
+        val pl = Dedup.planted(table(s, dir, "documents"))
+        val keep = pl
+          .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        pl.join(keep, "doc_id")
+          .withColumn("quality", TextStats.qualityScore(col("text")))
+          .filter(col("quality") >= 0.3 &&
+            TextStats.wsTokenCount(col("text")) >= 20)
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |fp AS (
+              |  SELECT doc_id, text,
+              |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              |  FROM planted),
+              |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+              |SELECT f.doc_id,
+              |  round(0.4 * least(length(f.text) / 500.0, 1.0)
+              |      + 0.4 * least(len(regexp_extract_all(f.text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+              |                    / CAST(len(regexp_split_to_array(trim(f.text), '\\s+')) AS DOUBLE), 1.0)
+              |      + 0.2 * (1.0 - least(len(regexp_extract_all(f.text, '[.,;:!?]'))
+              |                    / CAST(len(regexp_split_to_array(trim(f.text), '\\s+')) AS DOUBLE), 1.0)), 6) AS quality
+              |FROM fp f JOIN keep k ON f.doc_id = k.doc_id
+              |WHERE round(0.4 * least(length(f.text) / 500.0, 1.0)
+              |      + 0.4 * least(len(regexp_extract_all(f.text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+              |                    / CAST(len(regexp_split_to_array(trim(f.text), '\\s+')) AS DOUBLE), 1.0)
+              |      + 0.2 * (1.0 - least(len(regexp_extract_all(f.text, '[.,;:!?]'))
+              |                    / CAST(len(regexp_split_to_array(trim(f.text), '\\s+')) AS DOUBLE), 1.0)), 6) >= 0.3
+              |  AND len(regexp_split_to_array(trim(f.text), '\\s+')) >= 20
+              |ORDER BY f.doc_id""".stripMargin),
+      "composed curation: fingerprint dedup → quality gate"),
+
+    "text_corpus_stats" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(TextStats.wsTokenCount(col("text"))), 4).as("avg_tokens"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 1).as("median_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  round(quantile_cont(n_chars, 0.5), 1) AS median_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "corpus token/length statistics per language"),
+
+    // PII-style redaction: emails are planted deterministically (the
+    // synthetic corpus has none), then masked at scan speed.
+    "text_redact" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact_"), col("doc_id"), lit("@example.com")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("text2"), lit("[A-Za-z0-9_.]+@[A-Za-z0-9.-]+")).cast("int").as("n_redactions"),
+          org.apache.spark.sql.functions.right(
+            regexp_replace(col("text2"), "[A-Za-z0-9_.]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            lit(16)).as("tail16"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_redactions,
+             |  right(regexp_replace(text2, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), 16) AS tail16
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |         THEN text || ' contact_' || doc_id || '@example.com'
+             |         ELSE text END AS text2
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      "PII-style redaction: detect + mask planted emails at scan speed"),
+
     // -------------------------------------------------------------- dedup
     "dedup_exact" -> Q(
       (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),

@@ -37,6 +37,35 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no sort may feed the heap operator:\n$plan")
   }
 
+  test("optimizer rule rewrites row_number+filter windows into the heap node") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    def windowed = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+    val baseline = windowed.collect().toSeq
+    TopKRewriteRule.enable(spark)
+    try {
+      val rewritten = windowed
+      val got = rewritten.collect().toSeq
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("Window [") && !plan.contains("WindowGroupLimit"),
+        s"window machinery must be fully replaced:\n$plan")
+      assert(got == baseline)
+    } finally TopKRewriteRule.disable(spark)
+    // and other window shapes are untouched
+    TopKRewriteRule.enable(spark)
+    try {
+      val lagPlan = orders
+        .withColumn("prev", lag("o_totalprice", 1).over(w))
+        .filter(col("prev").isNotNull)
+      lagPlan.collect()
+      assert(!lagPlan.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally TopKRewriteRule.disable(spark)
+  }
+
   test("k larger than group size emits whole groups, ranks dense from 1") {
     val orders = table(spark, sf("sf0.001"), "orders")
     val df = TopKPerGroup(orders, 1000000, Seq("o_custkey"), Seq(("o_orderkey", true)))
