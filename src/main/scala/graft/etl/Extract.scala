@@ -36,11 +36,14 @@ object Extract {
 
   // ------------------------------------------------------- HTML scanner
   /** Inner text of an HTML fragment: drop tags, decode the entities the
-    * fixture grammar can contain, collapse-trim. */
+    * fixture grammar can contain, collapse-trim. `&amp;` decodes LAST —
+    * decoding it first would double-decode entity-escaped text
+    * (`a &amp;lt; b` must yield `a &lt; b`, not `a < b`). */
   private[etl] def innerText(html: String): String =
     html.replaceAll("(?s)<[^>]*>", "")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
       .trim
 
   /** Value of an attribute inside a start tag, or None. */

@@ -80,7 +80,8 @@ object Load {
   def loadData(df: DataFrame, sinks: Seq[Sink]): Map[String, Try[String]] = {
     require(sinks.nonEmpty,
       "At least one destination (csv, sheets, or postgres) must be specified")
-    val fanOut = sinks.size > 1
+    // persist only if the caller hasn't already (Pipeline.run does)
+    val fanOut = sinks.size > 1 && df.storageLevel == StorageLevel.NONE
     if (fanOut) df.persist(StorageLevel.MEMORY_AND_DISK)
     try sinks.map(s => s.name -> Try(s.write(df))).toMap
     finally if (fanOut) { df.unpersist(); () }

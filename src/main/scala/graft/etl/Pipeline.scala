@@ -52,14 +52,19 @@ object Pipeline {
   }
 
   /** Full run. `extract` is any raw-products producer (the HTML flatMap
-    * path, the DSv2 source, or a synthetic table). */
+    * path, the DSv2 source, or a synthetic table). The clean frame is
+    * persisted across the guard, the sink writes, and the row count — with
+    * a real scrape source an unpersisted lineage would re-extract once per
+    * action. */
   def run(extract: => DataFrame, plan: SinkPlan): Outcome = {
     val raw = extract
     if (raw.isEmpty) return EmptyExtract
     val clean = Transform.transform(raw)
-    if (clean.isEmpty) return EmptyTransform
-    val results = Load.loadData(clean, plan.sinks)
-    Loaded(results, clean.count())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (clean.isEmpty) EmptyTransform
+      else Loaded(Load.loadData(clean, plan.sinks), clean.count())
+    } finally { clean.unpersist(); () }
   }
 
   /** Reference-style results dict incl. skips (`load.py:282-324`). */

@@ -222,9 +222,12 @@ object Dedup {
   }
 
   // --------------------------------------------- embedding-cosine near-dup
-  /** Near-dup by embedding cosine over the `embeddings` table. The oracle
-    * twin brute-forces the same slice; the scalable path for full corpora
-    * is [[Similarity.ivfTopK]]'s bucketed shape. */
+  /** Near-dup by embedding cosine: DELIBERATELY exhaustive over all
+    * `n·(n-1)/2` pairs (a non-equi join + native-dot scoring) because the
+    * DuckDB oracle brute-forces the same full pair set. This is the exact
+    * baseline only — at corpus scale the candidate generation must come
+    * from [[Similarity.ivfTopK]] / [[Similarity.lshTopK]]'s bucketed
+    * shapes, never this join. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed once per vector (not per pair); pair scoring is one
     // native VectorDot per pair inside codegen

@@ -111,6 +111,9 @@ object TopKPerGroup {
     * appended rank column is `rankName` (1-based, dense within group). */
   def apply(df: DataFrame, k: Int, partitionCols: Seq[String],
       orderBy: Seq[(String, Boolean)], rankName: String = "rn"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(partitionCols.nonEmpty,
+      "at least one partition column required (global top-k: use orderBy+limit)")
     val spark = df.sparkSession
     ensureRegistered(spark)
     val parts = partitionCols.map(c => GraftColumnBridge.expression(df(c)))

@@ -37,14 +37,19 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
       (w.windowExpressions, cond) match {
+        // Guards: a partition key must exist (ClusteredDistribution(Nil) is
+        // rejected by the planner — a global top-k stays a window) and
+        // k ≥ 1 (k=0 must keep the window plan's empty result).
         case (Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
               LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)))
-            if a.semanticEquals(alias.toAttribute) && w.orderSpec.nonEmpty =>
+            if a.semanticEquals(alias.toAttribute) && w.orderSpec.nonEmpty &&
+              w.partitionSpec.nonEmpty && k >= 1 =>
           TopKPerGroupNode(k, w.partitionSpec, w.orderSpec, alias.toAttribute,
             stripGroupLimit(w.child))
         case (Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
               LessThan(a: AttributeReference, IntegerLiteral(k)))
-            if a.semanticEquals(alias.toAttribute) && w.orderSpec.nonEmpty && k > 1 =>
+            if a.semanticEquals(alias.toAttribute) && w.orderSpec.nonEmpty &&
+              w.partitionSpec.nonEmpty && k > 1 =>
           TopKPerGroupNode(k - 1, w.partitionSpec, w.orderSpec, alias.toAttribute,
             stripGroupLimit(w.child))
         case _ => f

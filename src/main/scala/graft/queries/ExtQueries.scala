@@ -230,7 +230,7 @@ object ExtQueries {
     "dedup_minhash" -> Q(
       (s, dir) => Dedup.minhashPairs(table(s, dir, "documents")),
       None, // hash-permutation semantics not ANSI-expressible; pinned by ExtSpec
-      "MinHash(64) + LSH(16 bands) near-dup, exact-Jaccard verified"),
+      "MinHash(32) + LSH(8 bands × 4 rows) near-dup, exact-Jaccard verified"),
 
     "dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(table(s, dir, "documents")),

@@ -104,10 +104,12 @@ class ScrapeTable(numRows: Long, numPartitions: Int) extends Table with Supports
       override def readSchema(): StructType = ScrapeSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val step = math.max(1L, numRows / numPartitions)
-        (0 until numPartitions).map { i =>
-          val start = i * step + 1
-          val end = if (i == numPartitions - 1) numRows + 1 else (i + 1) * step + 1
+        // balanced split covering exactly [1, numRows] — no phantom rows
+        // when numRows < numPartitions (empty ranges emit nothing)
+        val parts = math.max(1, numPartitions)
+        (0 until parts).map { i =>
+          val start = numRows * i / parts + 1
+          val end = numRows * (i + 1) / parts + 1
           ScrapeRange(start, end): InputPartition
         }.toArray
       }

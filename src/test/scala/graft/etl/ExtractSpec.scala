@@ -84,6 +84,11 @@ class ExtractSpec extends SparkSpec {
     assert(parsed.map(_.rating).contains("4.0 / 5"))
   }
 
+  test("entity decoding: &amp; decodes last, no double-decode") {
+    assert(Extract.innerText("a &amp;lt; b") == "a &lt; b")
+    assert(Extract.innerText("x &lt; y &amp; z &gt; w") == "x < y & z > w")
+  }
+
   test("end-to-end page → DataFrame (test_extract.py:88-130)") {
     import spark.implicits._
     val page =

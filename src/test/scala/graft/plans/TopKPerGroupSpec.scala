@@ -66,6 +66,23 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally TopKRewriteRule.disable(spark)
   }
 
+  test("rule guards: global top-k (no partition) and k<=0 keep the window plan") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    TopKRewriteRule.enable(spark)
+    try {
+      // empty PARTITION BY — ClusteredDistribution(Nil) would crash planning
+      val global = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val g = orders.withColumn("rn", row_number().over(global)).filter(col("rn") <= 5)
+      assert(g.count() == 5)
+      assert(!g.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // k = 0 — the heap exec would call head on an empty queue
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+      val zero = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 0)
+      assert(zero.count() == 0)
+      assert(!zero.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally TopKRewriteRule.disable(spark)
+  }
+
   test("k larger than group size emits whole groups, ranks dense from 1") {
     val orders = table(spark, sf("sf0.001"), "orders")
     val df = TopKPerGroup(orders, 1000000, Seq("o_custkey"), Seq(("o_orderkey", true)))

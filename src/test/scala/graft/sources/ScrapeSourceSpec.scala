@@ -18,6 +18,13 @@ class ScrapeSourceSpec extends SparkSpec {
       "colors", "size", "gender", "timestamp"))
   }
 
+  test("numRows < numPartitions yields exactly numRows rows, never phantoms") {
+    assert(read(2, 4).count() == 2)
+    assert(read(0, 4).count() == 0)
+    assert(read(5, 3).select("p_partkey").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("synthesis carries the reference dirty grammar") {
     val rows = read(200, 2).collect().map(r => r.getLong(0) -> r).toMap
     assert(rows(13L).getString(1) == "Unknown Product")
