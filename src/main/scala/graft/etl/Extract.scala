@@ -55,14 +55,22 @@ object Extract {
   private def classAttr(startTag: String): String =
     attrValue(startTag, "class").getOrElse("")
 
+  /** Per-tag compiled patterns, cached — this runs inside the hot flatMap
+    * (4 tag lookups per card × cards per page); recompiling on every call
+    * measured ~2× slower at sf0.1. */
+  private val tagPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, (scala.util.matching.Regex, scala.util.matching.Regex)]()
+  private def patternsFor(tag: String): (scala.util.matching.Regex, scala.util.matching.Regex) =
+    tagPatterns.computeIfAbsent(tag, t =>
+      (s"(?is)<$t\\b[^>]*>".r, s"(?is)<(/?)$t\\b[^>]*>".r))
+
   /** All elements `<tag ...>...</tag>` whose class attribute satisfies
     * `classPred`, in document order (nested matches included, matching
     * BeautifulSoup's `select`/`find_all`). Returns (startTagSource, innerHtml).
     */
   private[etl] def findElements(
       html: String, tag: String, classPred: String => Boolean): Seq[(String, String)] = {
-    val open = s"(?is)<$tag\\b[^>]*>".r
-    val anyBoundary = s"(?is)<(/?)$tag\\b[^>]*>".r
+    val (open, anyBoundary) = patternsFor(tag)
     open.findAllMatchIn(html).flatMap { m =>
       if (!classPred(classAttr(m.matched))) None
       else {

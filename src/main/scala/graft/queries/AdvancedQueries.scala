@@ -203,6 +203,44 @@ object AdvancedQueries {
              |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
              |                       WHERE c2.c_nationkey = c.c_nationkey)
              |ORDER BY c_custkey""".stripMargin),
-      "correlated scalar subquery (decorrelated to aggregate+join)")
+      "correlated scalar subquery (decorrelated to aggregate+join)"),
+
+    "window_value_fns" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") % 53 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            first("o_orderkey").over(wFull).as("first_key"),
+            last("o_orderkey").over(wFull).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"),
+            lead("o_orderkey", 1).over(w).as("next_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  first_value(o_orderkey) OVER wf AS first_key,
+             |  last_value(o_orderkey) OVER wf AS last_key,
+             |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+             |  lead(o_orderkey, 1) OVER w AS next_key
+             |FROM orders WHERE o_orderkey % 53 = 0
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey),
+             |  wf AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin),
+      "window value functions: first/last/nth_value, lead over full frames"),
+
+    // Ordered list aggregation, emitted as a joined string so the compare
+    // is scalar (array cells don't hash uniformly across engines).
+    "agg_collect" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list("c_name"))).as("names"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+             |FROM customer WHERE c_custkey % 100 = 0
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      "ordered collect_list aggregation (string-joined for comparison)")
   )
 }
