@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` table: ordered funnel
+  * conversion, cohort retention, and date-spine gap filling with forward
+  * fill. Each is the standard scalable layout — per-entity aggregation on
+  * one key shuffle, spine generation via `sequence`/explode rather than a
+  * driver loop. */
+object Analytics {
+
+  /** Ordered funnel view → click → purchase: a step counts only when it
+    * happens strictly AFTER the previous step's first occurrence. One
+    * conditional-aggregation pass per step (3 shuffles on user_id), then a
+    * single-row summary. */
+  def funnel(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = base.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val c = base.join(v, "user_id")
+      .groupBy("user_id", "v_us")
+      .agg(min(when(col("event_type") === "click" && col("us") > col("v_us"), col("us"))).as("c_us"))
+    val p = base.join(c, "user_id")
+      .groupBy("user_id", "v_us", "c_us")
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("c_us"), col("us"))).as("p_us"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v_us")).as("n_view"),
+      count(col("c_us")).as("n_view_click"),
+      count(col("p_us")).as("n_full_funnel"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for each cohort ×
+    * day-offset, how many distinct users were active. */
+  def cohortRetention(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val activity = events
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("d").as("cohort_d"))
+    activity.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_d")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_d", "day_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_d", "day_offset")
+  }
+
+  /** Hourly revenue per event type over a complete hour spine (generated
+    * with `sequence` + explode — no driver loop), missing cells forward-
+    * filled from the last observed value within the type. */
+  def gapFillForwardFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val bounds = events.agg(
+      date_trunc("hour", min("ts")).as("h0"), date_trunc("hour", max("ts")).as("h1"))
+    val spine = bounds
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(events.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("h", "event_type"), "left_outer")
+      .withColumn("rev_filled", coalesce(col("rev"), last("rev", ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("h"), col("event_type"), col("rev_filled"))
+      .orderBy("h", "event_type")
+  }
+}

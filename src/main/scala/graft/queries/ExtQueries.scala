@@ -346,6 +346,51 @@ object ExtQueries {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "semi-structured props field extraction + aggregation"),
 
+    // ---------------------------------------------------------- analytics
+    "events_funnel" -> Q(
+      (s, dir) => graft.ext.Analytics.funnel(events(s, dir)),
+      Some("""WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v_us
+             |      FROM base GROUP BY user_id),
+             |c AS (SELECT b.user_id, v.v_us,
+             |        min(CASE WHEN b.event_type = 'click' AND b.us > v.v_us THEN b.us END) AS c_us
+             |      FROM base b JOIN v ON b.user_id = v.user_id GROUP BY b.user_id, v.v_us),
+             |p AS (SELECT b.user_id, c.v_us, c.c_us,
+             |        min(CASE WHEN b.event_type = 'purchase' AND b.us > c.c_us THEN b.us END) AS p_us
+             |      FROM base b JOIN c ON b.user_id = c.user_id GROUP BY b.user_id, c.v_us, c.c_us)
+             |SELECT count(*) AS n_users, count(v_us) AS n_view,
+             |  count(c_us) AS n_view_click, count(p_us) AS n_full_funnel
+             |FROM p""".stripMargin),
+      "ordered funnel conversion (view → click → purchase)"),
+
+    "events_cohort" -> Q(
+      (s, dir) => graft.ext.Analytics.cohortRetention(events(s, dir)),
+      Some("""WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |cohorts AS (SELECT user_id, min(d) AS cohort_d FROM activity GROUP BY user_id)
+             |SELECT cohort_d,
+             |  CAST(date_diff('day', cohort_d, d) AS INTEGER) AS day_offset,
+             |  count(DISTINCT a.user_id) AS n_active
+             |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+             |WHERE date_diff('day', cohort_d, d) <= 7
+             |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin),
+      "cohort retention (first-seen day × active-day offsets)"),
+
+    "events_gapfill" -> Q(
+      (s, dir) => graft.ext.Analytics.gapFillForwardFill(events(s, dir)),
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h, event_type, round(sum(value), 2) AS rev
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+             |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+             |grid AS (SELECT h, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+             |joined AS (SELECT g.h, g.event_type, rev FROM grid g
+             |           LEFT JOIN hourly USING (h, event_type))
+             |SELECT h, event_type,
+             |  coalesce(rev, last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_filled
+             |FROM joined ORDER BY h, event_type""".stripMargin),
+      "date-spine gap filling with forward fill (sequence + window last)"),
+
     // --------------------------------------------------------- multimodal
     "multimodal_meta" -> Q(
       (s, dir) => Multimodal.metadata(table(s, dir, "documents")),
