@@ -346,6 +346,23 @@ object ExtQueries {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "semi-structured props field extraction + aggregation"),
 
+    // Batch twin of the streaming ingest dedup: re-delivered events (input
+    // unioned with itself) collapse back to one row per event_id.
+    "events_dedup_batch" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).select("event_id", "event_type")
+        ev.unionByName(ev)
+          .dropDuplicates("event_id")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n FROM (
+             |  SELECT DISTINCT ON (event_id) event_id, event_type FROM (
+             |    SELECT event_id, event_type FROM events
+             |    UNION ALL SELECT event_id, event_type FROM events))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "batch exact dedup of re-delivered events (at-least-once ingest)"),
+
     // ---------------------------------------------------------- analytics
     "events_funnel" -> Q(
       (s, dir) => graft.ext.Analytics.funnel(events(s, dir)),

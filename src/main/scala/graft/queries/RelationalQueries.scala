@@ -48,6 +48,22 @@ object RelationalQueries {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "TPC-H Q1-shaped grouped aggregation over lineitem"),
 
+    // TPC-H Q6 shape: pure filter + global sum — pushdown does all the work.
+    "q6_revenue_change" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      "TPC-H Q6 shape: multi-predicate pushdown + global aggregate"),
+
     "agg_distinct" -> Q(
       (s, dir) => table(s, dir, "customer")
         .groupBy("c_mktsegment")
