@@ -64,6 +64,150 @@ object RelationalQueries {
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
       "TPC-H Q6 shape: multi-predicate pushdown + global aggregate"),
 
+    // TPC-H Q4 shape: EXISTS decorrelates to a left-semi join on the shuffle
+    // key; the orders date filter is pushed to the scan so the semi join's
+    // build side is one quarter of the fact, not the whole table.
+    "q4_order_priority" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = table(s, dir, "lineitem")
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "TPC-H Q4 shape: EXISTS → left-semi join, priority counts"),
+
+    // TPC-H Q13 shape: outer join so zero-order customers survive with
+    // count 0, then a second (tiny) aggregation over the per-customer counts.
+    // At scale: first agg shuffles on c_custkey; second agg's input is one
+    // row per customer and its output ≤ distinct counts — KB-sized.
+    "q13_cust_distribution" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      "TPC-H Q13 shape: outer-join count distribution histogram"),
+
+    // TPC-H Q14 shape: conditional aggregation over a broadcast dim join.
+    // part is a dimension → broadcast; lineitem's month filter is pushed down.
+    "q14_promo_revenue" -> Q(
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        val p = table(s, dir, "part")
+        val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))) /
+            sum(disc), 4).as("promo_revenue"))
+      },
+      Some("""SELECT round(100.0 *
+             |    sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin),
+      "TPC-H Q14 shape: conditional agg ratio over broadcast dim join"),
+
+    // TPC-H Q16 shape (lineitem stands in for partsupp, which this dataset
+    // lacks): distinct supplier count per part group. count(DISTINCT) over a
+    // join shuffles (group keys, suppkey) once, dedups, then counts — Spark
+    // plans exactly that expand/partial pipeline automatically.
+    "q16_supplier_cnt" -> Q(
+      (s, dir) => {
+        val p = table(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#23" && col("p_size") < 10)
+        val l = table(s, dir, "lineitem")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+      },
+      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#23' AND p_size < 10
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin),
+      "TPC-H Q16 shape: distinct-count per group with exclusion filters"),
+
+    // TPC-H Q18 shape: the IN subquery aggregates the fact first, so the
+    // semi-join build side is only the qualifying order keys — a tiny set at
+    // any scale (HAVING > 300 is highly selective), which AQE then broadcasts
+    // into both the orders semi join and downstream joins.
+    "q18_large_orders" -> Q(
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+        val big = l.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+          .select("l_orderkey")
+        val o = table(s, dir, "orders")
+          .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        val c = table(s, dir, "customer")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === l("l_orderkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+          .agg(sum("l_quantity").as("total_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      "TPC-H Q18 shape: HAVING-subquery semi-join + grouped top-k"),
+
+    // TPC-H Q22 shape (dormancy window stands in for the phone-prefix
+    // predicate): scalar subquery → 1-row broadcast cross join (never a
+    // collect), NOT EXISTS → left-anti join against the filtered orders.
+    "q22_dormant_customers" -> Q(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("avg_bal"))
+        val recent = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey")
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "TPC-H Q22 shape: scalar subquery + anti-join dormant customers"),
+
     "agg_distinct" -> Q(
       (s, dir) => table(s, dir, "customer")
         .groupBy("c_mktsegment")

@@ -49,4 +49,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(explained("join_semi").contains("LeftSemi"), explained("join_semi"))
     assert(explained("join_anti").contains("LeftAnti"), explained("join_anti"))
   }
+
+  test("q4: EXISTS plans as a left-semi join with the quarter filter pushed") {
+    val plan = explained("q4_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("q14: part dim is broadcast; month filter reaches the lineitem scan") {
+    val plan = explained("q14_promo_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q18: HAVING subquery plans as a semi join against the aggregated keys") {
+    val plan = explained("q18_large_orders")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q22: scalar subquery broadcasts (no collect); NOT EXISTS plans as anti join") {
+    val plan = explained("q22_dormant_customers")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }
