@@ -137,12 +137,17 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, verified with exact shingle-set Jaccard ≥
     * `threshold`. Verification intersects the exploded DISTINCT shingle
     * sets of just the surviving candidates — a (pair → shingle) equi-join,
-    * never array materialization. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    * never array materialization.
+    *
+    * `persistCand` is the oracle seam ([[graft.queries.OracleAux]]): the
+    * harness query persists the LSH candidate pairs so DuckDB can
+    * recompute this exact-Jaccard verify over the same pair set. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
     val sh = shingleRows(planted(docs)).localCheckpoint()
     val shd = sh.distinct()
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cand = minhashCandidates(sh)
+    val cand = persistCand(minhashCandidates(sh))
     // equi-join on (id, shingle): result rows ARE the intersection entries.
     // The shingle side is corpus-sized — pin it to shuffle joins.
     val interCounts = cand
@@ -182,7 +187,8 @@ object Dedup {
     * within Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4
     * chunks — pigeonhole), verified with `bit_count(xor) <= maxHamming`.
     * Same one-shuffle shape as MinHash LSH. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
     val hashed = simhashes(planted(docs))
     val chunked = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map { c =>
@@ -190,8 +196,12 @@ object Dedup {
       }: _*)).as(Seq("chunk", "cval")))
     val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // candidates (with both 64-bit hashes) are the oracle seam: DuckDB
+    // recomputes bit_count(xor(sh_a, sh_b)) over the persisted set
+    persistCand(
+      a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -228,6 +238,37 @@ object Dedup {
     * baseline only — at corpus scale the candidate generation must come
     * from [[Similarity.ivfTopK]] / [[Similarity.lshTopK]]'s bucketed
     * shapes, never this join. */
+  /** Bucketed embedding near-dup — the shape that survives 100 TB: each
+    * vector is assigned to its `nprobe` nearest of `nlist` seed centroids
+    * (multi-probe IVF blocking; broadcast centroids, narrow), candidate
+    * pairs are vectors sharing ≥1 cluster (ONE equi-join keyed on cluster
+    * id, bucket-bounded — never the all-pairs non-equi join of
+    * [[embeddingNearDup]]), then exact cosine verifies just the candidates.
+    * Recall vs the exact baseline is pinned in ExtSpec; `persistCand` is
+    * the oracle seam (DuckDB recomputes the cosine verify over the
+    * persisted pair set). */
+  def embeddingNearDupBucketed(embeddings: DataFrame, threshold: Double,
+      nlist: Int = 16, nprobe: Int = 2,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    val assigned = Similarity.assignClustersMulti(embeddings, nlist, nprobe)
+    val a = assigned.select(col("c_id"), col("vec_id").as("id_a"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("id_b"))
+    // bucket self-join: both sides are data-dependent in size → shuffle_hash
+    val cand = persistCand(
+      a.join(b.hint("shuffle_hash"), "c_id")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b"))
+    val ea = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(ea.hint("shuffle_hash"), "id_a")
+      .join(eb.hint("shuffle_hash"), "id_b")
+      .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed once per vector (not per pair); pair scoring is one
     // native VectorDot per pair inside codegen

@@ -53,6 +53,21 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("c_id"))
   }
 
+  /** Multi-probe cluster assignment: each vector lands in its `nprobe`
+    * nearest centroid buckets (boosts blocked-dedup recall for pairs near
+    * a cluster boundary). Same broadcast-centroid + per-vector window
+    * shape as [[assignClusters]]; returns (vec_id, c_id). */
+  def assignClustersMulti(embeddings: DataFrame, nlist: Int, nprobe: Int): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    embeddings.join(broadcast(centroids))
+      .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("c_id"))
+  }
+
   // ------------------------------------------------------------ k-means
   /** Assignment step under L2 (the metric whose mean-centroid update
     * guarantees a non-increasing objective). Centroids: (c_id, c_emb). */
@@ -91,8 +106,10 @@ object Similarity {
     * signatures (sign of dot with seeded pseudo-Gaussian planes, the plane
     * living as an array literal so [[VectorOps.dot]]'s codegen kernel
     * scores it). Candidates share a signature in ≥1 table — the same
-    * one-bucket-join shape as MinHash banding. */
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+    * one-bucket-join shape as MinHash banding. Returns the (q_id, vec_id)
+    * candidate pairs; [[lshTopK]] persists them (oracle seam) and scores
+    * with [[scoreTopK]]. */
+  def lshCandidates(embeddings: DataFrame, nQueries: Int = 8,
       nTables: Int = 4, nBits: Int = 8, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     def gaussian(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())
@@ -102,17 +119,30 @@ object Similarity {
         when(VectorOps.dot(typedLit(planes(t)(b)), emb) >= 0, lit(1 << b)).otherwise(lit(0))
       }.reduce(_ + _)
     def withSigs(df: DataFrame, idCol: String, embCol: String) =
-      df.select(col(idCol), col(embCol),
+      df.select(col(idCol),
         posexplode(array((0 until nTables).map(t => signature(col(embCol), t)): _*))
           .as(Seq("tbl", "sig")))
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qSigs = withSigs(queries, "q_id", "q_emb")
     val cSigs = withSigs(embeddings, "vec_id", "embedding")
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    qSigs.join(cSigs, Seq("tbl", "sig"))
+    qSigs.join(cSigs.hint("shuffle_hash"), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
+      .select("q_id", "vec_id")
+  }
+
+  /** Exact-cosine scoring + per-query top-k over a (q_id, vec_id)
+    * candidate table: two equi-joins back to the corpus (query side
+    * broadcast — queries ≪ corpus), one window. Shared by the LSH and IVF
+    * paths so the persisted candidate set is exactly what gets scored. */
+  def scoreTopK(cand: DataFrame, embeddings: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    cand.join(embeddings.hint("shuffle_hash"), "vec_id")
+      .join(broadcast(queries), "q_id")
       .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -120,11 +150,17 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** IVF ANN: probe the `nprobe` nearest centroid buckets per query, exact
-    * cosine inside the probed buckets only. Returns the same shape as
-    * [[bruteTopK]] (rows-only harness check; recall vs. brute is pinned in
-    * SimilaritySpec). */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nTables: Int = 4, nBits: Int = 8, seed: Long = 42L,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    scoreTopK(persistCand(lshCandidates(embeddings, nQueries, nTables, nBits, seed)),
+      embeddings, nQueries, k)
+
+  /** IVF ANN candidate pairs: probe the `nprobe` nearest centroid buckets
+    * per query; candidates are the vectors in probed buckets (equi-join on
+    * cluster id). [[ivfTopK]] persists them (oracle seam) and scores with
+    * [[scoreTopK]]; recall vs. brute is pinned in ExtSpec. */
+  def ivfCandidates(embeddings: DataFrame, nQueries: Int = 8,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val assigned = assignClusters(embeddings, nlist)
     val centroids = embeddings.filter(col("vec_id") < nlist)
@@ -137,15 +173,16 @@ object Similarity {
       .withColumn("qc_cos", VectorOps.cosine(col("q_emb"), col("c_emb")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
-      .select("q_id", "q_emb", "c_id")
+      .select("q_id", "c_id")
     // candidates = vectors in probed buckets (join keyed on cluster id)
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
     probed.join(assigned, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("q_id", "rk")
+      .select("q_id", "vec_id")
   }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    scoreTopK(persistCand(ivfCandidates(embeddings, nQueries, nlist, nprobe)),
+      embeddings, nQueries, k)
 }

@@ -14,6 +14,24 @@ import graft.queries.Registry.{events, table}
   * rows-only and are pinned by ScalaTest instead (ExtSpec). */
 object ExtQueries {
 
+  /** DuckDB twin of [[Similarity.scoreTopK]]: exact-cosine re-score +
+    * per-query top-5 over a persisted (q_id, vec_id) candidate table. */
+  private def annRescoreSql(candName: String): String =
+    s"""WITH cand AS (SELECT q_id, vec_id FROM read_parquet(${OracleAux.duckGlob(candName)})),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** DuckDB twin of [[Dedup.planted]]. */
   private val plantedSql =
     """SELECT doc_id, text FROM documents
@@ -227,25 +245,66 @@ object ExtQueries {
              |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin),
       "n-gram(1) Jaccard near-dup pairs via token-equi-join"),
 
+    // Candidate generation is seeded-hash math DuckDB can't reproduce, but
+    // the exact-Jaccard VERIFY is pure SQL: the query persists its LSH
+    // candidate pairs (OracleAux) and DuckDB recomputes the 3-shingle
+    // Jaccard over exactly that pair set.
     "dedup_minhash" -> Q(
-      (s, dir) => Dedup.minhashPairs(table(s, dir, "documents")),
-      None, // hash-permutation semantics not ANSI-expressible; pinned by ExtSpec
+      (s, dir) => Dedup.minhashPairs(table(s, dir, "documents"),
+        persistCand = OracleAux.persist(dir, "dedup_minhash_cand")),
+      Some(s"""WITH planted AS ($plantedSql),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_minhash_cand")})),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN shd a ON a.doc_id = c.id_a
+              |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT id_a, id_b, jaccard FROM (
+              |  SELECT i.id_a, i.id_b,
+              |    round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b)
+              |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       "MinHash(32) + LSH(8 bands × 4 rows) near-dup, exact-Jaccard verified"),
 
     "dedup_simhash" -> Q(
-      (s, dir) => Dedup.simhashPairs(table(s, dir, "documents")),
-      None, // bit-vote hashing not ANSI-expressible; pinned by ExtSpec
+      (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
+        persistCand = OracleAux.persist(dir, "dedup_simhash_cand")),
+      Some(s"""SELECT id_a, id_b, hamming FROM (
+              |  SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+              |  FROM read_parquet(${OracleAux.duckGlob("dedup_simhash_cand")}))
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
       "SimHash(64-bit) near-dup via chunk banding + Hamming verify"),
 
+    // Registered form is the at-scale shape: multi-probe IVF blocking
+    // (equi-join on cluster id) + exact-cosine verify. The all-pairs exact
+    // baseline (Dedup.embeddingNearDup) is spec-only (ExtSpec recall pin).
     "dedup_embedding" -> Q(
-      (s, dir) => Dedup.embeddingNearDup(table(s, dir, "embeddings"), 0.3),
-      Some("""SELECT id_a, id_b, cos FROM (
-             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
-             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-             |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin),
-      "embedding-cosine near-dup pairs"),
+      (s, dir) => Dedup.embeddingNearDupBucketed(table(s, dir, "embeddings"), 0.3,
+        persistCand = OracleAux.persist(dir, "dedup_embedding_cand")),
+      Some(s"""WITH cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_embedding_cand")}))
+              |SELECT id_a, id_b, cos FROM (
+              |  SELECT c.id_a, c.id_b,
+              |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM cand c
+              |  JOIN embeddings a ON a.vec_id = c.id_a
+              |  JOIN embeddings b ON b.vec_id = c.id_b)
+              |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-dup pairs (IVF-blocked candidates + exact verify)"),
 
     // --------------------------------------------------------- similarity
     "sim_topk_brute" -> Q(
@@ -264,14 +323,19 @@ object ExtQueries {
              |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
       "exact cosine top-k (broadcast queries, per-query window)"),
 
+    // Centroid probing / seeded hyperplanes aren't ANSI-expressible, but the
+    // exact-cosine scoring + top-k IS: both queries persist their (q_id,
+    // vec_id) candidates and DuckDB re-scores + re-ranks the same set.
     "sim_topk_ivf" -> Q(
-      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings")),
-      None, // centroid probing not ANSI-expressible compactly; recall pinned by ExtSpec
+      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
+        persistCand = OracleAux.persist(dir, "sim_topk_ivf_cand")),
+      Some(annRescoreSql("sim_topk_ivf_cand")),
       "IVF-bucketed approximate top-k (nlist=16, nprobe=4)"),
 
     "sim_topk_lsh" -> Q(
-      (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings")),
-      None, // seeded random hyperplanes not ANSI-expressible; pinned by ExtSpec
+      (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings"),
+        persistCand = OracleAux.persist(dir, "sim_topk_lsh_cand")),
+      Some(annRescoreSql("sim_topk_lsh_cand")),
       "signed-random-projection LSH approximate top-k (4 tables × 8 bits)"),
 
     // Typed Aggregator (custom agg kernel): per-label embedding centroid.

@@ -73,6 +73,20 @@ class ExtSpec extends SparkSpec {
     info(f"LSH recall@5 vs brute: $recall%.2f (4 tables × 8 bits, random data)")
   }
 
+  test("embedding near-dup: bucketed candidates+verify vs exact all-pairs baseline") {
+    val brute = Dedup.embeddingNearDup(embs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupBucketed(embs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bucketedSet = bucketed.map(p => (p._1, p._2)).toSet
+    // precision is exact by construction (every emitted pair is cosine-verified)
+    assert(bucketedSet.subsetOf(brute), "bucketed emitted a pair below threshold")
+    assert(bucketed.forall(_._3 >= 0.3))
+    val recall = bucketedSet.size.toDouble / brute.size
+    info(f"bucketed recall vs exact: $recall%.2f (nlist=16, nprobe=2, random data)")
+    assert(recall >= 0.2, f"blocked-dedup recall collapsed: $recall%.2f")
+  }
+
   test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
     import org.apache.spark.sql.functions.avg
     def sse(centroids: org.apache.spark.sql.DataFrame): Double =
