@@ -35,13 +35,22 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      runOnce(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = runOnce(name, sfDir)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a crashed query must be visible, not just a suspiciously fast time
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file so a truncated stdout tail can never
+    // ship a round with parsed:null bench artifacts
+    val outFile = args.headOption.getOrElse("/tmp/graft_bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
   }
 }

@@ -12,24 +12,34 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   /** Ordered funnel view → click → purchase: a step counts only when it
-    * happens strictly AFTER the previous step's first occurrence. One
-    * conditional-aggregation pass per step (3 shuffles on user_id), then a
-    * single-row summary. */
+    * happens strictly AFTER the previous step's first occurrence.
+    *
+    * ONE shuffle on user_id: a single time-ordered window pass carries a
+    * running first-view min; a click qualifies when that running min is
+    * strictly below its timestamp (⇔ `us > first_view` — the strict
+    * compare makes tie order irrelevant), and a second stacked running
+    * min over qualified clicks gates purchases the same way. The stacked
+    * window + per-user aggregate all reuse the same hash partitioning, so
+    * the plan has exactly one user_id Exchange (was 3 groupBy→join
+    * rounds), then the single-row summary. */
   def funnel(events: DataFrame): DataFrame = {
     val base = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val v = base.groupBy("user_id")
-      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
-    val c = base.join(v, "user_id")
-      .groupBy("user_id", "v_us")
-      .agg(min(when(col("event_type") === "click" && col("us") > col("v_us"), col("us"))).as("c_us"))
-    val p = base.join(c, "user_id")
-      .groupBy("user_id", "v_us", "c_us")
-      .agg(min(when(col("event_type") === "purchase" && col("us") > col("c_us"), col("us"))).as("p_us"))
-    p.agg(
-      count(lit(1)).as("n_users"),
-      count(col("v_us")).as("n_view"),
-      count(col("c_us")).as("n_view_click"),
-      count(col("p_us")).as("n_full_funnel"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = base
+      .withColumn("rv", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("rv") < col("us"), col("us")))
+      .withColumn("rc", min(col("qc")).over(w))
+    flagged.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("v_us"),
+        min(col("qc")).as("c_us"),
+        min(when(col("event_type") === "purchase" && col("rc") < col("us"), col("us"))).as("p_us"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_view_click"),
+        count(col("p_us")).as("n_full_funnel"))
   }
 
   /** Cohort retention: users grouped by first-seen day; for each cohort ×

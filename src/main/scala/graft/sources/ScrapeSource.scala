@@ -27,10 +27,14 @@ class ScrapeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ScrapeSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by contract; .option("numrows", n)
+    // must not silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new ScrapeTable(
-      properties.getOrDefault("numRows", "2000").toLong,
-      properties.getOrDefault("numPartitions", "4").toInt)
+      opts.getLong("numRows", 2000L),
+      opts.getInt("numPartitions", 4))
+  }
 }
 
 object ScrapeSource {

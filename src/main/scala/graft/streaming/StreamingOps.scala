@@ -126,8 +126,14 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // flush once the watermark passes the session's gap horizon
-              state.setTimeoutTimestamp(s.last_us / 1000 + gapMinutes * 60000L)
+              // flush once the watermark passes the session's gap horizon;
+              // clamped above the current watermark — a group whose latest
+              // event is already older than (watermark - gap) would
+              // otherwise throw "timeout earlier than watermark" in a
+              // multi-batch run
+              val horizon = s.last_us / 1000 + gapMinutes * 60000L
+              val wmFloor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(horizon, wmFloor))
             }
             closed.reverseIterator
           }

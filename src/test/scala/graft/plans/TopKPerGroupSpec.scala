@@ -83,6 +83,23 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally TopKRewriteRule.disable(spark)
   }
 
+  test("group count above the heap bound falls back to the spill sort path, same result") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+    // o_orderkey is ~unique → group count ≫ rows-per-group: with the heap
+    // map bounded at 8 groups per partition, every partition must overflow
+    // into the external-sort path
+    def topk = TopKPerGroup(orders, 2, Seq("o_orderkey"), Seq(("o_totalprice", false)))
+      .select("o_orderkey", "rn", "o_totalprice")
+      .orderBy("o_orderkey", "rn")
+    val heapResult = topk.collect().toSeq
+    spark.conf.set("spark.graft.topk.maxGroupsInMemory", "8")
+    try {
+      val sortResult = topk.collect().toSeq
+      assert(sortResult == heapResult)
+      assert(sortResult.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsInMemory")
+  }
+
   test("k larger than group size emits whole groups, ranks dense from 1") {
     val orders = table(spark, sf("sf0.001"), "orders")
     val df = TopKPerGroup(orders, 1000000, Seq("o_custkey"), Seq(("o_orderkey", true)))

@@ -56,6 +56,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("q3: segment filter pushed to the customer scan; top-k plans as TakeOrdered") {
+    val plan = explained("q3_top_orders")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q5: four dims broadcast; order-date range pushed to the orders scan") {
+    val plan = explained("q5_nation_revenue")
+    // >= 4: the four explicitly-broadcast dims; the tiny sf0.001 orders
+    // side may auto-broadcast as a fifth, which at scale it would not
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+  }
+
+  test("funnel: stacked windows + per-user agg reuse ONE user_id exchange") {
+    val plan = explained("events_funnel")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q14: part dim is broadcast; month filter reaches the lineitem scan") {
     val plan = explained("q14_promo_revenue")
     assert(plan.contains("BroadcastHashJoin"), plan)
