@@ -60,15 +60,41 @@ final case class ParquetSink(path: String) extends Sink {
 
 /** K3 — JDBC sink (`/root/reference/utils/load.py:162-243`).
   * `SaveMode.Overwrite` = drop/recreate ≈ `if_exists='replace'`
-  * (`load.py:221-228`). Untestable offline (no JDBC server in the harness);
-  * the guard logic is what the specs exercise. */
+  * (`load.py:221-228`), with the reference's two preflights: a connection
+  * test before any write (`load.py:209-211`) and `CREATE SCHEMA IF NOT
+  * EXISTS` for a non-default schema (`load.py:213-217`; engines without
+  * the IF NOT EXISTS form, e.g. embedded Derby, fall back to
+  * create-and-ignore-already-exists). Round-tripped against embedded
+  * Derby in LoadSpec. */
 final case class JdbcSink(url: String, table: String,
-    properties: java.util.Properties = new java.util.Properties) extends Sink {
+    properties: java.util.Properties = new java.util.Properties,
+    schema: Option[String] = None) extends Sink {
   val name = "postgres"
+
+  private def qualified = schema.map(s => s"$s.$table").getOrElse(table)
+
   def write(df: DataFrame): String = {
     requireNonEmpty(df)
-    df.write.mode(SaveMode.Overwrite).jdbc(url, table, properties)
-    s"$url/$table"
+    // connection test before proceeding (load.py:209-211); failure surfaces
+    // as this sink's error without touching the other sinks
+    val conn =
+      try java.sql.DriverManager.getConnection(url, properties)
+      catch { case e: Exception =>
+        throw LoadError(s"Database connection failed: ${e.getMessage}", e)
+      }
+    try schema.foreach { s =>
+      val stmt = conn.createStatement()
+      try {
+        if (url.startsWith("jdbc:postgresql"))
+          stmt.executeUpdate(s"CREATE SCHEMA IF NOT EXISTS $s")
+        else
+          try stmt.executeUpdate(s"CREATE SCHEMA $s")
+          catch { case e: java.sql.SQLException
+            if e.getSQLState == "X0Y68" => () } // Derby: schema exists
+      } finally stmt.close()
+    } finally conn.close()
+    df.write.mode(SaveMode.Overwrite).jdbc(url, qualified, properties)
+    s"$url/$qualified"
   }
 }
 

@@ -32,7 +32,8 @@ object Pipeline {
   def planSinks(
       csvPath: Option[String] = None,
       jdbcUrl: Option[String] = None, jdbcTable: Option[String] = None,
-      sheetsCredentials: Option[String] = None): SinkPlan = {
+      sheetsCredentials: Option[String] = None,
+      sheetsClient: Option[Sheets.SheetsClient] = None): SinkPlan = {
     var sinks = Vector.empty[Sink]
     var skipped = Map.empty[String, String]
     csvPath.foreach(p => sinks :+= CsvSink(p, singleFile = true))
@@ -42,11 +43,16 @@ object Pipeline {
         skipped += "postgres" -> "incomplete connection parameters, skipping" // load.py:312-314
       case _ => ()
     }
-    // K2 (Sheets) has no offline implementation (SURVEY §2.8) — a missing
-    // credential records the reference's skip notice (load.py:298-300).
-    sheetsCredentials match {
-      case Some(_) => skipped += "sheets" -> "sheets sink not available offline, skipping"
-      case None => ()
+    // K2 (Sheets): MISSING credentials record the reference's skip notice
+    // (load.py:298-300); with credentials the sink is planned against the
+    // supplied transport, or skipped with a distinct notice when no
+    // transport exists (offline harness).
+    (sheetsCredentials, sheetsClient) match {
+      case (Some(path), Some(client)) => sinks :+= SheetsSink(client, path)
+      case (Some(_), None) =>
+        skipped += "sheets" -> "sheets transport not available offline, skipping"
+      case (None, _) =>
+        skipped += "sheets" -> "credentials path not provided, skipping"
     }
     SinkPlan(sinks, skipped)
   }

@@ -53,4 +53,31 @@ class PipelineSpec extends SparkSpec {
     assert(s.contains("postgres_skipped") && s.contains("sheets_skipped"))
     assert(s("csv") == out)
   }
+
+  test("sheets skip semantics match load.py:296-300: missing creds skips, present creds plans the sink") {
+    // no credentials → the reference's 'credentials not provided' notice
+    val none = Pipeline.planSinks(csvPath = Some("/tmp/unused3"))
+    assert(none.skipped("sheets").contains("credentials path not provided"))
+    // credentials + transport → a real sheets sink is planned
+    val sheet = new Sheets.Spreadsheet {
+      val id = "pipe-sheet"
+      val ws = new Sheets.Worksheet {
+        def clear(): Unit = ()
+        def update(v: Seq[Seq[String]]): Unit = ()
+      }
+      def worksheet(name: String) = Some(ws)
+      def addWorksheet(name: String, rows: Int, cols: Int) = ws
+      def share(role: String, permType: String): Unit = ()
+    }
+    val client = new Sheets.SheetsClient {
+      def openByKey(id: String) = Some(sheet)
+      def create(title: String) = sheet
+    }
+    val creds = Files.createTempFile("pipe_creds", ".json").toString
+    val plan = Pipeline.planSinks(csvPath = None,
+      sheetsCredentials = Some(creds), sheetsClient = Some(client))
+    assert(plan.sinks.map(_.name) == Seq("sheets") && plan.skipped.isEmpty)
+    val outcome = Pipeline.run(rawFixture, plan)
+    assert(Pipeline.summary(outcome, plan)("sheets") == "pipe-sheet")
+  }
 }
