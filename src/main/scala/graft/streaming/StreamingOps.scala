@@ -77,6 +77,28 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Built-in `session_window` twin of [[sessionizeStream]]: the same gap
+    * sessionization as a declarative aggregation — Spark's native session
+    * state store instead of hand-rolled `flatMapGroupsWithState` state.
+    * Same output shape as [[SessionOut]] (duration from min/max event
+    * time, not the gap-padded window bounds).
+    *
+    * Boundary note: `session_window` merges on overlap, so an event at
+    * EXACTLY `last + gap` starts a new session, where the stateful twin's
+    * `<= gap` check continues it. The harness events carry microsecond
+    * timestamps (an exact boundary hit is measure-zero and absent at every
+    * SF); a corpus where the distinction matters should pick one form and
+    * keep it. */
+  def sessionWindowStream(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max("ts")) - unix_micros(min("ts"))) / 1e6).as("duration_s"),
+        round(sum("value"), 2).as("total_value"))
+      .select("user_id", "n_events", "duration_s", "total_value")
+
   // ------------------------------------------------ stateful sessionize
   final case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, total: Double)

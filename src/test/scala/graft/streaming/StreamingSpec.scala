@@ -99,6 +99,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window == batch sessionize (modulo final-watermark sessions)") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.sessionWindowStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_window_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("session_window_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val batch = Sessionize.sessionize(events(spark, dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      // append mode: sessions are only emitted once the watermark passes
+      // them; the sessions still open at the final watermark may be held
+      // back, same tolerance as the stateful twin below
+      val nUsers = batch.map(_._1).distinct.size
+      assert(got.size >= batch.size - nUsers && got.size <= batch.size,
+        s"expected between ${batch.size - nUsers} and ${batch.size} sessions, got ${got.size}")
+      val batchSet = batch.toSet
+      assert(got.forall(batchSet.contains),
+        "session_window produced a session absent from the batch result")
+    } finally q.stop()
+  }
+
+  test("stateful and native sessionizers agree on every closed session") {
+    val stream1 = StreamingOps.readEvents(spark, eventsDir)
+    val stream2 = StreamingOps.readEvents(spark, eventsDir)
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Double)] = {
+      val q = df.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(300000), s"$name did not finish in 5 min")
+        spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      } finally q.stop()
+    }
+    val stateful = run("sess_fmgws", StreamingOps.sessionizeStream(stream1))
+    val native = run("sess_native", StreamingOps.sessionWindowStream(stream2))
+    // both are subsets of the same batch truth; where both emitted a
+    // session for the same (user, start), the rows must be identical —
+    // equality of the intersection keys catches any semantic drift
+    val statefulKeys = stateful.map(t => (t._1, t._2))
+    val shared = native.filter(t => statefulKeys.contains((t._1, t._2)))
+    assert(shared.subsetOf(stateful),
+      "native and stateful sessionizers disagree on a shared session")
+    assert(shared.nonEmpty, "no overlap between the two sessionizers' output")
+  }
+
   test("streaming sessionize closes every session except each user's last") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.sessionizeStream(stream)
