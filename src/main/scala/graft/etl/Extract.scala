@@ -151,4 +151,15 @@ object Extract {
     import spark.implicits._
     pages.flatMap(html => selectCards(html).flatMap(parseProductCard(_, timestamp))).toDF()
   }
+
+  /** S1+S2+S3+S5 end-to-end: URL generation → distributed fetch (failed
+    * pages skipped, `extract.py:104-107`) → card parse. The whole crawl is
+    * two narrow stages; the transport is the [[Fetch.HttpTransport]] seam
+    * (live: `Fetch.JdkTransport`; specs: a fake). */
+  def extractFromWeb(spark: SparkSession, transport: () => Fetch.HttpTransport,
+      timestamp: String, cfg: Fetch.Config = Fetch.Config()): DataFrame = {
+    import spark.implicits._
+    val urls = pageUrls(spark).select("url").as[String]
+    extract(Fetch.fetchPages(urls, transport, cfg).map(_._2), timestamp)
+  }
 }

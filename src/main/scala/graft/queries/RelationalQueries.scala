@@ -397,6 +397,11 @@ object RelationalQueries {
         val daily = table(s, dir, "orders")
           .groupBy(col("o_orderdate").cast("date").as("d"))
           .agg(round(sum("o_totalprice"), 2).as("rev"))
+        // UNPARTITIONED window = all rows to ONE partition. Safe here only
+        // because the input is a daily pre-aggregate (cardinality bounded
+        // by the calendar, ~2.4k rows at any SF); NEVER copy this shape
+        // onto an unbounded key — partition the window or bucket the time
+        // axis instead.
         val w = Window.orderBy("d")
         daily
           .withColumn("running_rev",
