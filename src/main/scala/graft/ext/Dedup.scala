@@ -248,9 +248,16 @@ object Dedup {
     * the oracle seam (DuckDB recomputes the cosine verify over the
     * persisted pair set). */
   def embeddingNearDupBucketed(embeddings: DataFrame, threshold: Double,
-      nlist: Int = 16, nprobe: Int = 2,
+      nlist: Int = 0, nprobe: Int = 2,
       persistCand: DataFrame => DataFrame = identity): DataFrame = {
-    val assigned = Similarity.assignClustersMulti(embeddings, nlist, nprobe)
+    // classic IVF sizing: buckets ∝ √n keeps both bucket count and bucket
+    // size at √n, so the per-bucket quadratic term stays O(n) total pairs.
+    // A fixed nlist is a scale trap (8× probe: 16 buckets over an 8× corpus
+    // went quadratic). The count() is one cheap scan of one column.
+    val buckets =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(embeddings.count().toDouble).ceil.toInt)
+    val assigned = Similarity.assignClustersMulti(embeddings, buckets, nprobe)
     val a = assigned.select(col("c_id"), col("vec_id").as("id_a"))
     val b = assigned.select(col("c_id"), col("vec_id").as("id_b"))
     // bucket self-join: both sides are data-dependent in size → shuffle_hash

@@ -27,12 +27,19 @@ object Registry {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` normalized from nanos-as-long to a microsecond
-    * timestamp — the same truncation DuckDB applies when it reads
-    * nanosecond parquet into its µs TIMESTAMP, so oracle comparisons agree. */
+  /** `events` with `ts` normalized to a microsecond timestamp. The harness
+    * file is TIMESTAMP(NANOS) and surfaces as a nanos long (see [[table]]) —
+    * truncated here exactly like DuckDB's ns→µs read, so oracle comparisons
+    * agree. Re-materialized event tables (µs timestamp, e.g. the PERF.md
+    * scale probe or any non-harness deployment) pass through with a cast,
+    * so every event operator works on both encodings. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

@@ -82,6 +82,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
   }
 
+  test("q10: returnflag filter pushed to the lineitem scan; top-20 plans as TakeOrdered") {
+    val plan = explained("q10_returned_items")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q21: EXISTS/NOT EXISTS chain plans as one semi + one anti join") {
+    val plan = explained("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q15: scalar-max join broadcasts; no nested-loop over the revenue view") {
+    val plan = explained("q15_top_supplier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q18: HAVING subquery plans as a semi join against the aggregated keys") {
     val plan = explained("q18_large_orders")
     assert(plan.contains("LeftSemi"), plan)
