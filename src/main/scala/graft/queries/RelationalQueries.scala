@@ -562,6 +562,32 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "salted two-phase aggregation (skew mitigation, semantically invisible)"),
 
+    // Salted JOIN — the companion skew fix for joins: the big (fact) side
+    // gets a deterministic salt, the small side is replicated across every
+    // salt bucket, and the join key becomes (key, salt) — a hot supplier's
+    // rows now land on 8 reducers instead of 1. AQE's skew-join split does
+    // this adaptively; the explicit form is for engines/paths where it
+    // can't (as-of joins, pinned shuffle_hash). The oracle is the PLAIN
+    // join: salting must be semantically invisible.
+    "join_salted" -> Q(
+      (s, dir) => {
+        val salts = 8
+        val li = table(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(salts)).cast("int"))
+        val sup = table(s, dir, "supplier")
+          .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+        li.join(sup.hint("shuffle_hash"),
+            col("l_suppkey") === col("s_suppkey") && li("salt") === sup("salt"))
+          .groupBy("s_name")
+          .agg(round(sum("l_extendedprice"), 2).as("volume"), count(lit(1)).as("n_items"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, round(sum(l_extendedprice), 2) AS volume,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      "salted join (replicated small side, skew-proof key spread, semantically invisible)"),
+
     // Column profiling — the data-quality sweep every ingest pipeline runs:
     // one pass per column (unioned), each a single partial-agg shuffle.
     "profile_customer" -> Q(
