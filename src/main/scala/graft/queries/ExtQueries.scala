@@ -473,6 +473,35 @@ object ExtQueries {
       "date-spine gap filling with forward fill (sequence + window last)"),
 
     // --------------------------------------------------------- multimodal
+    // The batched decode (mapPartitions, one codec init per task) runs the
+    // deterministic stub; its checksum is persisted (OracleAux) and every
+    // DERIVED column — media_type, n_bytes, width, height — is recomputed
+    // independently by DuckDB from documents + the persisted checksum, so
+    // the whole decode →features plumbing is hash-gated, stub and all.
+    "multimodal_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.mediaTable(table(s, dir, "documents"))
+          .as[Multimodal.MediaRow]
+        val feats = Multimodal.extractFeatures(media).toDF()
+        OracleAux.persist(dir, "multimodal_features")(feats)
+          .select("doc_id", "media_type", "n_bytes", "width", "height", "checksum")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH feats AS (
+              |  SELECT doc_id, checksum
+              |  FROM read_parquet(${OracleAux.duckGlob("multimodal_features")}))
+              |SELECT d.doc_id,
+              |  CASE (d.doc_id % 3 + 1) WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav'
+              |       ELSE 'video/mp4' END AS media_type,
+              |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+              |  CAST(64 + abs(f.checksum % 1024) AS INTEGER) AS width,
+              |  CAST(64 + abs((f.checksum >> 10) % 1024) AS INTEGER) AS height,
+              |  f.checksum
+              |FROM documents d JOIN feats f ON f.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      "batched media decode → feature columns (stub checksum persisted, derivations verified)"),
+
     "multimodal_meta" -> Q(
       (s, dir) => Multimodal.metadata(table(s, dir, "documents")),
       Some("""SELECT doc_id,
