@@ -102,6 +102,44 @@ object Extract {
   private def hasClassToken(tokens: Set[String])(cls: String): Boolean =
     cls.split("\\s+").exists(tokens.contains)
 
+  // ------------------------------------------- combined card tokenizer
+  /** One element of a card fragment: tag, its start-tag source, and the
+    * inner-HTML offsets (open-tag order in `seq`). */
+  private[etl] final case class El(tag: String, src: String,
+      innerStart: Int, innerEnd: Int, seq: Int)
+
+  private val cardTagPattern = "(?is)<(/?)(h3|span|p)\\b[^>]*>".r
+
+  /** All h3/span/p elements of a card in ONE scan (the per-tag
+    * `findElements` calls each re-scanned the card; the card parse needs
+    * three tags, so the combined alternation is a 3× scan reduction on
+    * the hot path). Per-tag nesting stacks are independent, so balancing
+    * matches `findElements` exactly; unclosed elements keep the
+    * rest-of-fragment semantics. */
+  private[etl] def tokenizeCard(html: String): IndexedSeq[El] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[El]
+    var seq = 0
+    val stacks = scala.collection.mutable.Map.empty[String, List[(Int, Int, String)]]
+    cardTagPattern.findAllMatchIn(html).foreach { m =>
+      val tag = m.group(2).toLowerCase
+      if (m.group(1).isEmpty) {
+        stacks(tag) = (m.end, seq, m.matched) :: stacks.getOrElse(tag, Nil)
+        seq += 1
+      } else stacks.getOrElse(tag, Nil) match {
+        case (innerStart, s, src) :: rest =>
+          out += El(tag, src, innerStart, m.start, s)
+          stacks(tag) = rest
+        case Nil => () // stray close: ignore
+      }
+    }
+    stacks.foreach { case (tag, open) =>
+      open.foreach { case (innerStart, s, src) =>
+        out += El(tag, src, innerStart, html.length, s)
+      }
+    }
+    out.sortInPlaceBy(_.seq).toIndexedSeq
+  }
+
   // ---------------------------------------------------------------- S3
   /** Card selection (`/root/reference/utils/extract.py:110-118`): primary
     * selectors `div.collection-card, div.product-card, div.item-card`; if
@@ -128,20 +166,23 @@ object Extract {
     */
   def parseProductCard(cardHtml: String, timestamp: String): Option[RawProduct] = {
     if (cardHtml == null || cardHtml.trim.isEmpty) return None
-    findElements(cardHtml, "h3", _.split("\\s+").contains("product-title"))
-      .headOption.map(e => innerText(e._2)).map { title =>
-        val price = findElements(cardHtml, "span", _.split("\\s+").contains("price"))
-          .headOption.map(e => innerText(e._2)).getOrElse("N/A")
-        var rating = "N/A"; var colors = "N/A"; var size = "N/A"; var gender = "N/A"
-        findElements(cardHtml, "p", _ => true).foreach { case (_, inner) =>
-          val text = innerText(inner)
-          if (text.contains("Rating:")) rating = text.replace("Rating:", "").trim
-          else if (text.contains("Colors")) colors = text
-          else if (text.contains("Size:")) size = text.replace("Size:", "").trim
-          else if (text.contains("Gender:")) gender = text.replace("Gender:", "").trim
-        }
-        RawProduct(title, price, rating, colors, size, gender, timestamp)
+    val els = tokenizeCard(cardHtml)
+    def classHas(e: El, token: String) =
+      classAttr(e.src).split("\\s+").contains(token)
+    def text(e: El) = innerText(cardHtml.substring(e.innerStart, e.innerEnd))
+    els.find(e => e.tag == "h3" && classHas(e, "product-title")).map(text).map { title =>
+      val price = els.find(e => e.tag == "span" && classHas(e, "price"))
+        .map(text).getOrElse("N/A")
+      var rating = "N/A"; var colors = "N/A"; var size = "N/A"; var gender = "N/A"
+      els.iterator.filter(_.tag == "p").foreach { e =>
+        val t = text(e)
+        if (t.contains("Rating:")) rating = t.replace("Rating:", "").trim
+        else if (t.contains("Colors")) colors = t
+        else if (t.contains("Size:")) size = t.replace("Size:", "").trim
+        else if (t.contains("Gender:")) gender = t.replace("Gender:", "").trim
       }
+      RawProduct(title, price, rating, colors, size, gender, timestamp)
+    }
   }
 
   /** S3+S5 distributed: pages of HTML → raw-products DataFrame. The
