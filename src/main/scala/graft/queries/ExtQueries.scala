@@ -472,6 +472,60 @@ object ExtQueries {
              |FROM joined ORDER BY h, event_type""".stripMargin),
       "date-spine gap filling with forward fill (sequence + window last)"),
 
+    // Token-budget sequence sharding — the pre-training packing step:
+    // documents stream into ~budget-token shards. The running token count
+    // is per-language (pack streams are independent per language), so the
+    // window is PARTITIONED — this is the scalable form of a global
+    // cumsum; at 100 TB the language key would be (lang, range-bucket).
+    "pack_sequences" -> Q(
+      (s, dir) => {
+        val budget = 8192
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        table(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("bin",
+            (coalesce(sum("toks").over(w), lit(0L)) / budget).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             |  FROM documents),
+             |binned AS (
+             |  SELECT lang, toks,
+             |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 8192) AS BIGINT) AS bin
+             |  FROM toks)
+             |SELECT lang, bin, count(*) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS total_tokens
+             |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin),
+      "token-budget sequence sharding (per-language partitioned cumsum bins)"),
+
+    // Deterministic corpus split — train/val/test by a stable key function
+    // (never rand(): reruns and engines must agree). Narrow map + one agg.
+    "corpus_split" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 100 < 90, "train")
+            .when(col("doc_id") % 100 < 95, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("lang", "split"),
+      Some("""SELECT lang,
+             |  CASE WHEN doc_id % 100 < 90 THEN 'train'
+             |       WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
+      "deterministic train/val/test corpus split with per-split token counts"),
+
     // --------------------------------------------------------- multimodal
     // The batched decode (mapPartitions, one codec init per task) runs the
     // deterministic stub; its checksum is persisted (OracleAux) and every
