@@ -67,6 +67,30 @@ object StreamingOps {
       .select("p_id", "f_id")
   }
 
+  /** Left-OUTER stream-stream interval join: every purchase emits, with
+    * null follow-up columns when no same-user event lands in the window.
+    * The outer semantics are the subtle part: an unmatched left row can
+    * only emit once the watermark proves no match can still arrive, so
+    * null-padded rows trail the matched ones by the lateness horizon —
+    * state on both sides stays bounded by interval + watermark exactly as
+    * in the inner form. */
+  def followUpsStreamOuter(events: DataFrame, windowMinutes: Int = 5): DataFrame = {
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val e = events
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("f_user"), col("event_id").as("f_id"), col("ts").as("f_ts"))
+      .withWatermark("f_ts", "10 minutes")
+    p.join(e,
+      col("p_user") === col("f_user") &&
+        col("f_ts") > col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select("p_id", "f_id")
+  }
+
   /** Streaming exact dedup on event_id: watermarked state keeps one entry
     * per key inside the lateness horizon — the streaming twin of the batch
     * exact-dedup operator, and the standard ingest-dedup for at-least-once

@@ -54,6 +54,22 @@ class PipelineSpec extends SparkSpec {
     assert(s("csv") == out)
   }
 
+  test("run metrics ride the sink write via observe() — no second scan (K5 at scale)") {
+    import org.apache.spark.sql.functions._
+    // the reference re-counts the frame for its summary (main.py:35/43);
+    // at 100 TB the summary must piggyback on the write job itself
+    val obs = org.apache.spark.sql.Observation("run_metrics")
+    val out = Files.createTempDirectory("graft_obs").resolve("pq").toString
+    Transform.transform(rawFixture)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("rating").isNull, 1L).otherwise(0L)).as("n_null_rating"))
+      .write.mode("overwrite").parquet(out)
+    assert(obs.get("n_rows") == 1L)
+    assert(obs.get("n_null_rating") == 0L)
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
   test("sheets skip semantics match load.py:296-300: missing creds skips, present creds plans the sink") {
     // no credentials → the reference's 'credentials not provided' notice
     val none = Pipeline.planSinks(csvPath = Some("/tmp/unused3"))

@@ -99,6 +99,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches == batch, null-padding only for unmatched") {
+    val stream = StreamingOps.readEvents(spark, eventsDir)
+    val q = StreamingOps.followUpsStreamOuter(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("followups_outer_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("followups_outer_out")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      // batch truth over the same (non-purchase follow-up) pair universe
+      import org.apache.spark.sql.functions._
+      val ev = events(spark, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      val e = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("f_id"), unix_micros(col("ts")).as("f_us"))
+      val wantMatched = p.join(e, Seq("user_id"))
+        .filter(col("f_us") > col("p_us") && col("f_us") <= col("p_us") + lit(300000000L))
+        .select("p_id", "f_id")
+        .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+      val matchedGot = got.filter(_._2.isDefined).toSet
+      assert(matchedGot == wantMatched,
+        s"matched pairs drifted: stream ${matchedGot.size} vs batch ${wantMatched.size}")
+      // every null-padded emission must be for a purchase with NO batch match
+      val matchedPids = wantMatched.map(_._1)
+      val padded = got.filter(_._2.isEmpty).map(_._1)
+      assert(padded.forall(pid => !matchedPids.contains(pid)),
+        "null-padded row emitted for a purchase that has a match")
+      // and no purchase may appear both padded and matched in the stream output
+      assert(padded.toSet.intersect(matchedGot.map(_._1)).isEmpty)
+    } finally q.stop()
+  }
+
   test("native session_window == batch sessionize (modulo final-watermark sessions)") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.sessionWindowStream(stream)
