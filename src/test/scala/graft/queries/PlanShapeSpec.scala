@@ -106,6 +106,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("hot paths stay inside whole-stage codegen (no interpreted fallback)") {
+    Seq("q1_pricing_summary", "etl_pipeline", "sql_vector_dot").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      df.collect() // materialize so AQE reports the FINAL plan with codegen ids
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // under AQE the formatted final plan tags each fused operator with
+      // its whole-stage codegen stage id; scans/aggregates/projects of the
+      // hot path must carry one
+      assert(plan.contains("[codegen id :"), s"$name lost codegen:\n$plan")
+    }
+  }
+
   test("q22: scalar subquery broadcasts (no collect); NOT EXISTS plans as anti join") {
     val plan = explained("q22_dormant_customers")
     assert(plan.contains("LeftAnti"), plan)
