@@ -36,7 +36,8 @@ object Bench {
     // min over trials: single-run numbers at sf0.1 swing ±30% from page
     // cache / JIT / GC noise; the minimum is the standard noise-robust
     // estimator of the query's actual cost
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val trials = math.max(1,
+      sys.env.get("SPARK_GRAFT_TRIALS").flatMap(_.toIntOption).getOrElse(2))
     val results = names.map { name =>
       val runs = (1 to trials).map { _ =>
         val t0 = System.nanoTime()

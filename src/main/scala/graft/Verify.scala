@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-candidate guard: the oracle SQL reads this sf's OracleAux dir,
+    // so clear it first — a leftover set from an older code version must
+    // never be what DuckDB verifies against
+    graft.queries.OracleAux.clear(sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

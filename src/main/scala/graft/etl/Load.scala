@@ -89,8 +89,17 @@ final case class JdbcSink(url: String, table: String,
           stmt.executeUpdate(s"CREATE SCHEMA IF NOT EXISTS $s")
         else
           try stmt.executeUpdate(s"CREATE SCHEMA $s")
-          catch { case e: java.sql.SQLException
-            if e.getSQLState == "X0Y68" => () } // Derby: schema exists
+          catch { case e: java.sql.SQLException =>
+            // engines without the IF NOT EXISTS form raise engine-specific
+            // already-exists states (Derby X0Y68, others vary) — treat the
+            // failure as benign iff the schema is now visible, else rethrow
+            val rs = conn.getMetaData.getSchemas
+            var found = false
+            try while (!found && rs.next())
+              found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(s)
+            finally rs.close()
+            if (!found) throw e
+          }
       } finally stmt.close()
     } finally conn.close()
     df.write.mode(SaveMode.Overwrite).jdbc(url, qualified, properties)

@@ -23,7 +23,7 @@ object TpchExtraQueries {
   private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
 
-  // Wide per-group sums (Q9/Q10 accumulate thousands of terms per group)
+  // Wide per-group sums (every money aggregate in this file)
   // drift by a final cent between engines when the double additions happen
   // in different orders. Casting each term to DECIMAL(18,4) first makes
   // the sum exact and order-independent; the per-row double product is
@@ -52,13 +52,14 @@ object TpchExtraQueries {
           .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
           .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-          .agg(round(sum(revenue), 2).as("revenue"))
+          .agg(round(sum(revenueDec), 2).cast("double").as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
-      Some(s"""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      Some(s"""SELECT supp_nation, cust_nation, l_year,
+              |  CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
               |FROM (
               |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-              |    CAST(year(l_shipdate) AS INTEGER) AS l_year, $revenueSql AS volume
+              |    CAST(year(l_shipdate) AS INTEGER) AS l_year, $revenueDecSql AS volume
               |  FROM lineitem
               |  JOIN orders ON l_orderkey = o_orderkey
               |  JOIN supplier ON l_suppkey = s_suppkey
@@ -90,13 +91,16 @@ object TpchExtraQueries {
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(round(
-            sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(0.0)) / sum(revenue),
+            sum(when(col("supp_nation") === "NATION_3", revenueDec)
+              .otherwise(lit(0.0).cast("decimal(18,4)"))).cast("double")
+              / sum(revenueDec).cast("double"),
             4).as("mkt_share"))
           .orderBy("o_year")
       },
       Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-              |  round(sum(CASE WHEN n1.n_name = 'NATION_3' THEN $revenueSql ELSE 0.0 END)
-              |        / sum($revenueSql), 4) AS mkt_share
+              |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN $revenueDecSql
+              |                  ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              |        / CAST(sum($revenueDecSql) AS DOUBLE), 4) AS mkt_share
               |FROM lineitem
               |JOIN part ON l_partkey = p_partkey
               |JOIN orders ON l_orderkey = o_orderkey
@@ -198,7 +202,7 @@ object TpchExtraQueries {
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey"))
-          .agg(round(sum(revenue), 2).as("total_revenue"))
+          .agg(round(sum(revenueDec), 2).cast("double").as("total_revenue"))
         val top = rev.agg(max("total_revenue").as("max_revenue"))
         rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
           .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -206,7 +210,7 @@ object TpchExtraQueries {
           .orderBy("s_suppkey")
       },
       Some(s"""WITH rev AS (
-              |  SELECT l_suppkey, round(sum($revenueSql), 2) AS total_revenue
+              |  SELECT l_suppkey, CAST(round(sum($revenueDecSql), 2) AS DOUBLE) AS total_revenue
               |  FROM lineitem
               |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
               |  GROUP BY 1)
@@ -229,9 +233,10 @@ object TpchExtraQueries {
           .agg((avg("l_quantity") * 0.2).as("qty_cap"))
         li.join(caps, col("l_partkey") === col("cap_pk"))
           .filter(col("l_quantity") < col("qty_cap"))
-          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2)
+            .as("avg_yearly"))
       },
-      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
              |FROM lineitem
              |JOIN part ON p_partkey = l_partkey
              |WHERE p_brand = 'Brand#13' AND p_size < 15
@@ -252,9 +257,9 @@ object TpchExtraQueries {
           .join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .filter(band("Brand#1", 10, 1, 15) || band("Brand#9", 20, 5, 25) ||
             band("Brand#20", 30, 10, 35))
-          .agg(round(sum(revenue), 2).as("revenue"))
+          .agg(round(sum(revenueDec), 2).cast("double").as("revenue"))
       },
-      Some(s"""SELECT round(sum($revenueSql), 2) AS revenue
+      Some(s"""SELECT CAST(round(sum($revenueDecSql), 2) AS DOUBLE) AS revenue
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
               |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 5 AND 25)

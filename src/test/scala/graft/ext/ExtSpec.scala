@@ -83,8 +83,33 @@ class ExtSpec extends SparkSpec {
     assert(bucketedSet.subsetOf(brute), "bucketed emitted a pair below threshold")
     assert(bucketed.forall(_._3 >= 0.3))
     val recall = bucketedSet.size.toDouble / brute.size
-    info(f"bucketed recall vs exact: $recall%.2f (nlist=16, nprobe=2, random data)")
-    assert(recall >= 0.2, f"blocked-dedup recall collapsed: $recall%.2f")
+    info(f"bucketed recall vs exact: $recall%.2f (sqrt-n buckets, nprobe=2, random data)")
+    assert(recall >= 0.3, f"blocked-dedup recall collapsed: $recall%.2f (0.40 at pin time)")
+    // deterministic monotonicity: probing more buckets assigns a superset
+    // of clusters per vector, so the verified pair set can only grow — a
+    // centroid-assignment regression that shrinks candidates breaks this
+    val wider = Dedup.embeddingNearDupBucketed(embs, 0.3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketedSet.subsetOf(wider),
+      "nprobe=4 lost pairs that nprobe=2 found — multi-probe assignment broken")
+    assert(wider.subsetOf(brute))
+    info(f"recall at nprobe=4: ${wider.size.toDouble / brute.size}%.2f")
+  }
+
+  test("embedding near-dup: every planted exact duplicate is caught (the dedup target)") {
+    // random-pair recall (above) is the pessimistic bound; the operator's
+    // real prey is near-identical vectors, which share centroid distances
+    // and therefore buckets BY CONSTRUCTION — recall on them must be 1.0
+    val dups = embs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val planted = embs.unionByName(dups)
+    val pairs = Dedup.embeddingNearDupBucketed(planted, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = embs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted duplicates: ${expected -- pairs}")
   }
 
   test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
