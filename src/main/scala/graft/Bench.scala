@@ -44,16 +44,22 @@ object Bench {
         val ok = runOnce(name, sfDir)
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      (name, runs.map(_._1), runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // per-trial times alongside the min: a cross-round swing on one query
+    // is only diagnosable if the trial-to-trial variance is visible (a
+    // noisy min and a shifted distribution look identical otherwise)
+    val ts = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     // a crashed query must be visible, not just a suspiciously fast time
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file so a truncated stdout tail can never
     // ship a round with parsed:null bench artifacts

@@ -257,6 +257,13 @@ object Dedup {
     val buckets =
       if (nlist > 0) nlist
       else math.max(16, math.sqrt(embeddings.count().toDouble).ceil.toInt)
+    // The assignment feeds BOTH sides of the bucket self-join; its subtree
+    // is textually duplicated per branch, but the heavy prefix (scan +
+    // broadcast-centroid cross up to the per-vector window's exchange) is
+    // deduplicated at runtime by Spark's ReuseExchange — plan-guarded in
+    // PlanShapeSpec. A long-lived deployment would materialize the
+    // assignment table to cluster-partitioned parquet once (see
+    // [[Similarity]] scaladoc) rather than recompute it per run.
     val assigned = Similarity.assignClustersMulti(embeddings, buckets, nprobe)
     val a = assigned.select(col("c_id"), col("vec_id").as("id_a"))
     val b = assigned.select(col("c_id"), col("vec_id").as("id_b"))

@@ -70,8 +70,12 @@ object AdvancedQueries {
       "pivot (explicit values, no driver round-trip) vs FILTER aggregates"),
 
     // Exact percentiles (linear interpolation — same definition as DuckDB's
-    // quantile_cont). At scale the approx_percentile sketch replaces this;
-    // exact is the oracle-able form.
+    // quantile_cont). SCALE WARNING: exact `percentile` is a
+    // TypedImperativeAggregate whose buffer holds every value of the group —
+    // with 3 o_orderstatus groups that is the whole fact column in three
+    // in-memory buffers, an OOM at 100× data. This form exists as the
+    // small-SF oracle variant only; the at-scale form is
+    // `agg_percentiles_approx` below (bounded sketch buffer).
     "agg_percentiles" -> Q(
       (s, dir) => table(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -88,6 +92,45 @@ object AdvancedQueries {
              |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       "exact percentiles with linear interpolation"),
+
+    // The at-scale percentile form: `approx_percentile` (Greenwald-Khanna
+    // sketch) keeps a buffer bounded by the accuracy parameter — O(accuracy)
+    // per group regardless of group cardinality, vs the exact form's
+    // O(group) buffer above. Sketches aren't bit-reproducible across
+    // engines, so the oracle gates the ERROR BOUND instead: Spark persists
+    // its approx values (OracleAux), DuckDB computes the exact quantiles
+    // and echoes each approx value back only when it is within 2% relative
+    // error — the hash matches iff every value is in bound. ApproxSpec pins
+    // the same bound against the exact form in-engine.
+    "agg_percentiles_approx" -> Q(
+      (s, dir) => {
+        val approx = table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            round(expr("approx_percentile(o_totalprice, 0.25, 10000)"), 4).as("p25"),
+            round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50"),
+            round(expr("approx_percentile(o_totalprice, 0.75, 10000)"), 4).as("p75"),
+            round(expr("approx_percentile(o_totalprice, 0.95, 10000)"), 4).as("p95"))
+        OracleAux.persist(dir, "agg_pct_approx")(approx)
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH approx AS (
+              |  SELECT * FROM read_parquet(${OracleAux.duckGlob("agg_pct_approx")})),
+              |exact AS (
+              |  SELECT o_orderstatus,
+              |    quantile_cont(o_totalprice, 0.25) AS e25,
+              |    quantile_cont(o_totalprice, 0.5) AS e50,
+              |    quantile_cont(o_totalprice, 0.75) AS e75,
+              |    quantile_cont(o_totalprice, 0.95) AS e95
+              |  FROM orders GROUP BY o_orderstatus)
+              |SELECT a.o_orderstatus,
+              |  CASE WHEN abs(a.p25 - e.e25) <= 0.02 * e.e25 THEN a.p25 END AS p25,
+              |  CASE WHEN abs(a.p50 - e.e50) <= 0.02 * e.e50 THEN a.p50 END AS p50,
+              |  CASE WHEN abs(a.p75 - e.e75) <= 0.02 * e.e75 THEN a.p75 END AS p75,
+              |  CASE WHEN abs(a.p95 - e.e95) <= 0.02 * e.e95 THEN a.p95 END AS p95
+              |FROM approx a JOIN exact e USING (o_orderstatus)
+              |ORDER BY o_orderstatus""".stripMargin),
+      "approx_percentile sketch (bounded buffer, the 100 TB form) with oracle-gated error bound"),
 
     "setops_all" -> Q(
       (s, dir) => {

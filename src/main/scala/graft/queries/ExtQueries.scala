@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Sessionize, Similarity, TextStats, Upsert}
 import graft.queries.Registry.{events, table}
 
 /** LLM-training-data-pipeline operators (BASELINE.json north star) as
@@ -31,6 +31,15 @@ object ExtQueries {
        |  FROM scored)
        |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** IVF nlist (√n sizing) per sf-dir, computed once per process: the
+    * registered `dedup_embedding` must not pay a corpus `count()` job on
+    * every invocation. At cluster scale this is table-statistics metadata;
+    * here one cached count per directory. */
+  private val nlistCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[queries] def ivfNlist(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    nlistCache.getOrElseUpdate(dir,
+      math.max(16, math.sqrt(table(s, dir, "embeddings").count().toDouble).ceil.toInt))
 
   /** DuckDB twin of [[Dedup.planted]]. */
   private val plantedSql =
@@ -294,6 +303,7 @@ object ExtQueries {
     // baseline (Dedup.embeddingNearDup) is spec-only (ExtSpec recall pin).
     "dedup_embedding" -> Q(
       (s, dir) => Dedup.embeddingNearDupBucketed(table(s, dir, "embeddings"), 0.3,
+        nlist = ivfNlist(s, dir),
         persistCand = OracleAux.persist(dir, "dedup_embedding_cand")),
       Some(s"""WITH cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_embedding_cand")}))
               |SELECT id_a, id_b, cos FROM (
@@ -363,6 +373,82 @@ object ExtQueries {
              |  GROUP BY label, idx)
              |GROUP BY label ORDER BY label""".stripMargin),
       "custom typed Aggregator: element-wise vector mean (k-means centroid step)"),
+
+    // Registered k-means loop: 2 Lloyd iterations from the deterministic
+    // seed centroids (assign-L2 → per-cluster VectorMean), each iteration
+    // one broadcast + one groupBy shuffle. Iteration-1 centroids are
+    // rounded to 6 dp IN BOTH ENGINES so the iteration-2 assignment runs
+    // on bit-identical inputs (unrounded means differ in the last ulp
+    // across summation orders, which could flip a near-tie assignment).
+    // Output formatted %.6f like agg_vector_mean so the compare is
+    // string-exact.
+    "kmeans_refine" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        def round6(c: org.apache.spark.sql.DataFrame) =
+          c.select(col("c_id"), transform(col("c_emb"), x => round(x, 6)).as("c_emb"))
+        val c1 = round6(Similarity.kmeansIter(e, Similarity.seedCentroids(e, 8)))
+        val c2 = Similarity.kmeansIter(e, c1)
+        c2.select(col("c_id"),
+            concat_ws(",", transform(col("c_emb"),
+              x => format_string("%.6f", x))).as("centroid_str"))
+          .orderBy("c_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+             |a1 AS (SELECT vec_id, emb, c_id,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY list_distance(emb, c_emb), c_id) AS rk
+             |       FROM e CROSS JOIN c0),
+             |m1 AS (SELECT c_id, idx, round(avg(v), 6) AS cv
+             |       FROM (SELECT c_id, unnest(emb) AS v,
+             |                    generate_subscripts(emb, 1) AS idx
+             |             FROM a1 WHERE rk = 1)
+             |       GROUP BY c_id, idx),
+             |c1 AS (SELECT c_id, list(cv ORDER BY idx) AS c_emb FROM m1 GROUP BY c_id),
+             |a2 AS (SELECT vec_id, emb, c_id,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY list_distance(emb, c_emb), c_id) AS rk
+             |       FROM e CROSS JOIN c1),
+             |m2 AS (SELECT c_id, idx, avg(v) AS cv
+             |       FROM (SELECT c_id, unnest(emb) AS v,
+             |                    generate_subscripts(emb, 1) AS idx
+             |             FROM a2 WHERE rk = 1)
+             |       GROUP BY c_id, idx)
+             |SELECT c_id, string_agg(printf('%.6f', cv), ',' ORDER BY idx) AS centroid_str
+             |FROM m2 GROUP BY c_id ORDER BY c_id""".stripMargin),
+      "2-iteration k-means refinement (assign-L2 + typed VectorMean centroid update)"),
+
+    // CDC upsert: the latest orders row per customer (LWW on
+    // (o_orderdate, o_orderkey) DESC) updates that customer's balance;
+    // untouched customers keep their base row. Rank-1 compaction + one
+    // keyed full-outer merge — see Upsert scaladoc for the 100 TB shape.
+    "merge_upsert" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val upd = table(s, dir, "orders").select(
+          col("o_custkey").as("c_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderkey"))
+        Upsert.merge(base, upd, Seq("c_custkey"),
+            Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+          .select(col("c_custkey"),
+            round(coalesce(col("o_totalprice"), col("c_acctbal")), 2).as("balance"),
+            when(col("o_orderkey").isNotNull, lit("update"))
+              .otherwise(lit("base")).as("src"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH latest AS (
+             |  SELECT c_custkey, o_totalprice, o_orderkey FROM (
+             |    SELECT o_custkey AS c_custkey, o_totalprice, o_orderkey,
+             |      row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT c_custkey,
+             |  round(coalesce(l.o_totalprice, c.c_acctbal), 2) AS balance,
+             |  CASE WHEN l.o_orderkey IS NOT NULL THEN 'update' ELSE 'base' END AS src
+             |FROM customer c FULL JOIN latest l USING (c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "CDC last-write-wins upsert: rank-1 log compaction + keyed outer merge"),
 
     // ------------------------------------------------------------- events
     "events_sessionize" -> Q(

@@ -28,11 +28,14 @@ object StreamingOps {
     * files (the streaming contract: new files = new data; the directory
     * must hold ONLY event files). ts is normalized to a microsecond
     * timestamp exactly like the batch reader. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
+    val reader = spark.readStream.schema(eventsRawSchema)
+    // one file per micro-batch: lets tests drive REAL multi-batch runs
+    // (watermark advances between batches) instead of one catch-all batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -122,6 +125,46 @@ object StreamingOps {
         ((unix_micros(max("ts")) - unix_micros(min("ts"))) / 1e6).as("duration_s"),
         round(sum("value"), 2).as("total_value"))
       .select("user_id", "n_events", "duration_s", "total_value")
+
+  /** Streaming CDC apply — the streaming twin of
+    * [[graft.ext.Upsert.merge]]: each micro-batch is LWW-compacted
+    * ([[graft.ext.Upsert.latestPerKey]] on `(ts, event_id)` DESC) and
+    * merged into the parquet table at `targetDir`, so the target always
+    * holds exactly one row per user: that user's latest event so far.
+    *
+    * foreachBatch is the standard streaming-merge sink: per batch ONE
+    * key-shuffle over (existing ∪ compacted-batch). At production scale
+    * the merge target is an ACID table format (MERGE INTO) so the rewrite
+    * touches only matched files; plain-parquet overwrite is the offline
+    * stand-in with identical merge semantics (see Upsert scaladoc). */
+  def upsertStream(updates: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val keyed = updates.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("event_id"), col("value"))
+    keyed.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatch(batch, targetDir)
+      }
+  }
+
+  /** One micro-batch of the streaming upsert: compact the batch, union
+    * with the current target, keep the latest row per key, atomically
+    * replace the target. Driver-side only in the sense of orchestration —
+    * the data path is distributed (window + shuffle). */
+  def applyUpsertBatch(batch: DataFrame, targetDir: String): Unit = {
+    val ord = Seq(col("ts_us").desc, col("event_id").desc)
+    val compacted = graft.ext.Upsert.latestPerKey(batch, Seq("user_id"), ord)
+    val merged =
+      if (new java.io.File(targetDir).exists()) {
+        val current = batch.sparkSession.read.parquet(targetDir)
+        graft.ext.Upsert.latestPerKey(current.unionByName(compacted),
+          Seq("user_id"), ord)
+      } else compacted
+    // the merge reads the path it is about to overwrite — materialize first
+    merged.localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(targetDir)
+  }
 
   // ------------------------------------------------ stateful sessionize
   final case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)

@@ -67,6 +67,13 @@ class LoadSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- K3: JDBC
+  // Dialect coverage note: Derby is the ONLY JDBC engine on the offline
+  // classpath (/opt/spark/jars has derby*.jar; no H2/HSQLDB/SQLite), so
+  // Derby is the single live dialect these tests can exercise. The sink
+  // itself goes through Spark's dialect-agnostic `df.write.jdbc`; the
+  // residual risk on another engine (e.g. Postgres, the reference's
+  // target) is limited to JDBC type-mapping drift in that engine's
+  // JdbcDialect, not sink logic.
   test("JDBC sink: embedded Derby round-trip, schema preflight, overwrite=replace (load.py:205-243)") {
     val url = "jdbc:derby:memory:graftload;create=true"
     val sink = JdbcSink(url, "products", schema = Some("etl"))

@@ -27,4 +27,23 @@ class ApproxSpec extends SparkSpec {
     val (exact, approx) = (r.getDouble(0), r.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
   }
+
+  test("agg_percentiles_approx: every per-group sketch value within 2% of exact") {
+    // same bound the DuckDB oracle gates for the registered query — pinned
+    // here in-engine so a sketch-accuracy regression fails fast in CI, not
+    // only at driver-verify time
+    val o = table(spark, sf("sf0.01"), "orders")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val aggs = ps.flatMap { p =>
+      Seq(expr(s"percentile(o_totalprice, $p)").as(s"e$p"),
+        expr(s"approx_percentile(o_totalprice, $p, 10000)").as(s"a$p"))
+    }
+    o.groupBy("o_orderstatus").agg(aggs.head, aggs.tail: _*).collect().foreach { r =>
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val (exact, approx) = (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))
+        assert(math.abs(approx - exact) <= 0.02 * exact,
+          s"group=${r.getString(0)} p=$p approx=$approx exact=$exact")
+      }
+    }
+  }
 }

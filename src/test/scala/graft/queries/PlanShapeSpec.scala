@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.SparkSpec
 import graft.SparkEntry
+import graft.ext.{Dedup, Similarity}
+import graft.queries.Registry.table
 
 /** Plan-shape regression guards: the properties that make these queries
   * scale must survive refactors — pushed filters, broadcast dim joins,
@@ -123,5 +125,93 @@ class PlanShapeSpec extends SparkSpec {
     val plan = explained("q22_dormant_customers")
     assert(plan.contains("LeftAnti"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  // ---------------------------------------------------------------------
+  // Scale-pin guards: the shuffle_hash hints on the dedup/ANN bucket joins
+  // exist because both join sides are data-dependent in size — a dropped
+  // hint silently reverts to auto-broadcast (OOM on duplicate-heavy
+  // corpora) or sort-merge (pointless sort of hash buckets). These guards
+  // fail the build if a refactor loses a pin.
+
+  private def explainDf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  test("minhash LSH bucket self-join keeps its shuffle_hash pin") {
+    val sh = Dedup.shingleRows(Dedup.planted(table(spark, sf("sf0.001"), "documents")))
+    val plan = explainDf(Dedup.minhashCandidates(sh))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("minhash verify joins (cand→shingles) keep their shuffle_hash pins") {
+    val plan = explainDf(Dedup.minhashPairs(table(spark, sf("sf0.001"), "documents")))
+    // bucket self-join + two (id, shingle) verify joins — all three pinned
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("dedup_embedding: bucket + verify joins shuffle_hash; no all-pairs non-equi self-join") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val df = Dedup.embeddingNearDupBucketed(emb, 0.3, nlist = 16)
+    val plan = explainDf(df)
+    // cluster-bucket self-join + the two exact-cosine verify joins
+    assert("ShuffledHashJoin".r.findAllIn(plan).size == 3, plan)
+    // the only nested-loop is the broadcast-centroid IVF assignment cross
+    // (once per self-join branch in the text) — an embeddings×embeddings
+    // non-equi join (the exact all-pairs baseline) would add a third
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and at runtime the duplicated assignment prefix is NOT computed
+    // twice: the per-vector window exchange is deduplicated by
+    // ReuseExchange — the property that keeps the recomputed-subtree cost
+    // a narrow post-shuffle remainder
+    df.collect()
+    val finalPlan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"assignment subtree must be shared via exchange reuse:\n$finalPlan")
+  }
+
+  test("ANN LSH: signature-bucket join and corpus re-score join keep shuffle_hash pins") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val plan = explainDf(Similarity.lshTopK(emb))
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), s"query side must broadcast:\n$plan")
+  }
+
+  test("ANN IVF: corpus re-score join keeps its shuffle_hash pin") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val plan = explainDf(Similarity.ivfTopK(emb))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("registered dedup_embedding pays no corpus-count job once nlist is cached") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val sc = spark.sparkContext
+    def jobsIn(group: String): Seq[Int] = {
+      // status store updates async off the listener bus — poll briefly
+      val deadline = System.nanoTime() + 5000000000L
+      var ids = sc.statusTracker.getJobIdsForGroup(group).toSeq
+      while (ids.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); ids = sc.statusTracker.getJobIdsForGroup(group).toSeq
+      }
+      ids
+    }
+    try {
+      // control: default √n sizing runs a count() job at plan-construction
+      // time — proves the detection mechanism sees construction jobs
+      sc.setJobGroup("nlist-default", "control")
+      Dedup.embeddingNearDupBucketed(emb, 0.3)
+      assert(jobsIn("nlist-default").nonEmpty,
+        "control failed: default sizing should run a count() job")
+      // the registered call site passes the cached nlist → no job
+      val n = ExtQueries.ivfNlist(spark, sf("sf0.001"))
+      sc.setJobGroup("nlist-cached", "guard")
+      Dedup.embeddingNearDupBucketed(emb, 0.3, nlist = n)
+      Thread.sleep(1000)
+      assert(sc.statusTracker.getJobIdsForGroup("nlist-cached").isEmpty,
+        "plan construction with an explicit nlist must not run Spark jobs")
+    } finally sc.clearJobGroup()
   }
 }

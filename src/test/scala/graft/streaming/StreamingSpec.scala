@@ -185,6 +185,171 @@ class StreamingSpec extends SparkSpec {
     assert(shared.nonEmpty, "no overlap between the two sessionizers' output")
   }
 
+  // ------------------------------------------------- multi-batch drives
+  // Everything above runs AvailableNow over ONE file = one data batch.
+  // The tests below stage two time-split files with maxFilesPerTrigger=1,
+  // so the watermark genuinely advances between batches — the only way to
+  // exercise outer-join null-padding, cross-batch session state, and the
+  // incremental upsert merge.
+
+  /** Stage the sf0.001 events split at `splitNs` (raw nanos) into two
+    * files whose mtimes force (early, late) arrival order. */
+  private def stageSplit(splitNs: Long, tag: String): String = {
+    import org.apache.spark.sql.functions.col
+    val raw = graft.queries.Registry.table(spark, dir, "events")
+    val d = java.nio.file.Files.createTempDirectory(s"graft_events_$tag")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(raw.filter(col("ts") < splitNs), "a.parquet", t0 - 60000)
+    writeOne(raw.filter(col("ts") >= splitNs), "b.parquet", t0)
+    d.toString
+  }
+
+  test("outer interval join multi-batch: null-padding only after the watermark advances") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.queries.Registry.table(spark, dir, "events")
+    val splitNs = raw.agg(expr("percentile(ts, 0.7)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitNs, "outer_mb")
+    val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
+    StreamingSpec.recorded.keys.filter(_._1 == "outer_mb").foreach(StreamingSpec.recorded.remove)
+    val q = StreamingOps.followUpsStreamOuter(stream)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = b.collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+        StreamingSpec.recorded.put(("outer_mb", id), rows); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    val rec = StreamingSpec.recorded.toMap.collect { case (("outer_mb", id), rows) => id -> rows }
+    assert(rec.size >= 2, s"expected a multi-batch run, got batches ${rec.keySet}")
+    // batch 0 ran with watermark 0: nothing can be proven unmatched yet
+    assert(rec(0L).forall(_._2.isDefined),
+      "batch 0 emitted a null-padded row before any watermark advance")
+    val padded = rec.collect { case (id, rows) if id > 0 => rows }.flatten
+      .filter(_._2.isEmpty).map(_._1).toSet
+    assert(padded.nonEmpty, "advancing watermark must flush null-padded rows")
+    // cross-check the full emission against batch truth
+    val ev = events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+    val e = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("f_id"), unix_micros(col("ts")).as("f_us"))
+    val wantMatched = p.join(e, Seq("user_id"))
+      .filter(col("f_us") > col("p_us") && col("f_us") <= col("p_us") + lit(300000000L))
+      .select("p_id", "f_id")
+      .collect().map(r => (r.getLong(0), Some(r.getLong(1)))).toSet
+    val gotAll = rec.values.flatten.toSet
+    assert(gotAll.filter(_._2.isDefined) == wantMatched, "matched pairs drifted")
+    // exactly the unmatched purchases whose no-match horizon the FINAL
+    // watermark (max event time - 10 min lateness) has passed
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val finalWmUs = maxUs - 600000000L
+    val matchedPids = wantMatched.map(_._1)
+    val expectPadded = p.collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .filter { case (pid, pUs) =>
+        !matchedPids.contains(pid) && pUs + 300000000L < finalWmUs }
+      .map(_._1).toSet
+    assert(padded == expectPadded,
+      s"padded set ${padded.size} != expected ${expectPadded.size}")
+  }
+
+  test("sessionize continues a session across the batch boundary (state survives)") {
+    import org.apache.spark.sql.functions._
+    // find a CLOSED (not user-last) session with events at >1 distinct µs,
+    // then split INSIDE it — a continuation is guaranteed by construction
+    val gapUs = 30L * 60 * 1000000
+    val evRows = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    final case class S(uid: Long, events: Vector[(Long, Double)], isLast: Boolean)
+    val sessions = evRows.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val parts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        .foldLeft(Vector.empty[Vector[(Long, Double)]]) { (acc, e) =>
+          acc.lastOption match {
+            case Some(s) if e._1 - s.last._1 <= gapUs => acc.init :+ (s :+ e)
+            case _ => acc :+ Vector(e)
+          }
+        }
+      parts.zipWithIndex.map { case (s, i) => S(uid, s, i == parts.size - 1) }
+    }
+    val target = sessions
+      .filter(s => !s.isLast && s.events.map(_._1).distinct.size >= 2)
+      .maxBy(_.events.size)
+    // split at the first event strictly later than the session start
+    val splitUs = target.events.map(_._1).find(_ > target.events.head._1).get
+    val d = stageSplit(splitUs * 1000, "sess_mb")
+    val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
+    val q = StreamingOps.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_mb_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val nBatches =
+      try {
+        assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+        q.recentProgress.map(_.batchId).distinct.length
+      } finally q.stop()
+    assert(nBatches >= 2, s"expected a multi-batch run, got $nBatches batch(es)")
+    val got = spark.table("sessions_mb_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // every emission must be a TRUE full session — a sessionizer that
+    // closed state at the batch boundary would emit truncated fragments
+    val batchSet = Sessionize.sessionize(events(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got.forall(batchSet.contains),
+      "emitted a session absent from batch truth (boundary truncation?)")
+    // and the deliberately-split session must surface MERGED
+    val wantTuple = (target.uid, target.events.size.toLong,
+      (target.events.last._1 - target.events.head._1) / 1000000.0,
+      BigDecimal(target.events.map(_._2).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.contains(wantTuple),
+      s"split session $wantTuple not in stream output — state did not continue across batches")
+  }
+
+  test("streaming upsert: incremental LWW merge across batches == batch merge") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.queries.Registry.table(spark, dir, "events")
+    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitNs, "upsert_mb")
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("target").toString
+    val q = StreamingOps.upsertStream(
+        StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1)), target)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val nBatches =
+      try {
+        assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+        q.recentProgress.map(_.batchId).distinct.length
+      } finally q.stop()
+    assert(nBatches >= 2, s"expected a multi-batch run, got $nBatches batch(es)")
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("ts_us")),
+      r.getLong(r.fieldIndex("event_id")), r.getDouble(r.fieldIndex("value")))
+    val got = spark.read.parquet(target).collect().map(key).toSet
+    val ev = events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+    val want = graft.ext.Upsert.latestPerKey(ev, Seq("user_id"),
+        Seq(col("ts_us").desc, col("event_id").desc))
+      .collect().map(key).toSet
+    assert(got == want, s"target ${got.size} rows != batch LWW ${want.size}")
+    assert(got.size == got.map(_._1).size, "target must hold one row per user")
+  }
+
   test("streaming sessionize closes every session except each user's last") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.sessionizeStream(stream)
@@ -208,4 +373,12 @@ class StreamingSpec extends SparkSpec {
       assert(got.forall(batchSet.contains), "streaming session not present in batch result")
     } finally q.stop()
   }
+}
+
+/** Companion holds the foreachBatch recording map so sink closures capture
+  * only this object, never the spec instance (the ScalaTest Engine is not
+  * serializable). */
+object StreamingSpec {
+  val recorded =
+    new scala.collection.concurrent.TrieMap[(String, Long), Seq[(Long, Option[Long])]]()
 }
