@@ -208,6 +208,30 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------------- contamination
+  /** Benchmark-contamination check — the eval-set hygiene step of a
+    * training-data pipeline: for every corpus document, how many DISTINCT
+    * word `k`-grams it shares with ANY benchmark document, flagged when
+    * the overlap reaches `minOverlap`.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to a 100 TB
+    * corpus (eval sets are fixed-size), so it is explicitly `broadcast` —
+    * the corpus side streams through one map-side hash join at scan
+    * speed, then one doc-keyed aggregation. Both frames need
+    * (doc_id, text). */
+  def benchmarkContamination(corpus: DataFrame, bench: DataFrame, k: Int = 7,
+      minOverlap: Int = 5): DataFrame = {
+    val benchSh = shingleRows(bench, k).select("s").distinct()
+    val overlap = shingleRows(corpus, k)
+      .join(broadcast(benchSh), "s")
+      .groupBy("doc_id").agg(countDistinct("s").as("n_overlap"))
+    corpus.select("doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   // ------------------------------------------- token-set Jaccard (oracle)
   /** Distinct-token Jaccard over a restricted id slice, deliberately
     * expressed as an explode + token-equi-join so the DuckDB oracle can

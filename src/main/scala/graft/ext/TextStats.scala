@@ -47,6 +47,33 @@ object TextStats {
     round(lit(0.4) * lenScore + lit(0.4) * stopRate + lit(0.2) * (lit(1.0) - punctRate), 6)
   }
 
+  // ---------------------------------------------------------- repetition
+  /** Gopher-style repetition scores per document: the fraction of
+    * duplicated whitespace tokens and duplicated word 3-grams
+    * (`1 - distinct/total`, 0 for documents too short to form a 3-gram).
+    * High values mark boilerplate/spam — the standard pre-training
+    * quality gate alongside [[qualityScore]].
+    *
+    * Shape: explode + two doc-keyed count-distinct aggregations — the
+    * shuffles are keyed on doc_id like every other per-document text agg,
+    * so at 100 TB this co-partitions with the rest of the curation
+    * pipeline. `docs` needs (doc_id, text). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+    val tstats = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct("t").as("n_tok_d"))
+    val sstats = Dedup.shingleRows(docs, 3).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_3g"), countDistinct("s").as("n_3g_d"))
+    docs.select("doc_id")
+      .join(tstats, Seq("doc_id"), "left")
+      .join(sstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) - col("n_tok_d").cast("double") / col("n_tok"),
+          lit(0.0)), 6).as("dup_token_frac"),
+        round(coalesce(lit(1.0) - col("n_3g_d").cast("double") / col("n_3g"),
+          lit(0.0)), 6).as("dup_3gram_frac"))
+  }
+
   // -------------------------------------------------------------- langid
   /** Distinctive-stopword vocabularies for the n-gram-free language-ID
     * heuristic. Word-boundary regex hit counts per language; argmax wins,

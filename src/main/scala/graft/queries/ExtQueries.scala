@@ -41,6 +41,18 @@ object ExtQueries {
     nlistCache.getOrElseUpdate(dir,
       math.max(16, math.sqrt(table(s, dir, "embeddings").count().toDouble).ceil.toInt))
 
+  /** DuckDB twin of [[Dedup.shingleRows]]: (doc_id, s) word k-grams of a
+    * relation (table name or parenthesized subquery) with (doc_id, text). */
+  private def ngramSql(src: String, k: Int): String = {
+    val terms = "t" +: (1 until k).map(i => s"lead(t, $i) OVER w")
+    s"""SELECT doc_id, ${terms.mkString(" || ' ' || ")} AS s
+       |FROM (SELECT doc_id,
+       |        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+       |        generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |      FROM $src)
+       |WINDOW w AS (PARTITION BY doc_id ORDER BY pos)""".stripMargin
+  }
+
   /** DuckDB twin of [[Dedup.planted]]. */
   private val plantedSql =
     """SELECT doc_id, text FROM documents
@@ -611,6 +623,86 @@ object ExtQueries {
              |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
              |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
       "deterministic train/val/test corpus split with per-split token counts"),
+
+    // Gopher-style repetition gate: duplicated-token and duplicated-3-gram
+    // fractions per document (boilerplate/spam signal). Doc-keyed
+    // count-distinct aggs — co-partitions with the rest of the curation
+    // pipeline's doc_id shuffles.
+    "text_repetition" -> Q(
+      (s, dir) => TextStats.repetitionStats(table(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t,
+             |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+             |  FROM documents),
+             |tstats AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT t) AS n_tok_d
+             |           FROM tok GROUP BY doc_id),
+             |sh AS (SELECT doc_id,
+             |         t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+             |       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sstats AS (SELECT doc_id, count(*) AS n_3g, count(DISTINCT s) AS n_3g_d
+             |           FROM sh WHERE s IS NOT NULL GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  round(coalesce(1.0 - CAST(t.n_tok_d AS DOUBLE) / t.n_tok, 0), 6) AS dup_token_frac,
+             |  round(coalesce(1.0 - CAST(st.n_3g_d AS DOUBLE) / st.n_3g, 0), 6) AS dup_3gram_frac
+             |FROM documents d
+             |LEFT JOIN tstats t USING (doc_id)
+             |LEFT JOIN sstats st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      "repetition scores: duplicated-token and duplicated-3-gram fractions"),
+
+    // Eval-set hygiene: shared-7-gram contamination check of the "crawl"
+    // (the planted duplicate docs) against a benchmark slice, benchmark
+    // shingle set broadcast (eval sets are tiny next to a 100 TB corpus).
+    "corpus_contamination" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+        val crawl = Dedup.planted(docs).filter(col("doc_id") >= 1000000L)
+        Dedup.benchmarkContamination(crawl, bench).orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |bsh AS (SELECT DISTINCT s FROM (${ngramSql(
+                "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)", 7)}) q
+              |        WHERE s IS NOT NULL),
+              |crawl AS (SELECT doc_id, text FROM planted WHERE doc_id >= 1000000),
+              |csh AS (SELECT DISTINCT doc_id, s FROM (${ngramSql("crawl", 7)}) q
+              |        WHERE s IS NOT NULL),
+              |ov AS (SELECT doc_id, count(*) AS n_overlap
+              |       FROM csh JOIN bsh USING (s) GROUP BY doc_id)
+              |SELECT c.doc_id,
+              |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+              |  coalesce(o.n_overlap, 0) >= 5 AS contaminated
+              |FROM crawl c LEFT JOIN ov o USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin),
+      "benchmark-contamination check: distinct shared 7-grams vs broadcast eval set"),
+
+    // Deterministic mixture sampling: per-language acceptance rates via a
+    // stable arithmetic hash threshold (never rand() — reruns and engines
+    // must agree). doc_id is reduced mod p BEFORE the multiply so the
+    // arithmetic stays under 2^63 for arbitrarily large ids (ANSI-safe at
+    // 100 TB id ranges). Narrow filter — scan speed, no shuffle.
+    "corpus_mix_sample" -> Q(
+      (s, dir) => {
+        val rate = when(col("lang") === "en", lit(10000L))
+          .when(col("lang").isin("zh", "es"), lit(5000L))
+          .when(col("lang") === "de", lit(2500L))
+          .otherwise(lit(1000L))
+        val u = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000007L)), lit(10000L))
+        table(s, dir, "documents")
+          .filter(u < rate)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007) % 10000 <
+             |  CASE WHEN lang = 'en' THEN 10000
+             |       WHEN lang IN ('zh', 'es') THEN 5000
+             |       WHEN lang = 'de' THEN 2500 ELSE 1000 END
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic per-language mixture sampling via stable hash threshold"),
 
     // --------------------------------------------------------- multimodal
     // The batched decode (mapPartitions, one codec init per task) runs the

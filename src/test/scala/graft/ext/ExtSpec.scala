@@ -137,6 +137,62 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(h => h >= 0 && h < 1000000007L))
   }
 
+  test("repetition stats: known-answer fractions on constructed docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaa aaa aaa aaa"), // 4 tokens 1 distinct; 2 3-grams 1 distinct
+      (2L, "a b c"),           // all distinct; single 3-gram
+      (3L, "x y")              // too short for a 3-gram → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (0.75, 0.5))
+    assert(out(2L) == (0.0, 0.0))
+    assert(out(3L) == (0.0, 0.0))
+  }
+
+  test("contamination: planted copies of benchmark docs flagged; flag consistent with overlap") {
+    // NB: the synthetic corpus reuses sentences ACROSS documents (up to
+    // ~90 shared 7-grams between unrelated docs), so "unrelated docs stay
+    // clean" does not hold here — organic overlap is real signal the
+    // operator is supposed to report. The guarantees pinned instead:
+    val bench = docs.filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val crawl = Dedup.planted(docs).filter(col("doc_id") >= 1000000L)
+    val out = Dedup.benchmarkContamination(crawl, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // exact copies (id = 1e6 + src, src % 20 == 0) duplicate a benchmark
+    // doc verbatim → every one must be flagged
+    val exactCopies = out.keys.filter(_ < 2000000L)
+    assert(exactCopies.nonEmpty && exactCopies.forall(out(_)._2),
+      "an exact copy of a benchmark doc escaped the contamination check")
+    // near-copies OF benchmark docs (src % 100 == 0) differ by one token →
+    // still flagged, and never MORE overlapped than the verbatim copy
+    // (their REPLACED-prefixed shingles cannot exist in the benchmark)
+    val nearOfBench = out.keys.filter(id => id >= 2000000L && (id - 2000000L) % 100 == 0)
+    assert(nearOfBench.nonEmpty && nearOfBench.forall(out(_)._2),
+      "a one-token mutation of a benchmark doc escaped the check")
+    nearOfBench.foreach { id =>
+      val src = id - 2000000L
+      assert(out(id)._1 <= out(1000000L + src)._1,
+        s"near-copy $id overlaps more than the verbatim copy of the same source")
+    }
+    // the flag is exactly the minOverlap threshold applied to n_overlap
+    assert(out.values.forall { case (n, flag) => flag == (n >= 5L) })
+  }
+
+  test("mixture sampling: achieved per-language rates track the targets") {
+    val sampled = graft.SparkEntry.queries("corpus_mix_sample")(spark, sf("sf0.01"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = table(spark, sf("sf0.01"), "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+    targets.foreach { case (lang, want) =>
+      val got = sampled.getOrElse(lang, 0L).toDouble / totals(lang)
+      if (lang == "en") assert(got == 1.0, "rate 1.0 must keep every doc")
+      else assert(math.abs(got - want) < 0.2, s"$lang rate $got vs target $want")
+    }
+  }
+
   test("multimodal: batched decode plumbing produces stable features") {
     import spark.implicits._
     val media = Multimodal.mediaTable(docs).as[Multimodal.MediaRow]
