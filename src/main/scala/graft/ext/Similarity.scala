@@ -70,11 +70,22 @@ object Similarity {
 
   // ------------------------------------------------------------ k-means
   /** Assignment step under L2 (the metric whose mean-centroid update
-    * guarantees a non-increasing objective). Centroids: (c_id, c_emb). */
+    * guarantees a non-increasing objective). Centroids: (c_id, c_emb).
+    *
+    * Distance via the dot identity ‖v−c‖² = ‖v‖² + ‖c‖² − 2v·c with the
+    * squared norms precomputed ONCE per side before the broadcast cross —
+    * one codegen [[VectorOps.dot]] per (vector, centroid) pair. The HOF
+    * subtraction form ([[VectorOps.l2]]) is CodegenFallback and would run
+    * interpreted n×k times — the known per-pair scale trap. */
   def assignClustersL2(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = embeddings.withColumn("v_nsq", VectorOps.normSq(col("embedding")))
+    val c = centroids.withColumn("c_nsq", VectorOps.normSq(col("c_emb")))
     val w = Window.partitionBy("vec_id").orderBy(asc("c_dist"), asc("c_id"))
-    embeddings.join(broadcast(centroids))
-      .withColumn("c_dist", VectorOps.l2(col("c_emb"), col("embedding")))
+    e.join(broadcast(c))
+      .withColumn("c_dist", sqrt(greatest(
+        col("v_nsq") + col("c_nsq")
+          - lit(2.0) * VectorOps.dot(col("c_emb"), col("embedding")),
+        lit(0.0))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id"), col("c_dist"))

@@ -37,7 +37,10 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance — interpreted HOF reference form
+    * (CodegenFallback; fine per-row, the known 40-150× trap per-pair).
+    * Hot per-pair paths use [[l2ViaDot]] instead; the two are
+    * property-pinned against each other in VectorDotSpec. */
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {
@@ -46,4 +49,13 @@ object VectorOps {
       }),
       lit(0.0),
       (acc, v) => acc + v))
+
+  /** L2 via the dot identity ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b: every term runs
+    * through the codegen [[VectorDot]] kernel. Cancellation can push the
+    * identity fractionally negative for near-identical vectors — clamped
+    * at 0. Callers that already carry per-side squared norms (k-means
+    * assignment) should inline the identity instead, paying ONE dot per
+    * pair. */
+  def l2ViaDot(a: Column, b: Column): Column =
+    sqrt(greatest(normSq(a) + normSq(b) - lit(2.0) * dot(a, b), lit(0.0)))
 }

@@ -21,6 +21,20 @@ class VectorDotSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("l2ViaDot (codegen identity) tracks the HOF subtraction form") {
+    // not bit-exact by nature (the identity rearranges the arithmetic);
+    // on unit-scale embeddings the drift must stay far below any distance
+    // gap that could flip a k-means assignment
+    val e = table(spark, sf("sf0.001"), "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val maxDrift = a.join(b, col("id_a") % 5 === 0 && col("id_b") % 7 === 0)
+      .select(abs(VectorOps.l2ViaDot(col("ea"), col("eb"))
+        - VectorOps.l2(col("ea"), col("eb"))).as("d"))
+      .agg(max("d")).collect().head.getDouble(0)
+    assert(maxDrift < 1e-9, s"maxDrift=$maxDrift")
+  }
+
   test("null array propagates null; self-dot is norm squared") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0f, 2.0f, 2.0f)), Option.empty[Array[Float]]))
