@@ -238,6 +238,44 @@ object ExtQueries {
       "PII-style redaction: detect + mask planted emails at scan speed"),
 
     // -------------------------------------------------------------- dedup
+    // Production dedup keeps the BEST duplicate, not the lowest id: per
+    // fingerprint group, the representative maximizes (quality, doc_id).
+    // Same one-shuffle groupBy as dedup_exact; max_by's struct ordering
+    // IS the (quality DESC, doc_id DESC) rank-1 window, without the sort.
+    "dedup_keep_best" -> Q(
+      (s, dir) => {
+        val pl = Dedup.planted(table(s, dir, "documents"))
+          .withColumn("fp", TextStats.fingerprint(col("text")))
+          .withColumn("quality", TextStats.qualityScore(col("text")))
+        pl.groupBy("fp")
+          .agg(
+            max_by(col("doc_id"), struct(col("quality"), col("doc_id"))).as("keep_id"),
+            count(lit(1)).as("n_copies"),
+            round(max("quality"), 6).as("quality"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies", "quality")
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |q AS (
+              |  SELECT doc_id,
+              |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+              |    round(0.4 * least(length(text) / 500.0, 1.0)
+              |        + 0.4 * least(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+              |                      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0)
+              |        + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+              |                      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0)), 6) AS quality
+              |  FROM planted),
+              |ranked AS (
+              |  SELECT fp, doc_id, quality,
+              |    row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id DESC) AS rk,
+              |    count(*) OVER (PARTITION BY fp) AS n_copies
+              |  FROM q)
+              |SELECT doc_id AS keep_id, n_copies, round(quality, 6) AS quality
+              |FROM ranked WHERE rk = 1 AND n_copies > 1
+              |ORDER BY keep_id""".stripMargin),
+      "dedup keeping the best-quality representative per fingerprint group"),
+
     "dedup_exact" -> Q(
       (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),
       Some(s"""WITH planted AS ($plantedSql)
@@ -350,9 +388,10 @@ object ExtQueries {
     // vec_id) candidates and DuckDB re-scores + re-ranks the same set.
     "sim_topk_ivf" -> Q(
       (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
         persistCand = OracleAux.persist(dir, "sim_topk_ivf_cand")),
       Some(annRescoreSql("sim_topk_ivf_cand")),
-      "IVF-bucketed approximate top-k (nlist=16, nprobe=4)"),
+      "IVF-bucketed approximate top-k (√n nlist like the dedup path, nprobe=4)"),
 
     "sim_topk_lsh" -> Q(
       (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings"),
