@@ -196,4 +196,42 @@ object Similarity {
       persistCand: DataFrame => DataFrame = identity): DataFrame =
     scoreTopK(persistCand(ivfCandidates(embeddings, nQueries, nlist, nprobe)),
       embeddings, nQueries, k)
+
+  // ------------------------------------------- partitioned IVF index
+  /** Schema the partitioned index reads back with — the partition column
+    * declared LONG up front so probe joins hit it bare (a cast on the
+    * partition column would defeat dynamic partition pruning). */
+  val IvfIndexSchema = "vec_id LONG, embedding ARRAY<FLOAT>, c_id LONG"
+
+  /** One-off IVF index materialization: the corpus written as parquet
+    * PARTITIONED BY cluster id. This is the at-scale serving layout the
+    * [[assignClusters]] scaladoc promises — probes then read only the
+    * probed buckets' files instead of scanning the corpus. */
+  def buildIvfIndex(embeddings: DataFrame, nlist: Int, path: String): Unit =
+    assignClusters(embeddings, nlist)
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+
+  /** ANN candidates from the PARTITIONED index: the probed (q_id, c_id)
+    * bucket list (tiny — queries × nprobe rows) is broadcast and joined on
+    * the partition column, so Spark's dynamic partition pruning skips
+    * every unprobed bucket at the file level — at 100 TB the probe reads
+    * `nprobe/nlist` of the index and nothing else (plan-guarded in
+    * PlanShapeSpec). Candidate set is identical to [[ivfCandidates]] with
+    * the same parameters. */
+  def ivfIndexCandidates(index: DataFrame, embeddings: DataFrame,
+      nQueries: Int = 8, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("c_id"))
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("qc_cos", VectorOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select("q_id", "c_id")
+    index.join(broadcast(probed), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+  }
 }

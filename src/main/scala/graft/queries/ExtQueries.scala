@@ -41,6 +41,18 @@ object ExtQueries {
     nlistCache.getOrElseUpdate(dir,
       math.max(16, math.sqrt(table(s, dir, "embeddings").count().toDouble).ceil.toInt))
 
+  /** Cluster-partitioned IVF index per sf-dir, built once per process —
+    * the one-off index materialization of a vector-serving pipeline
+    * ([[graft.ext.Similarity.buildIvfIndex]]). Keyed by sf basename like
+    * OracleAux so scales can't clobber each other. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexCache.getOrElseUpdate(dir, {
+      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+      graft.ext.Similarity.buildIvfIndex(table(s, dir, "embeddings"), ivfNlist(s, dir), path)
+      path
+    })
+
   /** DuckDB twin of [[Dedup.shingleRows]]: (doc_id, s) word k-grams of a
     * relation (table name or parenthesized subquery) with (doc_id, text). */
   private def ngramSql(src: String, k: Int): String = {
@@ -392,6 +404,24 @@ object ExtQueries {
         persistCand = OracleAux.persist(dir, "sim_topk_ivf_cand")),
       Some(annRescoreSql("sim_topk_ivf_cand")),
       "IVF-bucketed approximate top-k (√n nlist like the dedup path, nprobe=4)"),
+
+    // Same ANN semantics served from the CLUSTER-PARTITIONED parquet
+    // index: the probe joins the broadcast bucket list on the partition
+    // column, so dynamic partition pruning reads nprobe/nlist of the index
+    // files and nothing else (PlanShapeSpec asserts the pruning) — the
+    // at-scale serving layout, vs sim_topk_ivf's inline assignment.
+    "sim_topk_ivf_indexed" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        Similarity.scoreTopK(
+          OracleAux.persist(dir, "sim_topk_ivf_idx_cand")(
+            Similarity.ivfIndexCandidates(idx, e, nlist = ivfNlist(s, dir))),
+          e, 8, 5)
+      },
+      Some(annRescoreSql("sim_topk_ivf_idx_cand")),
+      "ANN top-k over the cluster-partitioned IVF index (partition-pruned probe)"),
 
     "sim_topk_lsh" -> Q(
       (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings"),

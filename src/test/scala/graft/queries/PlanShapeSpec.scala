@@ -186,6 +186,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("indexed IVF probe: dynamic partition pruning skips unprobed buckets; candidates match") {
+    val emb = table(spark, sf("sf0.001"), "embeddings")
+    val path = "/tmp/graft_test_ivf_index"
+    Similarity.buildIvfIndex(emb, 16, path)
+    val idx = spark.read.schema(Similarity.IvfIndexSchema).parquet(path)
+    val df = Similarity.ivfIndexCandidates(idx, emb)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"index scan must be dynamically partition-pruned:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.ivfCandidates(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "indexed probe must produce the ivfCandidates set")
+  }
+
   test("registered dedup_embedding pays no corpus-count job once nlist is cached") {
     val emb = table(spark, sf("sf0.001"), "embeddings")
     val sc = spark.sparkContext
