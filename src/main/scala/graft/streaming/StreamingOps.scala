@@ -155,8 +155,12 @@ object StreamingOps {
   def applyUpsertBatch(batch: DataFrame, targetDir: String): Unit = {
     val ord = Seq(col("ts_us").desc, col("event_id").desc)
     val compacted = graft.ext.Upsert.latestPerKey(batch, Seq("user_id"), ord)
+    // existence via the Hadoop FileSystem API, not java.io: the target of
+    // a cluster deployment is HDFS/object storage, not the driver's disk
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
     val merged =
-      if (new java.io.File(targetDir).exists()) {
+      if (fs.exists(target)) {
         val current = batch.sparkSession.read.parquet(targetDir)
         graft.ext.Upsert.latestPerKey(current.unionByName(compacted),
           Seq("user_id"), ord)
