@@ -48,7 +48,12 @@ object ExtQueries {
   private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[queries] def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate(dir, {
-      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+      // the on-disk path carries a digest of the FULL dir, not just its
+      // basename — two corpora named "sf0.1" (harness vs probe copy) must
+      // never overwrite each other's index
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}-$digest"
       graft.ext.Similarity.buildIvfIndex(table(s, dir, "embeddings"), ivfNlist(s, dir), path)
       path
     })
@@ -475,11 +480,16 @@ object ExtQueries {
               x => format_string("%.6f", x))).as("centroid_str"))
           .orderBy("c_id")
       },
+      // the oracle ranks on the SAME dot-identity distance Spark uses
+      // (|v|²+|c|²−2v·c), not list_distance's direct subtraction — the two
+      // formulas drift by cancellation ulps, which could flip a
+      // near-equidistant vector's argmin between engines
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
              |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
              |a1 AS (SELECT vec_id, emb, c_id,
              |         row_number() OVER (PARTITION BY vec_id
-             |           ORDER BY list_distance(emb, c_emb), c_id) AS rk
+             |           ORDER BY list_dot_product(emb, emb) + list_dot_product(c_emb, c_emb)
+             |                    - 2 * list_dot_product(emb, c_emb), c_id) AS rk
              |       FROM e CROSS JOIN c0),
              |m1 AS (SELECT c_id, idx, round(avg(v), 6) AS cv
              |       FROM (SELECT c_id, unnest(emb) AS v,
@@ -489,7 +499,8 @@ object ExtQueries {
              |c1 AS (SELECT c_id, list(cv ORDER BY idx) AS c_emb FROM m1 GROUP BY c_id),
              |a2 AS (SELECT vec_id, emb, c_id,
              |         row_number() OVER (PARTITION BY vec_id
-             |           ORDER BY list_distance(emb, c_emb), c_id) AS rk
+             |           ORDER BY list_dot_product(emb, emb) + list_dot_product(c_emb, c_emb)
+             |                    - 2 * list_dot_product(emb, c_emb), c_id) AS rk
              |       FROM e CROSS JOIN c1),
              |m2 AS (SELECT c_id, idx, avg(v) AS cv
              |       FROM (SELECT c_id, unnest(emb) AS v,

@@ -149,14 +149,17 @@ object StreamingOps {
   }
 
   /** One micro-batch of the streaming upsert: compact the batch, union
-    * with the current target, keep the latest row per key, atomically
-    * replace the target. Driver-side only in the sense of orchestration —
-    * the data path is distributed (window + shuffle). */
+    * with the current target, keep the latest row per key, then swap the
+    * new table in. The merged result is FULLY written to a scratch path
+    * first and only then moved over the target (delete + rename), so a
+    * crash mid-write leaves the current table intact — the remaining
+    * exposure is the metadata swap itself, which an ACID table format's
+    * MERGE closes completely in production (Upsert scaladoc). */
   def applyUpsertBatch(batch: DataFrame, targetDir: String): Unit = {
     val ord = Seq(col("ts_us").desc, col("event_id").desc)
     val compacted = graft.ext.Upsert.latestPerKey(batch, Seq("user_id"), ord)
-    // existence via the Hadoop FileSystem API, not java.io: the target of
-    // a cluster deployment is HDFS/object storage, not the driver's disk
+    // paths via the Hadoop FileSystem API, not java.io: the target of a
+    // cluster deployment is HDFS/object storage, not the driver's disk
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
     val merged =
@@ -165,9 +168,11 @@ object StreamingOps {
         graft.ext.Upsert.latestPerKey(current.unionByName(compacted),
           Seq("user_id"), ord)
       } else compacted
-    // the merge reads the path it is about to overwrite — materialize first
-    merged.localCheckpoint(eager = true)
-      .write.mode("overwrite").parquet(targetDir)
+    val scratch = new org.apache.hadoop.fs.Path(targetDir + "__staging")
+    merged.write.mode("overwrite").parquet(scratch.toString)
+    fs.delete(target, true)
+    fs.rename(scratch, target)
+    ()
   }
 
   // ------------------------------------------------ stateful sessionize

@@ -188,6 +188,9 @@ class ExtSpec extends SparkSpec {
     val targets = Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
     targets.foreach { case (lang, want) =>
       val got = sampled.getOrElse(lang, 0L).toDouble / totals(lang)
+      // nonzero first: a dropped rate branch would zero a whole language
+      // bucket yet still sit inside a loose absolute tolerance
+      assert(got > 0.0, s"$lang vanished from the mixture entirely")
       if (lang == "en") assert(got == 1.0, "rate 1.0 must keep every doc")
       else assert(math.abs(got - want) < 0.2, s"$lang rate $got vs target $want")
     }
