@@ -704,6 +704,39 @@ object ExtQueries {
              |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
       "deterministic train/val/test corpus split with per-split token counts"),
 
+    // Context-length chunking — the pre-tokenization split of long
+    // documents into fixed token windows (stride = window here; an
+    // overlapped stride is the same shape with a second explode). One
+    // posexplode + one (doc, chunk)-keyed aggregation; the per-chunk md5
+    // fingerprint pins content identity, not just counts. The per-chunk
+    // array_sort/transform run interpreted but once per CHUNK row over
+    // ≤128 elements — the fine-per-row side of the HOF tradeoff.
+    "text_chunk" -> Q(
+      (s, dir) => {
+        val chunkSize = 128
+        val tok = table(s, dir, "documents").select(col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+        val ordered = transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))
+        tok.withColumn("chunk_id", (col("pos") / chunkSize).cast("long"))
+          .groupBy("doc_id", "chunk_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            md5(concat_ws(" ", ordered).cast("binary")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t,
+             |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) - 1 AS pos
+             |  FROM documents)
+             |SELECT doc_id, CAST(floor(pos / 128) AS BIGINT) AS chunk_id,
+             |  count(*) AS n_tokens,
+             |  md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_fp
+             |FROM tok GROUP BY doc_id, chunk_id
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      "context-length chunking: 128-token windows with per-chunk content fingerprints"),
+
     // Gopher-style repetition gate: duplicated-token and duplicated-3-gram
     // fractions per document (boilerplate/spam signal). Doc-keyed
     // count-distinct aggs — co-partitions with the rest of the curation
