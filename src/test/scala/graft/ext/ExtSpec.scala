@@ -180,6 +180,26 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall { case (n, flag) => flag == (n >= 5L) })
   }
 
+  test("text_chunk: boundary math — 128-token windows, remainder in the last chunk") {
+    val out = graft.SparkEntry.queries("text_chunk")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    val tokCounts = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(Dedup.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    byDoc.foreach { case (docId, chunks) =>
+      val n = tokCounts(docId)
+      val expectChunks = ((n + 127) / 128).max(1)
+      assert(chunks.length == expectChunks, s"doc $docId: ${chunks.length} chunks for $n tokens")
+      // chunk ids are dense 0..k-1; all full except a possible remainder tail
+      assert(chunks.map(_._2).sorted.sameElements(0L until expectChunks))
+      val sizes = chunks.sortBy(_._2).map(_._3)
+      assert(sizes.init.forall(_ == 128L) || expectChunks == 1)
+      assert(sizes.last == (if (n % 128 == 0) 128L else n % 128))
+      assert(sizes.sum == n, s"doc $docId: chunk sizes must partition the token stream")
+    }
+  }
+
   test("mixture sampling: achieved per-language rates track the targets") {
     val sampled = graft.SparkEntry.queries("corpus_mix_sample")(spark, sf("sf0.01"))
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
