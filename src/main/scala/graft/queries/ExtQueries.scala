@@ -634,6 +634,40 @@ object ExtQueries {
              |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin),
       "cohort retention (first-seen day × active-day offsets)"),
 
+    // Windowed anomaly detection: hourly volume per event type, flagging
+    // hours beyond 2σ of that type's mean — the monitoring query every
+    // ingest pipeline runs. One groupBy + one unordered per-type window
+    // (whole-partition frame); event-type cardinality is tiny, so the
+    // window state is bounded regardless of corpus size.
+    "events_anomaly" -> Q(
+      (s, dir) => {
+        val hourly = events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        hourly
+          .withColumn("mu", avg(col("n")).over(w))
+          .withColumn("sigma", stddev_pop(col("n")).over(w))
+          .filter(col("sigma") > 0 &&
+            abs(col("n") - col("mu")) > lit(2.0) * col("sigma"))
+          .select(unix_micros(col("h")).as("h_us"), col("event_type"), col("n"),
+            round((col("n") - col("mu")) / col("sigma"), 4).as("z"))
+          .orderBy("h_us", "event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |st AS (
+             |  SELECT h, event_type, n,
+             |    avg(n) OVER (PARTITION BY event_type) AS mu,
+             |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+             |  FROM hourly)
+             |SELECT epoch_us(h) AS h_us, event_type, n,
+             |  round((n - mu) / sigma, 4) AS z
+             |FROM st WHERE sigma > 0 AND abs(n - mu) > 2 * sigma
+             |ORDER BY h_us, event_type""".stripMargin),
+      "hourly-volume anomaly detection: per-type 2-sigma z-score outliers"),
+
     "events_gapfill" -> Q(
       (s, dir) => graft.ext.Analytics.gapFillForwardFill(events(s, dir)),
       Some("""WITH hourly AS (
