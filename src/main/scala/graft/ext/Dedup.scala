@@ -208,6 +208,115 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------- duplicate-cluster grouping
+  /** Connected components over a candidate-pair edge list — the step that
+    * turns pairwise near-dup hits (MinHash/SimHash/embedding) into
+    * duplicate CLUSTERS so one representative per component can be kept.
+    * Pairwise dedup alone under-removes: A~B and B~C leave both A,C when
+    * the whole {A,B,C} chain is one duplicate group.
+    *
+    * Algorithm: iterative min-label propagation (the MapReduce-CC shape of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * every vertex starts labeled with its own id; each round every vertex
+    * takes the min label over itself and its neighbors; fixpoint = every
+    * vertex carries its component's min id. Each round is ONE shuffle
+    * keyed on vertex id; rounds needed = component diameter, which for
+    * duplicate clusters is tiny (near-clique components converge in 2-3).
+    * `localCheckpoint` per round truncates the lineage so the plan doesn't
+    * grow with iterations. At 100 TB the same loop runs unchanged — the
+    * edge list is the small derived pair table, not the corpus — with
+    * large-star/small-star as the upgrade path if diameters ever grow.
+    *
+    * Output: (doc_id, cluster_id = component-min doc_id, cluster_size),
+    * only for docs that appear in some pair (singletons aren't duplicates).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // every round is localCheckpoint'd: the iterated union/join otherwise
+    // grows the LOGICAL PLAN exponentially (persist() caches data but not
+    // lineage — a 10-round plan tree OOMs Spark's own explain-string
+    // generation before any task runs). The checkpoints are LAZY: the
+    // convergence aggregate below materializes the round and reads its sum
+    // in the same pass, so no round pays a dedicated truncation job.
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint(false)
+    // round 0 fused into initialization: label(v) = min(v, min neighbor) —
+    // near-clique duplicate clusters converge here already, so the loop
+    // below usually runs once just to confirm the fixpoint
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint(false)
+    // labels only ever DECREASE, so the label sum is stationary exactly at
+    // the fixpoint — one scalar aggregate per round instead of a
+    // changed-row join+count (decimal sum: overflow-proof under ANSI)
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var lastSum = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = labels
+        .join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      val s = labelSum(next)
+      labels = next
+      converged = s.compareTo(lastSum) == 0
+      lastSum = s
+      it += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  // ----------------------------------------------- line-level (chunk) dedup
+  /** CCNet/RefinedWeb-style line-level dedup over the planted corpus, with
+    * fixed `chunkTokens`-token windows standing in for lines (the synthetic
+    * corpus has no newline structure): every distinct chunk text is kept at
+    * its FIRST occurrence in global (doc_id, chunk_id) order and dropped
+    * everywhere else, and each document reports how much of it survived
+    * plus an md5 fingerprint of its kept content.
+    *
+    * Scale shape: one doc-keyed aggregation to assemble chunks, one
+    * shuffle keyed by chunk text to pick first occurrences (at corpus
+    * scale the key would be `xxhash64(chunk)` to keep shuffle rows
+    * narrow), one doc-keyed aggregation back. No joins against the corpus,
+    * no candidate explosion — this is the cheap exact layer that runs
+    * BEFORE fuzzy dedup in a production pipeline. */
+  def lineDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val tok = planted(docs).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    // per-chunk text: the array_sort/transform pair runs interpreted but
+    // once per CHUNK row over <= chunkTokens elements (fine-per-row HOF)
+    val orderedTokens = concat_ws(" ", transform(
+      array_sort(collect_list(struct(col("pos"), col("t")))),
+      x => x.getField("t")))
+    val chunks = tok
+      .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(orderedTokens.as("chunk"))
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    val flagged = chunks.withColumn("rn", row_number().over(firstWins))
+    // collect_list skips nulls, so the when() collects exactly the keepers
+    val keptOrdered = concat_ws(" ", transform(
+      array_sort(collect_list(when(col("rn") === 1,
+        struct(col("chunk_id"), col("chunk"))))),
+      x => x.getField("chunk")))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(keptOrdered.cast("binary")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- contamination
   /** Benchmark-contamination check — the eval-set hygiene step of a
     * training-data pipeline: for every corpus document, how many DISTINCT

@@ -132,6 +132,31 @@ object AdvancedQueries {
               |ORDER BY o_orderstatus""".stripMargin),
       "approx_percentile sketch (bounded buffer, the 100 TB form) with oracle-gated error bound"),
 
+    // The at-scale distinct-count form: HyperLogLog++ keeps a constant-size
+    // mergeable sketch per group (map-side partial merge, O(1/rsd²) bytes),
+    // vs COUNT(DISTINCT)'s shuffle of every distinct value. Sketches aren't
+    // bit-reproducible across engines, so — like agg_percentiles_approx —
+    // the oracle gates the ERROR: DuckDB echoes Spark's estimate back only
+    // when it is within 5% of the exact count (rsd=0.02, so 5% is >2σ).
+    "agg_approx_distinct" -> Q(
+      (s, dir) => {
+        val approx = table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        OracleAux.persist(dir, "agg_approx_distinct")(approx)
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH approx AS (
+              |  SELECT * FROM read_parquet(${OracleAux.duckGlob("agg_approx_distinct")})),
+              |exact AS (
+              |  SELECT o_orderstatus, count(DISTINCT o_custkey) AS e
+              |  FROM orders GROUP BY o_orderstatus)
+              |SELECT a.o_orderstatus,
+              |  CASE WHEN abs(a.approx_custs - e.e) <= 0.05 * e.e THEN a.approx_custs END AS approx_custs
+              |FROM approx a JOIN exact e USING (o_orderstatus)
+              |ORDER BY o_orderstatus""".stripMargin),
+      "HyperLogLog++ distinct-count sketch with oracle-gated error bound"),
+
     "setops_all" -> Q(
       (s, dir) => {
         val a = table(s, dir, "lineitem")

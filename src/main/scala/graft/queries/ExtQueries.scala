@@ -302,6 +302,57 @@ object ExtQueries {
               |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
       "exact dedup: hash-groupBy on text over planted duplicates"),
 
+    // Pairwise near-dup hits → duplicate CLUSTERS: connected components
+    // via iterative min-label propagation ([[Dedup.duplicateClusters]]).
+    // The edge list is the SimHash-verified pair set, persisted (OracleAux)
+    // so DuckDB can compute the same components with a recursive CTE —
+    // a genuine cross-engine check of the clustering itself.
+    "dedup_clusters" -> Q(
+      (s, dir) => {
+        val pairs = OracleAux.persist(dir, "dedup_clusters_pairs")(
+          Dedup.simhashPairs(table(s, dir, "documents")).select("id_a", "id_b"))
+        Dedup.duplicateClusters(pairs)
+      },
+      Some(s"""WITH RECURSIVE
+              |pairs AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_clusters_pairs")})),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, dst AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+              |lab AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+              |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+              |SELECT id AS doc_id, cluster_id, cluster_size
+              |FROM lab JOIN sizes USING (cluster_id)
+              |ORDER BY cluster_id, doc_id""".stripMargin),
+      "duplicate clusters: connected components over near-dup pairs (min-label propagation)"),
+
+    // Exact line-level dedup (CCNet/RefinedWeb shape) with 10-token chunks
+    // standing in for lines — keep the first global occurrence of every
+    // distinct chunk, report per-doc survival + kept-content fingerprint.
+    "dedup_lines" -> Q(
+      (s, dir) => Dedup.lineDedup(table(s, dir, "documents")),
+      Some(s"""WITH planted AS ($plantedSql),
+              |tok AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) - 1 AS pos
+              |  FROM planted),
+              |chunks AS (
+              |  SELECT doc_id, CAST(floor(pos / 10) AS BIGINT) AS chunk_id,
+              |    string_agg(t, ' ' ORDER BY pos) AS chunk
+              |  FROM tok GROUP BY doc_id, chunk_id),
+              |flagged AS (
+              |  SELECT doc_id, chunk_id, chunk,
+              |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+              |  FROM chunks)
+              |SELECT doc_id, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '')) AS kept_fp
+              |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "line-level exact dedup: first occurrence wins per 10-token chunk"),
+
     "dedup_token_jaccard" -> Q(
       (s, dir) => Dedup.tokenJaccardPairs(table(s, dir, "documents"), 150, 0.5),
       Some("""WITH toks AS (
@@ -384,6 +435,50 @@ object ExtQueries {
       "embedding-cosine near-dup pairs (IVF-blocked candidates + exact verify)"),
 
     // --------------------------------------------------------- similarity
+    // Symmetric int8 scalar quantization of the embedding column — the 4×
+    // memory cut that lets an ANN index serve from RAM at corpus scale.
+    // Per-vector scale = max|x|/127, q_i = floor(x_i·127/max + 0.5); the
+    // reconstruction error is bounded by scale/2 (pinned in ExtSpec). Pure
+    // per-row math — no shuffle, scan-speed at any scale; the HOF lambdas
+    // run interpreted but once per ROW over 64 elements (fine-per-row).
+    // Both engines evaluate the identical IEEE expression tree, so
+    // scale/q_sum/max_err hash-match exactly.
+    "embed_quantize" -> Q(
+      (s, dir) => {
+        val toDouble = transform(col("embedding"), x => x.cast("double"))
+        val withM = table(s, dir, "embeddings")
+          .select(col("vec_id"), toDouble.as("v"),
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+        val qOf = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(127) / col("m") + lit(0.5))
+        val qArr = transform(col("v"), x => qOf(x))
+        val errArr = transform(col("v"),
+          x => abs(x - qOf(x) * col("m") / lit(127)))
+        withM.select(col("vec_id"),
+          size(col("v")).as("n_dims"),
+          when(col("m") === 0, lit(0.0)).otherwise(round(col("m") / lit(127), 6)).as("scale"),
+          when(col("m") === 0, lit(0L))
+            .otherwise(aggregate(qArr, lit(0.0), (acc, x) => acc + x).cast("long")).as("q_sum"),
+          when(col("m") === 0, lit(0.0))
+            .otherwise(round(array_max(errArr), 6)).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  CAST(len(v) AS INTEGER) AS n_dims,
+             |  CASE WHEN m = 0 THEN 0.0 ELSE round(m / 127, 6) END AS scale,
+             |  CASE WHEN m = 0 THEN 0
+             |       ELSE CAST(list_sum(list_transform(v, x -> floor(x * 127 / m + 0.5))) AS BIGINT)
+             |  END AS q_sum,
+             |  CASE WHEN m = 0 THEN 0.0
+             |       ELSE round(list_max(list_transform(v, x -> abs(x - floor(x * 127 / m + 0.5) * m / 127))), 6)
+             |  END AS max_err
+             |FROM base ORDER BY vec_id""".stripMargin),
+      "int8 scalar quantization of embeddings with reconstruction-error audit"),
+
     "sim_topk_brute" -> Q(
       (s, dir) => Similarity.bruteTopK(table(s, dir, "embeddings")),
       Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

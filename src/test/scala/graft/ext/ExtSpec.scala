@@ -216,6 +216,62 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains merge, disjoint clusters stay apart") {
+    import spark.implicits._
+    // {1,2,3,10} via a chain + a long bridge, {7,8} separate: propagation
+    // must run past one round to label 10 with the component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 3L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L),
+      (10L, 1L, 4L), (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
+  test("connected components: planted exact copies land in their original's cluster") {
+    val pairs = Dedup.simhashPairs(docs).select("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b == a + 1000000 }
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"$a and its copy $b split across clusters")
+    }
+    // every cluster id is the min of its members (the canonical keep id)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid is not its member min")
+    }
+  }
+
+  test("line dedup: exact-copy docs keep nothing, originals keep something") {
+    val rows = Dedup.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val copies = rows.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, _, kept) =>
+      assert(kept == 0, s"exact copy $id kept $kept chunks; its original precedes it")
+    }
+    assert(rows.forall { case (_, n, kept) => kept >= 0 && kept <= n })
+    // at least the first-seen doc of every duplicated chunk keeps it: the
+    // corpus can't dedup to nothing
+    assert(rows.filter(_._1 < 1000000L).map(_._3).sum > 0)
+  }
+
+  test("quantization: reconstruction error bounded by scale/2") {
+    val q = graft.queries.ExtQueries.all("embed_quantize")
+      .fn(spark, sf("sf0.001")).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(2); val maxErr = r.getDouble(4)
+      assert(scale > 0, s"vec ${r.getLong(0)}: degenerate scale")
+      // round(x/s) reconstruction error is <= s/2; 1e-6 covers the 6dp
+      // rounding of both reported columns
+      assert(maxErr <= scale / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: err $maxErr exceeds scale/2 = ${scale / 2}")
+    }
+  }
+
   test("multimodal: batched decode plumbing produces stable features") {
     import spark.implicits._
     val media = Multimodal.mediaTable(docs).as[Multimodal.MediaRow]

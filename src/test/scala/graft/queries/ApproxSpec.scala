@@ -19,6 +19,19 @@ class ApproxSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("agg_approx_distinct: every per-group HLL estimate within 5% of exact") {
+    // same bound the DuckDB oracle gates for the registered query
+    val o = table(spark, sf("sf0.01"), "orders")
+    o.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .collect().foreach { r =>
+        val (exact, approx) = (r.getLong(1), r.getLong(2))
+        assert(math.abs(approx - exact).toDouble <= 0.05 * exact,
+          s"group=${r.getString(0)} approx=$approx exact=$exact")
+      }
+  }
+
   test("approx_percentile within 2% of exact percentile") {
     val o = table(spark, sf("sf0.01"), "orders")
     val r = o.agg(
