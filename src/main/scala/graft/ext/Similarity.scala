@@ -197,6 +197,85 @@ object Similarity {
     scoreTopK(persistCand(ivfCandidates(embeddings, nQueries, nlist, nprobe)),
       embeddings, nQueries, k)
 
+  // ------------------------------------------- product quantization ANN
+  /** Product-quantization codebook (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector splits into `m`
+    * subspaces of `subDim` dims; each subspace gets `ksub` codewords —
+    * here the deterministic first-`ksub` corpus vectors' slices, the same
+    * seeding convention as [[assignClusters]] (a per-subspace k-means
+    * refinement would slot in identically). Output: (s, j, cw) — m·ksub
+    * tiny rows, built entirely with DataFrame ops (no driver-side math).
+    */
+  def pqCodebook(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      subDim: Int = 8): DataFrame =
+    embeddings.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("j"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("s", (col("pos") / subDim).cast("int"))
+      .groupBy("s", "j")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        e => e.getField("x").cast("double")).as("cw"))
+
+  /** PQ codes: each (vector, subspace) is assigned its nearest codeword
+    * under L2 via the dot identity (argmin_j ‖cw_j‖² − 2⟨sub, cw_j⟩ — the
+    * ‖sub‖² term is constant per argmin and drops). One broadcast join
+    * against the m·ksub codebook + a map-side-combinable min per
+    * (vec_id, s): the corpus is touched once, narrowly. A vector's index
+    * entry is m codes — log₂(ksub)·m bits (8 B here vs 256 B of floats),
+    * the 32× memory cut that lets a corpus-scale index serve from RAM. */
+  def pqCodes(embeddings: DataFrame, codebook: DataFrame, m: Int = 8,
+      subDim: Int = 8): DataFrame = {
+    val subs = embeddings.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub")))
+    subs.join(broadcast(codebook), "s")
+      .withColumn("fit", VectorOps.normSq(col("cw"))
+        - lit(2.0) * VectorOps.dot(col("sub"), col("cw")))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("j"), struct(col("fit"), col("j"))).as("code"))
+  }
+
+  /** PQ ANN candidates via asymmetric distance computation (ADC): a
+    * query's dot with a coded vector ≈ Σ_s ⟨q_s, cw(code_s)⟩, i.e. m
+    * lookups into the per-query table of m·ksub precomputed subspace dots.
+    * The ADC table (queries × codebook) is broadcast-tiny; scoring is ONE
+    * broadcast lookup join on (s, code) + a (q, vec)-keyed reduction —
+    * never a full-width vector op against the corpus. The per-pair sum
+    * folds in fixed subspace order (sorted collect) so ranking is
+    * bit-deterministic. Candidates: top-(k·overfetch) per query by approx
+    * dot; [[pqTopK]] re-scores them exactly with [[scoreTopK]] — same
+    * contract and DuckDB re-rank oracle as the IVF/LSH paths. */
+  def pqCandidates(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, subDim: Int = 8,
+      overfetch: Int = 4): DataFrame = {
+    val codebook = pqCodebook(embeddings, m, ksub, subDim)
+    val codes = pqCodes(embeddings, codebook, m, subDim)
+    val qsubs = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("s", "qsub")))
+    val adc = qsubs.join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("j"),
+        VectorOps.dot(col("qsub"), col("cw")).as("qdot"))
+    val approx = codes.withColumnRenamed("code", "j")
+      .join(broadcast(adc), Seq("s", "j"))
+      .groupBy("q_id", "vec_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("qdot")))),
+          e => e.getField("qdot")),
+        lit(0.0), (acc, x) => acc + x).as("adot"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("adot"), asc("vec_id"))
+    approx.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * overfetch)
+      .select("q_id", "vec_id")
+  }
+
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    scoreTopK(persistCand(pqCandidates(embeddings, nQueries, k)),
+      embeddings, nQueries, k)
+
   // ------------------------------------------- partitioned IVF index
   /** Schema the partitioned index reads back with — the partition column
     * declared LONG up front so probe joins hit it bare (a cast on the

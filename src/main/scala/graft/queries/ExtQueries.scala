@@ -113,6 +113,42 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "quality scoring: length/punctuation/stopword ratios"),
 
+    // Character-level Shannon entropy — the gibberish/boilerplate signal
+    // (low: repeated filler; high: encrypted/binary junk) every corpus
+    // quality gate carries. Two keyed aggregations ((doc, char) → doc);
+    // the final fold runs over the char-SORTED count array so the double
+    // sum has one fixed order in both engines (bit-deterministic, same
+    // discipline as the vector reductions).
+    "text_entropy" -> Q(
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+        counts.groupBy("doc_id")
+          .agg(sum("cnt").as("n_chars"),
+            count(lit(1)).cast("int").as("n_distinct"),
+            transform(array_sort(collect_list(struct(col("ch"), col("cnt")))),
+              e => e.getField("cnt").cast("double")).as("arr"))
+          .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+            round(-aggregate(col("arr"), lit(0.0),
+              (a, c) => a + (c / col("n_chars")) * log2(c / col("n_chars"))), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+             |  FROM documents),
+             |counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+             |packed AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+             |    CAST(count(*) AS INTEGER) AS n_distinct,
+             |    list(CAST(cnt AS DOUBLE) ORDER BY ch) AS arr
+             |  FROM counts GROUP BY doc_id)
+             |SELECT doc_id, n_chars, n_distinct,
+             |  round(-list_sum(list_transform(arr, c -> (c / n_chars) * log2(c / n_chars))), 6) AS entropy
+             |FROM packed ORDER BY doc_id""".stripMargin),
+      "character-level Shannon entropy (order-pinned fold, cross-engine exact)"),
+
     "text_langid" -> Q(
       (s, dir) => {
         val scores = TextStats.langScores(col("text"))
@@ -504,6 +540,18 @@ object ExtQueries {
         persistCand = OracleAux.persist(dir, "sim_topk_ivf_cand")),
       Some(annRescoreSql("sim_topk_ivf_cand")),
       "IVF-bucketed approximate top-k (√n nlist like the dedup path, nprobe=4)"),
+
+    // Product-quantization ANN: m=8 subspaces × 16 codewords, ADC scoring
+    // (per-query dot-table lookups, never a full-width vector op against
+    // the corpus), exact re-score of the top-(k·4) candidates. The coded
+    // index is 32× smaller than the float vectors — the layout that keeps
+    // a 100 TB corpus's ANN index in RAM. Candidates persisted (OracleAux);
+    // DuckDB re-scores + re-ranks the same set exactly.
+    "sim_topk_pq" -> Q(
+      (s, dir) => Similarity.pqTopK(table(s, dir, "embeddings"),
+        persistCand = OracleAux.persist(dir, "sim_topk_pq_cand")),
+      Some(annRescoreSql("sim_topk_pq_cand")),
+      "product-quantization ANN (ADC lookup scoring + exact candidate re-rank)"),
 
     // Same ANN semantics served from the CLUSTER-PARTITIONED parquet
     // index: the probe joins the broadcast bucket list on the partition

@@ -216,6 +216,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: bounded by log2 of the alphabet, positive on real text") {
+    val rows = graft.queries.ExtQueries.all("text_entropy")
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nChars, nDistinct, h) =>
+      assert(h > 0, s"doc $id: entropy $h should be positive on mixed text")
+      // uniform distribution over n_distinct symbols maximizes entropy
+      assert(h <= math.log(nDistinct.toDouble) / math.log(2) + 1e-9,
+        s"doc $id: entropy $h above log2($nDistinct)")
+      assert(nChars > 0)
+    }
+  }
+
+  test("pq ANN: valid codes, well-formed top-k, bounded by brute-force scores") {
+    val codebook = Similarity.pqCodebook(embs)
+    assert(codebook.count() == 8L * 16)
+    val codes = Similarity.pqCodes(embs, codebook).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(codes.forall { case (_, _, c) => c >= 0 && c < 16 })
+    // a codebook seed vector reconstructs exactly, so its own-subspace fit
+    // is minimal: every seed vector must code to itself in every subspace
+    codes.filter(_._1 < 16).foreach { case (v, s, c) =>
+      assert(c == v, s"seed vector $v coded to $c in subspace $s")
+    }
+    val pq = Similarity.pqTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(pq.map(_._1).distinct.length == 8)
+    assert(pq.groupBy(_._1).forall(_._2.length == 5))
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    assert(pq.forall { case (q, _, c) => c <= bruteBest(q) + 1e-9 })
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    val recall = pq.count(p => bruteSet.contains((p._1, p._2))).toDouble / brute.length
+    info(f"PQ recall@5 vs brute: $recall%.2f (m=8, ksub=16, overfetch=4, random data)")
+    assert(recall > 0.0)
+  }
+
   test("connected components: chains merge, disjoint clusters stay apart") {
     import spark.implicits._
     // {1,2,3,10} via a chain + a long bridge, {7,8} separate: propagation
