@@ -276,6 +276,89 @@ object Similarity {
     scoreTopK(persistCand(pqCandidates(embeddings, nQueries, k)),
       embeddings, nQueries, k)
 
+  // ----------------------------------------------------- IVF-PQ (residual)
+  /** IVF-PQ — the production vector-index layout (FAISS IVFPQ): a coarse
+    * IVF quantizer splits the corpus into buckets, and each vector stores
+    * only its bucket id + the PQ codes of its RESIDUAL (x − centroid).
+    * Residual encoding matters: residuals concentrate near 0, so one
+    * shared codebook covers every bucket far better than raw-vector PQ.
+    * A query probes its `nprobe` nearest buckets and scores candidates by
+    * ADC against a PER-(query, bucket) dot table — the query's residual
+    * differs per bucket.
+    *
+    * Scale shape: bucket assignment and residual computation are one
+    * broadcast-centroid pass (narrow); the residual zip_with runs once per
+    * ROW (fine-per-row HOF); codes come from the same broadcast-codebook
+    * join as [[pqCodes]]; the ADC table is queries × probes × codebook —
+    * still broadcast-tiny; candidate scoring joins ONLY the probed
+    * buckets' codes on (c_id, s, code). The corpus is never touched with
+    * a full-width vector op, and the index pages the probe reads are
+    * `nprobe/nlist` of m-byte codes, not floats. */
+  def ivfpqCandidates(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      subDim: Int = 8, overfetch: Int = 4): DataFrame = {
+    val toDouble = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val centroids = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), toDouble(col("embedding")).as("c_emb"))
+    // (vec_id, c_id, residual): one broadcast pass, residual per row
+    val assigned = assignClusters(embeddings, nlist)
+      .join(broadcast(centroids), "c_id")
+      .select(col("vec_id"), col("c_id"),
+        zip_with(toDouble(col("embedding")), col("c_emb"), (x, c) => x - c).as("res"))
+    // shared residual codebook: first-ksub vectors' residual slices
+    val codebook = pqCodebook(
+      assigned.select(col("vec_id"), col("res").as("embedding")), m, ksub, subDim)
+    val codes = pqCodes(
+      assigned.select(col("vec_id"), col("res").as("embedding")),
+      codebook, m, subDim)
+      .join(assigned.select("vec_id", "c_id"), "vec_id")
+    // probed buckets per query (same probe rule as ivfCandidates), each
+    // carrying the bucket's inner-product offset ⟨q, c⟩: the decomposition
+    // ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, x−c⟩ ranks by RAW-query ADC over the residual
+    // codes plus this per-bucket constant (residualizing the query would
+    // be the L2 formulation, wrong for inner-product ranking)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("c_id"))
+    val probed = queries.join(broadcast(centroids))
+      .withColumn("qc_cos", VectorOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("c_id"),
+        VectorOps.dot(col("q_emb"), col("c_emb")).as("qc_dot"))
+    // ADC table from RAW query slices — shared across buckets, so it is
+    // queries × m × ksub regardless of nprobe
+    val qsubs = queries.select(col("q_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(toDouble(col("q_emb")), s * subDim + 1, subDim)): _*)).as(Seq("s", "qsub")))
+    val adc = qsubs.join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("j"),
+        VectorOps.dot(col("qsub"), col("cw")).as("qdot"))
+    // probe filter first (codes of probed buckets only), then table lookup
+    val approx = codes.withColumnRenamed("code", "j")
+      .join(broadcast(probed.select("q_id", "c_id")), "c_id")
+      .join(broadcast(adc), Seq("q_id", "s", "j"))
+      .groupBy("q_id", "vec_id", "c_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("qdot")))),
+          e => e.getField("qdot")),
+        lit(0.0), (acc, x) => acc + x).as("res_dot"))
+      .join(broadcast(probed), Seq("q_id", "c_id"))
+      .withColumn("adot", col("qc_dot") + col("res_dot"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("adot"), asc("vec_id"))
+    approx.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k * overfetch)
+      .select("q_id", "vec_id")
+  }
+
+  def ivfpqTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    scoreTopK(persistCand(ivfpqCandidates(embeddings, nQueries, k, nlist, nprobe)),
+      embeddings, nQueries, k)
+
   // ------------------------------------------- partitioned IVF index
   /** Schema the partitioned index reads back with — the partition column
     * declared LONG up front so probe joins hit it bare (a cast on the

@@ -553,6 +553,19 @@ object ExtQueries {
       Some(annRescoreSql("sim_topk_pq_cand")),
       "product-quantization ANN (ADC lookup scoring + exact candidate re-rank)"),
 
+    // IVF-PQ: coarse √n-bucket quantizer + PQ codes of the RESIDUALS —
+    // the FAISS-style production layout where the index stores m bytes
+    // per vector and a probe touches nprobe/nlist of them. Approx ranking
+    // uses the inner-product decomposition <q,x> = <q,c> + <q,x-c> (raw-
+    // query ADC tables + per-bucket offset); exact re-score of the
+    // overfetched candidates, DuckDB re-ranks the persisted set.
+    "sim_topk_ivfpq" -> Q(
+      (s, dir) => Similarity.ivfpqTopK(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "sim_topk_ivfpq_cand")),
+      Some(annRescoreSql("sim_topk_ivfpq_cand")),
+      "IVF-PQ ANN (residual codes, per-bucket ADC offset, exact re-rank)"),
+
     // Same ANN semantics served from the CLUSTER-PARTITIONED parquet
     // index: the probe joins the broadcast bucket list on the partition
     // column, so dynamic partition pruning reads nprobe/nlist of the index

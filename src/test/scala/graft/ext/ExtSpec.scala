@@ -255,6 +255,31 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("ivfpq ANN: well-formed top-k, bounded by brute scores, candidates within probed buckets") {
+    val ivfpq = Similarity.ivfpqTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.map(_._1).distinct.length == 8)
+    assert(ivfpq.groupBy(_._1).forall(_._2.length == 5))
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    assert(ivfpq.forall { case (q, _, c) => c <= bruteBest(q) + 1e-9 })
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    val recall = ivfpq.count(p => bruteSet.contains((p._1, p._2))).toDouble / brute.length
+    info(f"IVF-PQ recall@5 vs brute: $recall%.2f (nlist=16, nprobe=4, m=8, random data)")
+    assert(recall > 0.0)
+    // every candidate must come from a probed bucket — the probe filter is
+    // the whole point of the coarse quantizer
+    val cand = Similarity.ivfpqCandidates(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val assigned = Similarity.assignClusters(embs, 16)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probedPairs = cand.map { case (q, v) => (q, assigned(v)) }.toSet
+    assert(probedPairs.size <= 8 * 4,
+      s"candidates span ${probedPairs.size} (query, bucket) pairs — more than nQueries x nprobe")
+  }
+
   test("connected components: chains merge, disjoint clusters stay apart") {
     import spark.implicits._
     // {1,2,3,10} via a chain + a long bridge, {7,8} separate: propagation
