@@ -309,10 +309,12 @@ object Similarity {
     // shared residual codebook: first-ksub vectors' residual slices
     val codebook = pqCodebook(
       assigned.select(col("vec_id"), col("res").as("embedding")), m, ksub, subDim)
+    // both sides corpus-sized and data-dependent → shuffle_hash pin, the
+    // same auto-broadcast trap as the dedup bucket joins
     val codes = pqCodes(
       assigned.select(col("vec_id"), col("res").as("embedding")),
       codebook, m, subDim)
-      .join(assigned.select("vec_id", "c_id"), "vec_id")
+      .join(assigned.select("vec_id", "c_id").hint("shuffle_hash"), "vec_id")
     // probed buckets per query (same probe rule as ivfCandidates), each
     // carrying the bucket's inner-product offset ⟨q, c⟩: the decomposition
     // ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, x−c⟩ ranks by RAW-query ADC over the residual

@@ -113,6 +113,49 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "quality scoring: length/punctuation/stopword ratios"),
 
+    // Model-based quality scoring — the fastText-shaped gate (linear model
+    // over token features + sigmoid) that curation pipelines run after the
+    // heuristic filters. The "model" is a broadcast (token → weight) table
+    // — at 100 TB the classifier is exactly this: a fixed vocab-sized
+    // weight table map-joined against the exploded corpus at scan speed,
+    // one doc-keyed sum. Weights live in integer MILLIONTHS so the per-doc
+    // sum is exact long arithmetic (order-independent — no float-sum
+    // nondeterminism); only the final per-doc sigmoid is floating point.
+    // The weight table is persisted (OracleAux), so DuckDB re-scores the
+    // corpus against the very same model.
+    "quality_classifier" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val weights = OracleAux.persist(dir, "quality_weights")(
+          toks.select("tok").distinct()
+            .select(col("tok"),
+              (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
+                .as("w_millionths")))
+        toks.join(broadcast(weights), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("w_millionths").as("w_sum"))
+          .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+            round(lit(1.0) / (lit(1.0)
+              + exp(-col("w_sum").cast("double") / lit(1000000.0))), 6).as("score"))
+          .withColumn("keep", col("score") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_weights")})),
+              |toks AS (
+              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(w_millionths) AS BIGINT) AS w_sum
+              |  FROM toks JOIN w USING (tok) GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, w_sum, score, (score >= 0.5) AS keep FROM (
+              |  SELECT doc_id, n_tokens, w_sum,
+              |    round(1.0 / (1.0 + exp(-CAST(w_sum AS DOUBLE) / 1000000.0)), 6) AS score
+              |  FROM scored)
+              |ORDER BY doc_id""".stripMargin),
+      "linear quality classifier: broadcast weight table, exact integer sums, sigmoid gate"),
+
     // Character-level Shannon entropy — the gibberish/boilerplate signal
     // (low: repeated filler; high: encrypted/binary junk) every corpus
     // quality gate carries. Two keyed aggregations ((doc, char) → doc);

@@ -216,6 +216,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: sane sigmoid scores, keep gate consistent with score") {
+    val rows = graft.queries.ExtQueries.all("quality_classifier")
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, wSum, score, keep) =>
+      assert(score > 0 && score < 1, s"doc $id: sigmoid out of range: $score")
+      assert(keep == (score >= 0.5), s"doc $id: keep flag inconsistent")
+      // weights are bounded by ±0.5 per token, so the sum is too
+      assert(math.abs(wSum) <= nTok * 500000L, s"doc $id: weight sum out of bounds")
+    }
+    // a hash-derived model must not degenerate to one side of the gate
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "scores should straddle the 0.5 gate on a hash-weighted vocabulary")
+  }
+
   test("char entropy: bounded by log2 of the alphabet, positive on real text") {
     val rows = graft.queries.ExtQueries.all("text_entropy")
       .fn(spark, sf("sf0.001")).collect()

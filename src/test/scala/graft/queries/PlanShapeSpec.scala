@@ -231,4 +231,47 @@ class PlanShapeSpec extends SparkSpec {
         "plan construction with an explicit nlist must not run Spark jobs")
     } finally sc.clearJobGroup()
   }
+
+  test("embed_quantize: narrow scan-speed plan — only the output sort exchanges") {
+    val plan = explained("embed_quantize")
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("dedup_lines: three keyed exchanges plus the output sort, zero joins") {
+    val plan = explained("dedup_lines")
+    // doc-chunk assembly, chunk-text first-occurrence window, doc survival
+    // agg, then the deterministic output sort — and nothing else
+    assert("Exchange".r.findAllIn(plan).size == 4, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("text_entropy: two keyed aggregations plus the output sort, zero joins") {
+    val plan = explained("text_entropy")
+    assert("Exchange".r.findAllIn(plan).size == 3, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("PQ ANN: codebook/ADC lookups broadcast; no sort-merge or cartesian anywhere") {
+    val plan = explainDf(Similarity.pqCandidates(
+      table(spark, sf("sf0.001"), "embeddings")))
+    // subspace→codebook assignment join + ADC lookup join are both
+    // broadcast (the codebook is m·ksub rows at any corpus size)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("IVF-PQ: corpus-sized code/bucket join keeps its shuffle_hash pin; probe joins broadcast") {
+    val plan = explainDf(Similarity.ivfpqCandidates(
+      table(spark, sf("sf0.001"), "embeddings")))
+    // codes ⋈ bucket-assignment: both sides corpus-sized → must stay
+    // a shuffled hash join, never auto-broadcast or sort-merge
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // probe filter + ADC table + offset joins ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
 }
