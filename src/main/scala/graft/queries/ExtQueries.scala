@@ -113,6 +113,50 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "quality scoring: length/punctuation/stopword ratios"),
 
+    // Unigram language-model scoring — the CCNet/KenLM-shaped quality
+    // signal: train token frequencies ON the corpus (one groupBy), then
+    // score every document by its average per-token negative
+    // log-likelihood (low = stereotypical text, high = rare-token junk).
+    // The model join is a broadcast (vocab ≪ corpus; a production run
+    // prunes to a top-k vocab first); per-doc NLL terms fold in token
+    // order so the double sum is bit-identical across engines.
+    "text_lm_score" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+        val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum("cnt").cast("double").as("total"))
+        toks.join(broadcast(counts), "tok")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("pos"),
+            (log2(col("total")) - log2(col("cnt").cast("double"))).as("nll"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            transform(array_sort(collect_list(struct(col("pos"), col("nll")))),
+              e => e.getField("nll")).as("arr"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(aggregate(col("arr"), lit(0.0), (a, x) => a + x)
+              / col("n_tokens"), 6).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+             |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+             |  FROM documents),
+             |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+             |terms AS (
+             |  SELECT doc_id, pos, log2(total) - log2(CAST(cnt AS DOUBLE)) AS nll
+             |  FROM toks JOIN counts USING (tok) CROSS JOIN total),
+             |packed AS (
+             |  SELECT doc_id, count(*) AS n_tokens, list(nll ORDER BY pos) AS arr
+             |  FROM terms GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, round(list_sum(arr) / n_tokens, 6) AS avg_nll
+             |FROM packed ORDER BY doc_id""".stripMargin),
+      "corpus-trained unigram LM: per-doc average negative log-likelihood"),
+
     // Model-based quality scoring — the fastText-shaped gate (linear model
     // over token features + sigmoid) that curation pipelines run after the
     // heuristic filters. The "model" is a broadcast (token → weight) table
@@ -431,6 +475,41 @@ object ExtQueries {
               |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '')) AS kept_fp
               |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "line-level exact dedup: first occurrence wins per 10-token chunk"),
+
+    // The REMOVAL step dedup exists for: compact the corpus to one
+    // representative (the min-id member) per near-dup cluster. Survivors =
+    // corpus MINUS non-representative cluster members, via a broadcast
+    // anti join (the removal list is duplicate-sized, orders of magnitude
+    // smaller than the corpus). DuckDB replays the same recursive-CTE
+    // components over the persisted pair set and the same anti join.
+    "dedup_compact" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = OracleAux.persist(dir, "dedup_compact_pairs")(
+          Dedup.simhashPairs(docs).select("id_a", "id_b"))
+        val removed = Dedup.duplicateClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        Dedup.planted(docs)
+          .join(broadcast(removed), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |planted AS ($plantedSql),
+              |pairs AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_compact_pairs")})),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, dst AS r FROM edges
+              |  UNION
+              |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+              |lab AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+              |removed AS (SELECT id FROM lab WHERE id <> cluster_id)
+              |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+              |FROM planted WHERE doc_id NOT IN (SELECT id FROM removed)
+              |ORDER BY doc_id""".stripMargin),
+      "corpus compaction: drop non-representative near-dup cluster members"),
 
     "dedup_token_jaccard" -> Q(
       (s, dir) => Dedup.tokenJaccardPairs(table(s, dir, "documents"), 150, 0.5),

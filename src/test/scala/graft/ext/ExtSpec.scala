@@ -216,6 +216,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("lm score: frequent-token docs score lower than rare-token docs on average") {
+    val rows = graft.queries.ExtQueries.all("text_lm_score")
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, nll) =>
+      assert(n > 0 && nll > 0, s"doc $id: degenerate LM score ($n tokens, nll $nll)")
+    }
+    // avg NLL is bounded by the rarest single token's NLL (≤ log2(total))
+    val totalTokens = rows.map(_._2).sum.toDouble
+    val bound = math.log(totalTokens) / math.log(2)
+    rows.foreach { case (id, _, nll) =>
+      assert(nll <= bound + 1e-9, s"doc $id: nll $nll above log2(corpus total)")
+    }
+  }
+
+  test("compaction: survivors = corpus minus non-representative cluster members") {
+    val docs2 = docs
+    val survivors = graft.queries.ExtQueries.all("dedup_compact")
+      .fn(spark, sf("sf0.001")).collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.simhashPairs(docs2).select("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val removed = clusters.collect { case (d, c) if d != c => d }.toSet
+    val all = Dedup.planted(docs2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- removed)
+    // every cluster keeps exactly its representative
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(survivors.contains(cid), s"cluster $cid lost its representative")
+      members.map(_._1).filter(_ != cid).foreach(m =>
+        assert(!survivors.contains(m), s"non-representative $m survived"))
+    }
+  }
+
   test("quality classifier: sane sigmoid scores, keep gate consistent with score") {
     val rows = graft.queries.ExtQueries.all("quality_classifier")
       .fn(spark, sf("sf0.001")).collect()
