@@ -856,6 +856,31 @@ object ExtQueries {
              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
       "sliding 1-hour/15-min windowed aggregation (4 windows per event)"),
 
+    // Sequence mining: per-user event-type transition counts (the Markov
+    // edges of the user journey — funnel discovery's raw material). ONE
+    // user_id shuffle for the ordered lead, one (from, to) aggregation
+    // over a domain bounded by |event_types|² — at any corpus size the
+    // output is tiny and the work is the keyed sort.
+    "events_transitions" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+             |  FROM events)
+             |SELECT from_type, to_type, count(*) AS n
+             |FROM seq WHERE to_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin),
+      "user-journey transition mining: event-type bigram counts (Markov edges)"),
+
     "events_props" -> Q(
       (s, dir) => Sessionize.propsStats(events(s, dir)),
       Some("""SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,

@@ -216,6 +216,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("transitions: edge counts conserve events (n_events - n_users)") {
+    val ev = graft.queries.Registry.events(spark, sf("sf0.001"))
+    val edges = graft.queries.ExtQueries.all("events_transitions")
+      .fn(spark, sf("sf0.001")).collect()
+    val total = edges.map(_.getLong(2)).sum
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(total == nEvents - nUsers,
+      s"every user contributes len-1 transitions: $total != $nEvents - $nUsers")
+    assert(edges.map(r => (r.getString(0), r.getString(1))).distinct.length == edges.length)
+  }
+
   test("lm score: frequent-token docs score lower than rare-token docs on average") {
     val rows = graft.queries.ExtQueries.all("text_lm_score")
       .fn(spark, sf("sf0.001")).collect()
