@@ -166,6 +166,23 @@ object EtlQueries {
         "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
       "JSON sink + schema'd read-back roundtrip"),
 
+    // ORC source/sink twin of the CSV/JSON roundtrips — the third columnar
+    // format Spark serves natively (same oracle as etl_pipeline: the
+    // roundtrip must be lossless). Doubles survive exactly: ORC stores
+    // IEEE754 natively, no text repr involved.
+    "etl_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_orc")
+          .resolve("out").toString
+        Transform.transform(RawSource.syntheticRaw(s, dir))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("p_partkey")
+      },
+      Some(withRaw(s"SELECT * FROM ($cleanedSelectSql) " +
+        "WHERE price IS NOT NULL AND rating IS NOT NULL AND colors IS NOT NULL " +
+        "AND size IS NOT NULL AND gender IS NOT NULL ORDER BY p_partkey")),
+      "ORC sink + read-back roundtrip (native IEEE754, schema carried by the file)"),
+
     // S2 page-URL generator as a parallelizable range scan
     // (/root/reference/utils/extract.py:99-100 is a serial loop).
     "etl_page_urls" -> Q(
