@@ -375,6 +375,54 @@ object Similarity {
     assignClusters(embeddings, nlist)
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
 
+  /** Cluster assignment against an EXPLICIT centroid table — the form
+    * incremental maintenance needs: the quantizer must stay frozen across
+    * batches (re-deriving seeds from each batch would re-bucket the world).
+    * Same broadcast + per-vector window shape as [[assignClusters]]. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+    vectors.join(broadcast(centroids))
+      .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+  }
+
+  /** [[buildIvfIndex]] with a frozen centroid table (the incremental-
+    * maintenance twin of the seed-derived build). */
+  def buildIvfIndexFrom(vectors: DataFrame, centroids: DataFrame, path: String): Unit =
+    assignToCentroids(vectors, centroids)
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+
+  /** Merge one batch of new/updated vectors into the partitioned index,
+    * rewriting ONLY the touched buckets: assign the batch (broadcast
+    * centroids, narrow), read back just those buckets (partition-pruned
+    * scan), keep existing rows the batch doesn't replace, and let DYNAMIC
+    * partition overwrite swap exactly the buckets present in the output.
+    * Maintenance cost scales with the batch's bucket footprint, never
+    * with index size — the property that makes a 100 TB index servable
+    * while it ingests. Batch wins on vec_id collision (last write). */
+  def indexUpsertBatch(batch: DataFrame, centroids: DataFrame,
+      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val assigned = assignToCentroids(batch, centroids).localCheckpoint()
+    if (assigned.isEmpty) return
+    val touched = assigned.select("c_id").distinct()
+    val existing = spark.read
+      .schema(IvfIndexSchema).parquet(indexPath)
+      .join(broadcast(touched), "c_id")
+      .select("vec_id", "embedding", "c_id")
+    val kept = existing.join(assigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.unionByName(assigned.select("vec_id", "embedding", "c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(indexPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** ANN candidates from the PARTITIONED index: the probed (q_id, c_id)
     * bucket list (tiny — queries × nprobe rows) is broadcast and joined on
     * the partition column, so Spark's dynamic partition pruning skips

@@ -242,6 +242,20 @@ object StreamingOps {
       }.toDF()
   }
 
+  /** Streaming maintenance of the cluster-partitioned IVF index: each
+    * micro-batch of new/updated vectors merges into ONLY its touched
+    * buckets ([[graft.ext.Similarity.indexUpsertBatch]] — dynamic
+    * partition overwrite). The centroid table is frozen by the caller:
+    * the quantizer must not drift across batches. */
+  def indexUpsertStream(vectors: DataFrame, centroids: DataFrame,
+      indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Similarity.indexUpsertBatch(batch, centroids, indexPath)
+      }
+
   /** Streaming twin of the batch `events_transitions` query: per-user
     * event-type transition edges emitted incrementally. State is ONE
     * (ts, event_id, type) triple per user — O(1), the unbounded-input

@@ -374,6 +374,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivf index upsert stream: incremental merges converge to the from-scratch build") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val embs = graft.queries.Registry.table(spark, dir, "embeddings")
+    val centroids = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_upsert")
+    val incPath = root.resolve("inc").toString
+    val fullPath = root.resolve("full").toString
+    // base index from the even vectors; odds arrive as two streamed batches
+    Similarity.buildIvfIndexFrom(embs.filter(col("vec_id") % 2 === 0), centroids, incPath)
+    val odds = embs.filter(col("vec_id") % 2 === 1)
+    val mid = odds.agg(expr("percentile(vec_id, 0.5)")).collect().head.getDouble(0).toLong
+    val stage = root.resolve("stage")
+    java.nio.file.Files.createDirectory(stage)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(odds.filter(col("vec_id") < mid), "a.parquet", t0 - 60000)
+    writeOne(odds.filter(col("vec_id") >= mid), "b.parquet", t0)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .select("vec_id", "embedding")
+    val q = StreamingOps.indexUpsertStream(stream, centroids, incPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    Similarity.buildIvfIndexFrom(embs, centroids, fullPath)
+    def content(p: String) = spark.read.schema(Similarity.IvfIndexSchema).parquet(p)
+      .select("vec_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(content(incPath) == content(fullPath),
+      "incrementally maintained index diverged from the from-scratch build")
+  }
+
+  test("ivf index upsert: a one-vector batch rewrites only its bucket") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val embs = graft.queries.Registry.table(spark, dir, "embeddings")
+    val centroids = embs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_onevec").toString
+    Similarity.buildIvfIndexFrom(embs, centroids, path)
+    def bucketFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("c_id="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    // clone vector 0 under a fresh id: same embedding → same bucket
+    val newVec = embs.filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    Similarity.indexUpsertBatch(newVec, centroids, path)
+    val after = bucketFiles()
+    val home = Similarity.assignToCentroids(newVec, centroids)
+      .collect().head.getLong(2)
+    val changed = before.keySet.filter(b => before(b) != after.getOrElse(b, Set.empty))
+    assert(changed == Set(s"c_id=$home"),
+      s"expected only bucket c_id=$home rewritten, got $changed")
+    val got = spark.read.schema(Similarity.IvfIndexSchema).parquet(path)
+    assert(got.filter(col("vec_id") === 999999L).count() == 1)
+    assert(got.count() == embs.count() + 1)
+  }
+
   test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
     import org.apache.spark.sql.functions._
     val raw = graft.queries.Registry.table(spark, dir, "events")
