@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sessionize, Similarity, TextStats, Upsert}
+import graft.ext.{Dedup, Indexing, Multimodal, Sessionize, Similarity, TextStats, Upsert}
 import graft.queries.Registry.{events, table}
 
 /** LLM-training-data-pipeline operators (BASELINE.json north star) as
@@ -45,15 +45,17 @@ object ExtQueries {
     * the one-off index materialization of a vector-serving pipeline
     * ([[graft.ext.Similarity.buildIvfIndex]]). Keyed by sf basename like
     * OracleAux so scales can't clobber each other. */
+  // the on-disk path carries a digest of the FULL dir, not just its
+  // basename — two corpora named "sf0.1" (harness vs probe copy) must
+  // never overwrite each other's artifacts
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[queries] def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
     ivfIndexCache.getOrElseUpdate(dir, {
-      // the on-disk path carries a digest of the FULL dir, not just its
-      // basename — two corpora named "sf0.1" (harness vs probe copy) must
-      // never overwrite each other's index
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}-$digest"
+      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}-${dirDigest(dir)}"
       graft.ext.Similarity.buildIvfIndex(table(s, dir, "embeddings"), ivfNlist(s, dir), path)
       path
     })
@@ -68,9 +70,7 @@ object ExtQueries {
   private[queries] def simhashPairsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val path = pairsCache.getOrElseUpdate(dir, {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val p = s"/tmp/graft_pairs/${new java.io.File(dir).getName}-$digest"
+      val p = s"/tmp/graft_pairs/${new java.io.File(dir).getName}-${dirDigest(dir)}"
       graft.ext.Dedup.simhashPairs(table(s, dir, "documents"))
         .select("id_a", "id_b")
         .write.mode("overwrite").parquet(p)
@@ -220,6 +220,50 @@ object ExtQueries {
               |  FROM scored)
               |ORDER BY doc_id""".stripMargin),
       "linear quality classifier: broadcast weight table, exact integer sums, sigmoid gate"),
+
+    // TF-IDF term weighting — the classic retrieval/keyword feature over
+    // the corpus: one explode, a (doc, tok) partial-agg'd count, a
+    // broadcast document-frequency join (vocab ≪ corpus), and a per-doc
+    // top-3 window. Ranking happens on the ROUNDED score in BOTH engines
+    // (then token as tie-break) so an ulp of ln() drift can never flip
+    // the cross-engine ordering.
+    "text_tfidf" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("tok"))
+        tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6)
+              .as("tfidf"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tok,
+             |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+             |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, tok, tfidf,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, tok) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, tok, tfidf FROM ranked
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      "TF-IDF keyword extraction: per-doc top-3 terms (broadcast DF join + window)"),
 
     // Character-level Shannon entropy — the gibberish/boilerplate signal
     // (low: repeated filler; high: encrypted/binary junk) every corpus
@@ -728,6 +772,51 @@ object ExtQueries {
       },
       Some(annRescoreSql("sim_topk_ivf_idx_cand")),
       "ANN top-k over the cluster-partitioned IVF index (partition-pruned probe)"),
+
+    // Incremental maintenance of the cluster-partitioned IVF index as a
+    // REGISTERED operator: base index from the even vectors (frozen
+    // 16-centroid quantizer), then the odd vectors merge in as one upsert
+    // batch — dynamic partition overwrite rewrites ONLY the touched
+    // buckets, so maintenance cost follows the batch's bucket footprint,
+    // never the index size (Similarity.indexUpsertBatch scaladoc). The
+    // oracle IS the operator's contract: the from-scratch build over the
+    // full corpus is persisted (OracleAux) and DuckDB hash-compares the
+    // incrementally-maintained content against it — merge ≡ rebuild.
+    // Deliberately un-cached: every invocation pays the real build+merge,
+    // so Bench times the maintenance path itself.
+    "index_upsert" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val path =
+          s"/tmp/graft_ivf_upsert/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+        Similarity.buildIvfIndexFrom(
+          e.filter(col("vec_id") % 2 === 0), centroids, path)
+        Similarity.indexUpsertBatch(
+          e.filter(col("vec_id") % 2 === 1), centroids, path)
+        OracleAux.persist(dir, "index_upsert_full")(
+          Similarity.assignToCentroids(e, centroids).select("vec_id", "c_id"))
+        s.read.schema(Similarity.IvfIndexSchema).parquet(path)
+          .select(col("vec_id"), col("c_id")).orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, c_id
+              |FROM read_parquet(${OracleAux.duckGlob("index_upsert_full")})
+              |ORDER BY vec_id""".stripMargin),
+      "incremental IVF index maintenance (bucket-footprint merge ≡ rebuild)"),
+
+    // Global contiguous row numbering done the scale-safe way (sort-then-
+    // offset via zipWithIndex, Indexing scaladoc) — vs the naive
+    // Window.orderBy form that sorts the world in ONE task. The training-
+    // data use case: assigning stable sample ids to a packed corpus.
+    "global_index" -> Q(
+      (s, dir) => Indexing.globalIndex(
+          table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "scalable global row numbering (range shuffle + partition-offset zipWithIndex)"),
 
     "sim_topk_lsh" -> Q(
       (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings"),

@@ -410,4 +410,17 @@ class ExtSpec extends SparkSpec {
     assert(feats.forall(f => f.width >= 64 && f.height >= 64))
     assert(feats.map(_.media_type).toSet == Set("image/png", "audio/wav", "video/mp4"))
   }
+
+  test("global index: contiguous 0..n-1, order-aligned, input-partitioning-invariant") {
+    val base = docs.select("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Indexing.globalIndex(df, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val idx = run(base)
+    val n = base.count()
+    assert(idx.length == n)
+    assert(idx.map(_._2) == idx.map(_._2).sorted, "index not ascending with doc_id")
+    assert(idx.map(_._2).toSet == (0L until n).toSet, "index not contiguous 0..n-1")
+    assert(run(base.repartition(17)) == idx, "index depends on input partitioning")
+  }
 }
