@@ -1,0 +1,57 @@
+package graft.ext
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.types.BinaryType
+
+/** Runtime bloom-filter join pruning: build a compact membership sketch
+  * of the dimension-side join keys and filter the fact table with it
+  * BEFORE the exact join.
+  *
+  * Why this matters at 100 TB: a selective dim-side predicate ("BUILDING
+  * customers") keeps only a fraction of join keys, but a shuffle join
+  * still moves EVERY fact row. When the dim side is too large to
+  * broadcast-hash-join outright, its bloom filter still fits in a few MB
+  * — shipping the sketch and filtering at the scan cuts shuffle input by
+  * the dim's selectivity at the cost of the configured false-positive
+  * rate. This is exactly Spark's own AQE `InjectRuntimeFilter` shape,
+  * materialized explicitly so the pruning is plan-visible and testable.
+  *
+  * The sketch is built with the public `DataFrameStatFunctions.bloomFilter`
+  * (one distributed aggregate over the dim keys) and probed with
+  * Catalyst's codegen'd `BloomFilterMightContain` — both sides use the
+  * same `putLong`/`mightContainLong` hashing, so every true key passes.
+  * The exact join afterwards removes the false positives, so results are
+  * bit-identical to the unpruned join.
+  */
+object BloomPrune {
+
+  /** A plan-embeddable `might_contain(sketch, key)` predicate. The sketch
+    * rides the plan as a binary literal — at cluster scale it is
+    * broadcast once per executor like any literal, NOT per-task. */
+  def mightContain(dim: DataFrame, dimKey: String, expectedKeys: Long,
+      fpp: Double, factKey: Column): Column = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(out.toByteArray, BinaryType),
+      GraftColumnBridge.expression(factKey)))
+  }
+
+  /** Prune `fact` to rows whose `factKey` might be in `dim.dimKey`, then
+    * left-semi join to drop the sketch's false positives. Semantically a
+    * plain semi join; physically the semi join's shuffle reads only the
+    * bloom survivors. */
+  def semiJoinPruned(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    fact
+      .filter(mightContain(dim, dimKey, expectedKeys, fpp, col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+}

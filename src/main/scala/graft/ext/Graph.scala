@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists. The flagship is a
+  * FIXED-POINT PageRank: ranks are integers scaled by 1e6 and every
+  * per-edge contribution is integer division, so the result is
+  * bit-identical regardless of partitioning, engine, or summation order —
+  * floating-point PageRank cannot be hash-compared across engines because
+  * `sum(double)` depends on reduction order.
+  *
+  * Update rule (damping 0.85, scaled by 1e6):
+  *   contrib(e) = (pr(src) * 85) div (100 * outdeg(src))
+  *   pr'(node)  = 150000 + Σ incoming contrib
+  *
+  * Scale shape per iteration: one hash join of the rank table (|V| rows)
+  * onto the edge list keyed by src, one groupBy dst — both shuffle on a
+  * graph key, and the edge list's exchange is reused across iterations
+  * (ReusedExchange; at cluster scale the edge list would be
+  * checkpoint-materialized once instead of recomputed, same plan shape).
+  * Rank tables are |V|-sized — candidates for broadcast when V is small
+  * relative to E, which AQE decides per iteration.
+  */
+object Graph {
+
+  /** Directed co-occurrence edges: (src, dst) part pairs appearing in the
+    * same order, both directions, deduplicated. One self-equi-join on the
+    * order key + one distinct — shuffles keyed on l_orderkey then on the
+    * pair. Pair multiplicity per order is bounded by order width (~7
+    * lines), so the join fans out by a constant, not by data size. */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = lineitem.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    a.join(b, "l_orderkey")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** `iters` rounds of the fixed-point update over a symmetric edge list
+    * (every node with an in-edge has an out-edge, so no dangling mass).
+    * Returns (node, pr) with pr scaled by 1e6. */
+  def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(pr * 85) div (100 * outdeg)").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(150000L) + sum("contrib")).as("pr"))
+        .select(col("node"), col("pr"))
+    }
+    ranks
+  }
+}

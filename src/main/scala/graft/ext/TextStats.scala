@@ -123,4 +123,80 @@ object TextStats {
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
   }
+
+  // --------------------------------------------------------------- BM25
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * (k1 = 1.2, b = 0.75) — the standard lexical scorer for corpus
+    * curation (rank-then-keep against a topical seed query).
+    *
+    * Scale shape: term frequencies are computed AFTER filtering the
+    * exploded token stream to the |terms| query terms, so the one shuffle
+    * is keyed on (doc, term) over matching tokens only — corpus width
+    * never hits an exchange. Document frequencies and the corpus-level
+    * (N, avgdl) are dim-sized aggregates joined back via broadcast.
+    *
+    * Determinism: the per-term partial scores are summed in the FIXED
+    * order of `terms` (an explicit coalesce chain, not a float `sum()`
+    * aggregate), so the double result is bit-stable across partitionings
+    * and engines — the DuckDB twin mirrors the exact expression tree.
+    * Returns (doc_id, bm25) for the `topN` highest-scoring docs, ranked
+    * on the 6-dp-rounded score with doc_id tiebreak. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0).as("toks"))
+    val dls = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      col("toks"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = dls
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))))
+      .withColumn("sc",
+        col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    val pinned = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)))
+    scored.groupBy("doc_id")
+      .agg(pinned.reduceLeft(_ + _).as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(topN)
+  }
+
+  /** The DuckDB twin of [[bm25]] — same expression tree, same pinned
+    * summation order, same (1 - b) = 0.25 constant folding. */
+  def bm25Sql(terms: Seq[String], topN: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pinned = terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0.0)").mkString("\n    + ")
+    s"""WITH dls AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls)
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT t.doc_id, t.term,
+       |    ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5)) *
+       |      ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / s.avgdl)))) AS sc
+       |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, round($pinned, 6) AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $topN""".stripMargin
+  }
 }

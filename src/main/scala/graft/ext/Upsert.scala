@@ -41,4 +41,33 @@ object Upsert {
   def merge(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       orderCols: Seq[Column]): DataFrame =
     base.join(latestPerKey(updates, keyCols, orderCols), keyCols, "full_outer")
+
+  /** SCD Type-2 dimension build: compress a key'd change log into
+    * validity-interval versions. Consecutive rows (per key, ordered by
+    * `(tsCol, tiebreakCol)`) with an UNCHANGED `attrCol` collapse into one
+    * version; each surviving change opens an interval `[valid_from,
+    * valid_to)` closed by the next change (`valid_to IS NULL` = current).
+    *
+    * This is the warehouse-side complement of [[merge]]: merge keeps only
+    * the latest state, SCD2 keeps full history queryable by as-of joins.
+    *
+    * Scale shape: both window passes (change detection, then
+    * lead/row_number over the survivors) partition on the SAME key, so
+    * the plan carries ONE hash exchange on `keyCol` with two Window
+    * operators above it — O(changelog) with per-key sort, no joins. */
+  def scd2(updates: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    val changes = updates
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .drop("__prev")
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+  }
 }

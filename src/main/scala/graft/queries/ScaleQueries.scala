@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{BloomPrune, Graph, TextStats, Upsert, ZOrder}
+import graft.queries.Registry.table
+
+/** Scale-infrastructure operators: the plumbing a 100 TB deployment needs
+  * AROUND the analytics — runtime join pruning, physical data layout,
+  * integrity audits, history tracking (SCD2), distribution profiling, and
+  * graph/relevance analytics. Every query here is ANSI-expressible and
+  * DuckDB-hash-gated; floating aggregates follow the house determinism
+  * contract (fixed summation order or final rounding, SURVEY §7.4).
+  */
+object ScaleQueries {
+
+  /** Fixed BM25 seed query over the synthetic corpus vocabulary. */
+  private val Bm25Terms = Seq("hash", "join", "scan", "vector", "stream")
+
+  def all: Map[String, Q] = Map(
+
+    // ------------------------------------------------- runtime pruning
+    // Bloom-prune orders against the BUILDING customer set, then exact
+    // semi join (drops sketch false positives → bit-identical to a plain
+    // semi join, which is what the oracle runs). expectedKeys is a fixed
+    // stats-derived bound: oversizing only pads the sketch, undersizing
+    // only raises the FP rate — never correctness.
+    "join_bloom_pruned" -> Q(
+      (s, dir) => {
+        val dim = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        BloomPrune.semiJoinPruned(
+            table(s, dir, "orders"), "o_custkey", dim, "c_custkey",
+            expectedKeys = 1L << 16, fpp = 0.01)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |WHERE o_custkey IN
+             |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "bloom-filter runtime join pruning: sketch-filter the fact scan, exact semi join after"),
+
+    // --------------------------------------------------- physical layout
+    // Morton-key the (l_partkey, l_suppkey) plane and report per-quadrant
+    // min/max spans — the stats a file-skipping reader would prune on.
+    // Dimensions are range-normalized to the full 16-bit domain first
+    // (exact integer arithmetic; the min/max come from table stats — the
+    // one-row aggregate here stands in for catalog metadata at scale), so
+    // the top Z bits always split the occupied key space into quadrants.
+    // Both engines compute the identical 5-round shift/mask interleave.
+    "layout_zorder" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        val stats = li.agg(
+          min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+          min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+        li.crossJoin(broadcast(stats))
+          .withColumn("nx",
+            expr("((l_partkey - minp) * 65535) div greatest(maxp - minp, 1)"))
+          .withColumn("ny",
+            expr("((l_suppkey - mins) * 65535) div greatest(maxs - mins, 1)"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            ZOrder.zvalue16(col("nx"), col("ny")).as("z"))
+          .groupBy(shiftright(col("z"), 26).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+            min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH s AS (
+             |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+             |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+             |  FROM lineitem),
+             |n AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    ((l_partkey - minp) * 65535) // greatest(maxp - minp, 1) AS nx,
+             |    ((l_suppkey - mins) * 65535) // greatest(maxs - mins, 1) AS ny
+             |  FROM lineitem, s)
+             |SELECT CAST((${ZOrder.zvalue16Sql("nx", "ny")}) >> 26 AS INTEGER) AS bucket,
+             |  count(*) AS n,
+             |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin),
+      "Z-order (Morton) clustering key: per-quadrant min/max spans for file skipping"),
+
+    // ----------------------------------------------------- integrity audit
+    // Order-independent per-group content checksum: canonical row string →
+    // md5 → 48-bit int → bit_xor + count + lexical min/max digest. The
+    // cross-replica audit a 100 TB pipeline runs after every backfill —
+    // one scan, constant state per group, no shuffle wider than the keys.
+    "audit_checksum" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          md5(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").cast("string"),
+            unix_micros(col("o_orderdate").cast("timestamp")).cast("string")).cast("binary")).as("h"))
+        .select(col("o_orderpriority"), col("h"),
+          conv(substring(col("h"), 1, 12), 16, 10).cast("long").as("h48"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(h48)").as("xor48"),
+          min("h").as("h_min"), max("h").as("h_max"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH f AS (
+             |  SELECT o_orderpriority,
+             |    md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+             |      CAST(o_custkey AS VARCHAR), o_orderstatus,
+             |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             |      CAST(epoch_us(o_orderdate) AS VARCHAR))) AS h
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  bit_xor(CAST('0x' || substr(h, 1, 12) AS BIGINT)) AS xor48,
+             |  min(h) AS h_min, max(h) AS h_max
+             |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "order-independent table checksum (md5 row fingerprint, bit_xor fold) for replica audits"),
+
+    // ---------------------------------------------------------- history
+    "scd2_build" -> Q(
+      (s, dir) => Upsert.scd2(
+          table(s, dir, "orders")
+            .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+          keyCol = "o_custkey", attrCol = "o_orderpriority",
+          tsCol = "o_orderdate", tiebreakCol = "o_orderkey")
+        .orderBy("o_custkey", "version"),
+      Some("""WITH ordered AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             |    lag(o_orderpriority) OVER
+             |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders),
+             |changes AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+             |  FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey, o_orderpriority,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  CAST(row_number() OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version,
+             |  (lead(o_orderdate) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+             |FROM changes ORDER BY o_custkey, version""".stripMargin),
+      "SCD Type-2 build: change-compressed validity intervals per key, one exchange"),
+
+    // ------------------------------------------------------- profiling
+    "agg_histogram" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          least(floor(col("o_totalprice") / 25000).cast("int"), lit(19)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("o_orderpriority", "bucket"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(least(CAST(floor(o_totalprice / 25000) AS INTEGER), 19) AS INTEGER) AS bucket,
+             |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+             |  round(max(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "equi-width histogram per group: fixed-range buckets, one aggregate pass"),
+
+    "stats_winsorize" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val bounds = orders.groupBy("o_orderstatus").agg(
+          expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        orders.join(broadcast(bounds), "o_orderstatus")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(avg(least(greatest(col("o_totalprice"), col("p05")), col("p95"))), 4)
+              .as("avg_winsorized"),
+            count(when(col("o_totalprice") < col("p05"), 1)).as("n_clipped_low"),
+            count(when(col("o_totalprice") > col("p95"), 1)).as("n_clipped_high"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderstatus,
+             |    quantile_cont(o_totalprice, 0.05) AS p05,
+             |    quantile_cont(o_totalprice, 0.95) AS p95
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o.o_orderstatus, count(*) AS n,
+             |  round(avg(least(greatest(o.o_totalprice, b.p05), b.p95)), 4) AS avg_winsorized,
+             |  count(CASE WHEN o.o_totalprice < b.p05 THEN 1 END) AS n_clipped_low,
+             |  count(CASE WHEN o.o_totalprice > b.p95 THEN 1 END) AS n_clipped_high
+             |FROM orders o JOIN b USING (o_orderstatus)
+             |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
+      "winsorized mean: p05/p95 clamp via broadcast bounds join (outlier-robust profiling)"),
+
+    // -------------------------------------------------- graph analytics
+    // Fixed-point PageRank (integer-scaled, bit-exact cross-engine) over
+    // the part co-purchase graph; the DuckDB twin unrolls the 3
+    // iterations as CTEs with the same `div` truncation.
+    "graph_pagerank" -> Q(
+      (s, dir) => Graph.pagerankFixedPoint(
+          Graph.copurchaseEdges(
+            table(s, dir, "lineitem").select("l_orderkey", "l_partkey")), 3)
+        .select(col("node").as("part_id"), col("pr"))
+        .orderBy(desc("pr"), col("part_id"))
+        .limit(20),
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+             |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+             |r1 AS (SELECT e.dst AS node, CAST(150000 + sum((r.pr * 85) // (100 * d.outdeg)) AS BIGINT) AS pr
+             |       FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+             |       GROUP BY e.dst),
+             |r2 AS (SELECT e.dst AS node, CAST(150000 + sum((r.pr * 85) // (100 * d.outdeg)) AS BIGINT) AS pr
+             |       FROM edges e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+             |       GROUP BY e.dst),
+             |r3 AS (SELECT e.dst AS node, CAST(150000 + sum((r.pr * 85) // (100 * d.outdeg)) AS BIGINT) AS pr
+             |       FROM edges e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+             |       GROUP BY e.dst)
+             |SELECT node AS part_id, pr FROM r3
+             |ORDER BY pr DESC, part_id LIMIT 20""".stripMargin),
+      "fixed-point PageRank over the part co-purchase graph: 3 bit-exact join+agg rounds"),
+
+    // ------------------------------------------------------- relevance
+    "text_bm25" -> Q(
+      (s, dir) => TextStats.bm25(table(s, dir, "documents"), Bm25Terms, topN = 20),
+      Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
+      "BM25 lexical relevance against a seed query (corpus curation ranking)")
+  )
+}

@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry.table
+
+/** Pins the scale-infrastructure operators (ScaleQueries): Z-order
+  * interleave + clustering benefit, bloom-prune completeness + pruning
+  * power + plan shape, fixed-point PageRank determinism, SCD2 interval
+  * algebra, and BM25 monotonicity. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ z-order
+  test("zorder: spread16/zvalue16 match the bitwise reference") {
+    def refSpread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    val vals = Seq(0L, 1L, 2L, 3L, 255L, 256L, 65535L, 65536L, 123456L)
+    val rows = vals.toDF("v")
+      .select(col("v"), ZOrder.spread16(col("v")).as("s"),
+        ZOrder.zvalue16(col("v"), col("v") + 1).as("z"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) === refSpread(v), s"spread16($v)")
+      assert(r.getLong(2) === (refSpread(v) | (refSpread(v + 1) << 1)), s"zvalue16($v)")
+    }
+  }
+
+  test("zorder: quadrant buckets bound BOTH dimensions' spans") {
+    // 256 points on a 16x16 grid scaled to 16 bits: the top 6 z-bits are
+    // (x top 3, y top 3) → an 8x8 quadrant grid where each bucket covers
+    // at most 1/8 of each dimension's range — the property min-max file
+    // skipping prunes on.
+    val pts = for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong * 4369, y.toLong * 4369) // 4369 = 65535/15
+    val spans = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue16(col("x"), col("y")).as("z"))
+      .groupBy(shiftright(col("z"), 26).as("bucket"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(spans.length === 64, "top 6 z-bits over 2 filled dims = 8x8 quadrants")
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 65535 / 8 && r.getLong(2) <= 65535 / 8,
+        s"quadrant span too wide: $r")
+      assert(r.getLong(3) === 4L, "equal occupancy on the uniform grid")
+    }
+  }
+
+  test("zorder: layout() range-partitions into disjoint tight z-ranges") {
+    val li = table(spark, sf("sf0.001"), "lineitem")
+    val laid = ZOrder.layout(li, "l_partkey", "l_suppkey", numFiles = 8)
+    // per-output-partition spans of the clustering dims shrink vs global
+    val spans = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("l_partkey") - min("l_partkey")).as("span"))
+      .agg(avg("span")).as[Double].head()
+    val global = li.agg(max("l_partkey") - min("l_partkey")).as[Long].head()
+    assert(spans < global, s"z-layout should tighten partkey spans: $spans vs $global")
+  }
+
+  // -------------------------------------------------------- bloom prune
+  test("bloom prune: zero false negatives, real pruning, plan-visible filter") {
+    val cust = table(spark, sf("sf0.001"), "customer")
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val dim = cust.filter(col("c_mktsegment") === "BUILDING")
+
+    val pruned = BloomPrune.semiJoinPruned(orders, "o_custkey", dim, "c_custkey",
+      expectedKeys = 1L << 16, fpp = 0.01)
+    val exact = orders.join(dim.select("c_custkey").distinct(),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(pruned.count() === exact.count(), "bloom+semi must equal plain semi")
+
+    // the sketch alone keeps a superset of the true rows but prunes most
+    // of the complement (fpp 1% → expect well under 10% of non-matching)
+    val bloomOnly = orders.filter(
+      BloomPrune.mightContain(dim, "c_custkey", 1L << 16, 0.01, col("o_custkey")))
+    val nBloom = bloomOnly.count()
+    val nExact = exact.count()
+    val nAll = orders.count()
+    assert(nBloom >= nExact, "no false negatives allowed")
+    assert(nBloom - nExact <= (nAll - nExact) / 10,
+      s"bloom should prune non-matching rows: kept $nBloom of $nAll for $nExact true")
+
+    // pruning is plan-visible: a might_contain filter below the join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing from plan:\n$plan")
+  }
+
+  // ----------------------------------------------------------- pagerank
+  test("pagerank: bit-identical across partitionings, sane fixed-point values") {
+    val li = table(spark, sf("sf0.001"), "lineitem").select("l_orderkey", "l_partkey")
+    val edges = Graph.copurchaseEdges(li)
+    def run(parts: String): Map[Long, Long] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Graph.pagerankFixedPoint(edges, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val a = run("4")
+    val b = run("7")
+    assert(a === b, "integer fixed-point must be partition-invariant")
+    assert(a.nonEmpty && a.values.forall(_ >= 150000L),
+      "every node keeps at least the teleport mass")
+    // total mass is conserved up to truncation loss: each edge drops <1
+    // unit, so sum(pr) ∈ (0.15|V| + 0.85*sum_prev - |E|, 0.15|V| + 0.85*sum_prev]
+    val v = a.size.toLong
+    assert(a.values.sum <= 150000L * v + 850000L * v && a.values.sum > 900000L * v,
+      s"mass conservation violated: sum=${a.values.sum}, |V|=$v")
+  }
+
+  // --------------------------------------------------------------- scd2
+  test("scd2: contiguous intervals, one current version per key, LWW-consistent") {
+    val orders = table(spark, sf("sf0.001"), "orders")
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    val dim = Upsert.scd2(orders, "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey").cache()
+    try {
+      // exactly one open interval per key
+      val keys = dim.select("o_custkey").distinct().count()
+      val current = dim.filter(col("is_current")).count()
+      assert(current === keys, s"$current current rows for $keys keys")
+
+      // intervals chain: valid_to(version k) == valid_from(version k+1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("version")
+      val broken = dim
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+        .count()
+      assert(broken === 0L, "validity intervals must chain without gaps")
+
+      // consecutive versions always change the attribute
+      val noChange = dim
+        .withColumn("prev_attr", lag("o_orderpriority", 1).over(w))
+        .filter(col("prev_attr").isNotNull && col("prev_attr") === col("o_orderpriority"))
+        .count()
+      assert(noChange === 0L, "consecutive versions with identical attr = not compressed")
+
+      // the open version agrees with CDC log compaction (latest per key)
+      val latest = Upsert.latestPerKey(orders, Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderpriority").as("lww_attr"))
+      val disagree = dim.filter(col("is_current"))
+        .join(latest, "o_custkey")
+        .filter(col("o_orderpriority") =!= col("lww_attr"))
+        .count()
+      assert(disagree === 0L, "current SCD2 version must equal LWW compaction")
+    } finally dim.unpersist()
+  }
+
+  // --------------------------------------------------------------- bm25
+  test("bm25: more matching occurrences → higher score; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "hash hash hash join filler words here"),
+      (2L, "hash join filler words here padding x"),
+      (3L, "no relevant terms at all in this one")).toDF("doc_id", "text")
+    val out = TextStats.bm25(docs, Seq("hash", "join"), topN = 10).collect()
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.contains(1L) && scores.contains(2L) && !scores.contains(3L))
+    assert(scores(1L) > scores(2L), s"tf monotonicity: $scores")
+    assert(scores.values.forall(_ > 0.0))
+  }
+}
