@@ -38,15 +38,25 @@ object Graph {
       .distinct()
   }
 
+  /** Attach each edge's source out-degree — done ONCE, before the
+    * iteration loop, so the per-iteration plan never re-aggregates
+    * degrees. Callers materialize the result (parquet artifact or
+    * checkpoint) before iterating; a DataFrame is lazily REcomputed at
+    * every reference, so iterating over an unmaterialized edge list
+    * re-derives it per iteration. */
+  def withOutDegree(edges: DataFrame): DataFrame =
+    edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+
   /** `iters` rounds of the fixed-point update over a symmetric edge list
-    * (every node with an in-edge has an out-edge, so no dangling mass).
-    * Returns (node, pr) with pr scaled by 1e6. */
-  def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    * carrying (src, dst, outdeg) — see [[withOutDegree]]. Symmetric ⇒
+    * every node with an in-edge has an out-edge, so no dangling mass.
+    * Each iteration is ONE rank⋈edges join (both sides keyed on the
+    * graph key) plus one groupBy dst. Returns (node, pr), pr × 1e6. */
+  def pagerankFixedPoint(edgesWithDeg: DataFrame, iters: Int): DataFrame = {
+    var ranks = edgesWithDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
-      ranks = edges
-        .join(deg, "src")
+      ranks = edgesWithDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr("(pr * 85) div (100 * outdeg)").as("contrib"))

@@ -98,7 +98,7 @@ class ScaleOpsSpec extends SparkSpec {
   // ----------------------------------------------------------- pagerank
   test("pagerank: bit-identical across partitionings, sane fixed-point values") {
     val li = table(spark, sf("sf0.001"), "lineitem").select("l_orderkey", "l_partkey")
-    val edges = Graph.copurchaseEdges(li)
+    val edges = Graph.withOutDegree(Graph.copurchaseEdges(li))
     def run(parts: String): Map[Long, Long] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       try Graph.pagerankFixedPoint(edges, 3).collect()
