@@ -47,6 +47,37 @@ object Graph {
   def withOutDegree(edges: DataFrame): DataFrame =
     edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
 
+  /** Per-node triangle participation counts over a symmetric edge list.
+    * Classic two-join formulation: orient each undirected edge by node id
+    * (a < b), build wedges a→b→c, keep the closed ones via a left-semi
+    * probe of the (a, c) edge — every undirected triangle survives
+    * exactly once as a < b < c — then explode the three corners and
+    * count per node.
+    *
+    * Scale shape: two equi-joins on graph keys; the wedge intermediate is
+    * Σ_b out-deg(b)² ≈ |E| · avg-degree, which scales LINEARLY when
+    * degree is data-independent (true for basket-style co-occurrence
+    * graphs — measured identical wedge counts for id- and degree-ordered
+    * orientation on this corpus). On skewed graphs orient edges
+    * low-degree → high-degree instead (same plan, wedge bound O(E^1.5));
+    * id-orientation is kept here because it is oracle-reproducible
+    * without a second degree join. */
+  def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
+    val e = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val wedges = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .select("a", "b", "c")
+    val tri = wedges.join(
+      e.select(col("a").as("ta"), col("b").as("tc")),
+      col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("node"))
+      .limit(topN)
+  }
+
   /** `iters` rounds of the fixed-point update over a symmetric edge list
     * carrying (src, dst, outdeg) — see [[withOutDegree]]. Symmetric ⇒
     * every node with an in-edge has an out-edge, so no dangling mass.

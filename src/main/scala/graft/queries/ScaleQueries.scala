@@ -253,6 +253,135 @@ object ScaleQueries {
     "text_bm25" -> Q(
       (s, dir) => TextStats.bm25(table(s, dir, "documents"), Bm25Terms, topN = 20),
       Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
-      "BM25 lexical relevance against a seed query (corpus curation ranking)")
+      "BM25 lexical relevance against a seed query (corpus curation ranking)"),
+
+    // Equi-depth histogram WITHOUT a global sort: decile boundaries come
+    // from one grouped percentile aggregate (swap in approx_percentile at
+    // sketch-scale — agg_percentiles_approx proves the bound pattern),
+    // broadcast back, and each row's bucket is a 9-way boundary
+    // comparison — scan-speed, no ntile()-over-everything single
+    // partition. Boundaries are interpolated doubles identical across
+    // engines (percentile ≡ quantile_cont, proven by agg_percentiles).
+    "agg_histogram_equidepth" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val bounds = orders.groupBy("o_orderstatus").agg(
+          expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+        val bucket = (1 to 9)
+          .map(i => when(col("o_totalprice") > element_at(col("qs"), i), 1).otherwise(0))
+          .reduceLeft(_ + _) + lit(1)
+        orders.join(broadcast(bounds), "o_orderstatus")
+          .groupBy(col("o_orderstatus"), bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("o_orderstatus", "bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderstatus,
+             |    quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, bucket, count(*) AS n,
+             |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+             |FROM (
+             |  SELECT o.o_orderstatus, o.o_totalprice,
+             |    1 + (CASE WHEN o.o_totalprice > b.qs[1] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[2] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[3] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[4] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[5] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[6] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[7] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[8] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN o.o_totalprice > b.qs[9] THEN 1 ELSE 0 END) AS bucket
+             |  FROM orders o JOIN b USING (o_orderstatus))
+             |GROUP BY o_orderstatus, bucket ORDER BY o_orderstatus, bucket""".stripMargin),
+      "equi-depth histogram via broadcast decile boundaries — no global sort/ntile"),
+
+    // Exact-count stratified sample: deterministic hash order per stratum
+    // (md5 of the key, salted) + row_number ≤ k. One key-shuffle; the
+    // at-scale form of "give me exactly k docs per language" — unlike
+    // corpus_mix_sample's threshold form, the count is exact.
+    "sample_stratified_exact" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit("#strat"))), col("doc_id"))
+        table(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 30)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id) AS INTEGER) AS rk
+             |  FROM documents)
+             |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin),
+      "exact-k stratified sampling via salted-hash ranking per stratum"),
+
+    // TF-IDF keyword extraction: top-3 terms per doc. Full (doc, term)
+    // frequency is the one wide shuffle (inherent — it IS the operator);
+    // document frequencies and N ride back as broadcasts. Ranking is on
+    // the 6-dp-rounded score with term tiebreak, so cross-engine rank
+    // order is stable.
+    "text_keywords" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => length(t) > 0)).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nd))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+             |nd AS (SELECT count(*) AS n_docs FROM documents),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT t.doc_id, t.term,
+             |    round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfreq), 6) AS score
+             |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd n),
+             |ranked AS (
+             |  SELECT doc_id, term, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, term) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, term, score FROM ranked
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      "TF-IDF keyword extraction: top-3 terms per document"),
+
+    // Triangle participation over the SAME materialized co-purchase
+    // artifact as graph_pagerank (built once per corpus); the oracle
+    // re-derives the edge set from lineitem in SQL.
+    "graph_triangles" -> Q(
+      (s, dir) => Graph.triangleCounts(copurchaseEdgesCached(s, dir), topN = 10),
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey < b.l_partkey),
+             |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+             |tri AS (SELECT w.a, w.b, w.c FROM w WHERE EXISTS
+             |        (SELECT 1 FROM e e3 WHERE e3.a = w.a AND e3.b = w.c)),
+             |corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+             |SELECT node, count(*) AS n_triangles FROM corners
+             |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10""".stripMargin),
+      "per-node triangle counts: oriented wedges + semi-join closure, two graph-key joins")
   )
 }

@@ -256,6 +256,56 @@ object StreamingOps {
         graft.ext.Similarity.indexUpsertBatch(batch, centroids, indexPath)
       }
 
+  final case class Change(key: Long, attr: String, ts_us: Long, tie: Long)
+  final case class Scd2Open(attr: String, from_us: Long, version: Int)
+  final case class Scd2Closed(key: Long, attr: String, valid_from_us: Long,
+      valid_to_us: Long, version: Int)
+
+  /** Streaming twin of the batch SCD2 build ([[graft.ext.Upsert.scd2]]):
+    * incremental Type-2 history maintenance over a change stream with
+    * columns (key, attr, ts, tie). CLOSED validity intervals are emitted
+    * append-only as soon as the superseding change arrives; the OPEN
+    * (current) version per key lives in the group state — which is
+    * exactly the serving-table/history-table split of a warehouse SCD2
+    * pipeline. State is one (attr, from, version) triple per key with NO
+    * timeout: dimension keys are live forever by definition, so state
+    * size is the dimension's key cardinality, not the changelog length.
+    *
+    * In-batch disorder is repaired by the same (ts, tie) sort the batch
+    * twin windows on; cross-batch disorder must stay within the
+    * watermark (an event older than an already-opened version cannot be
+    * retro-inserted in append mode — the standard streaming-SCD2
+    * limitation). */
+  def scd2Stream(changes: DataFrame, lateMinutes: Int = 60): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes
+      .withWatermark("ts", s"$lateMinutes minutes")
+      .select(col("key"), col("attr"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("tie"))
+      .as[Change]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, evs, state: GroupState[Scd2Open]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Closed]
+          evs.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Scd2Open(e.attr, e.ts_us, 1))
+              case Some(c) if c.attr != e.attr =>
+                out += Scd2Closed(key, c.attr, c.from_us, e.ts_us, c.version)
+                cur = Some(Scd2Open(e.attr, e.ts_us, c.version + 1))
+              case _ => () // unchanged attr → same version continues
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming twin of the batch `events_transitions` query: per-user
     * event-type transition edges emitted incrementally. State is ONE
     * (ts, event_id, type) triple per user — O(1), the unbounded-input

@@ -274,4 +274,50 @@ class PlanShapeSpec extends SparkSpec {
     // probe filter + ADC table + offset joins ride broadcasts
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
+
+  // ------------------------------------------- scale-infrastructure ops
+
+  test("scd2_build: one hash exchange feeds both window passes") {
+    val plan = explained("scd2_build")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"SCD2 must shuffle on the key exactly once:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("agg_histogram_equidepth: boundaries broadcast, no global-sort ntile") {
+    val plan = explained("agg_histogram_equidepth")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("(?<![a-z])ntile\\(".r.findFirstIn(plan).isEmpty,
+      s"equi-depth must not plan a global ntile:\n$plan")
+  }
+
+  test("graph_pagerank: iterations read the materialized edge artifact, never the fact table") {
+    val plan = explained("graph_pagerank")
+    assert(plan.contains("/tmp/graft_graph/"), s"edge artifact missing:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"iterations must not re-derive edges from the fact table:\n$plan")
+  }
+
+  test("join_bloom_pruned: might_contain filters the fact side below an exact semi join") {
+    val plan = explained("join_bloom_pruned")
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    // the sketch probe must sit on the scan side, before the join: in the
+    // tree rendering the Filter(might_contain...) line appears after the
+    // join line it feeds
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe must be below (after, in tree order) the semi join:\n$plan")
+  }
+
+  test("text_keywords/bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {
+    for (q <- Seq("text_keywords", "text_bm25")) {
+      val plan = explained(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"$q:\n$plan")
+    }
+  }
 }

@@ -444,6 +444,71 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == embs.count() + 1)
   }
 
+  test("scd2 stream: closed intervals == batch history, versions span the batch boundary") {
+    import org.apache.spark.sql.functions._
+    // change log = orders (key=o_custkey, attr=o_orderpriority), split at
+    // the median date into two files so versions must chain across batches
+    val raw = graft.queries.Registry.table(spark, dir, "orders")
+    val splitUs = raw
+      .agg(expr("percentile(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 0.5)"))
+      .collect().head.getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("graft_scd2_mb")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val t0 = System.currentTimeMillis()
+    writeOne(raw.filter(us < splitUs), "a.parquet", t0 - 60000)
+    writeOne(raw.filter(us >= splitUs), "b.parquet", t0)
+
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .select(col("o_custkey").as("key"), col("o_orderpriority").as("attr"),
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey").as("tie"))
+    val q = StreamingOps.scd2Stream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val nBatches =
+      try {
+        assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+        q.recentProgress.map(_.batchId).distinct.length
+      } finally q.stop()
+    assert(nBatches >= 2, s"expected a multi-batch run, got $nBatches batch(es)")
+
+    val got = spark.table("scd2_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // batch truth: every CLOSED interval of the batch SCD2 build (the open
+    // one lives in streaming state, not in the append output)
+    val want = graft.ext.Upsert.scd2(raw.select("o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey"), "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      .filter(!col("is_current"))
+      .select(col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("valid_from").cast("timestamp")).as("f"),
+        unix_micros(col("valid_to").cast("timestamp")).as("t"), col("version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      s"closed-interval drift: got ${got.length}, want ${want.length}")
+    // continuity: intervals that OPENED before the split and CLOSED after
+    // it can only emit if the open version survived batch 1 in state
+    val boundary = want.filter(t => t._3 < splitUs && t._4 >= splitUs)
+    assert(boundary.nonEmpty, "split produced no cross-boundary versions — unusable split")
+    val gotSet = got.toSet
+    boundary.foreach { t =>
+      assert(gotSet.contains(t),
+        s"boundary version $t missing — state did not survive the batch")
+    }
+  }
+
   test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
     import org.apache.spark.sql.functions._
     val raw = graft.queries.Registry.table(spark, dir, "events")
