@@ -47,30 +47,36 @@ object Graph {
   def withOutDegree(edges: DataFrame): DataFrame =
     edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
 
-  /** Per-node triangle participation counts over a symmetric edge list.
-    * Classic two-join formulation: orient each undirected edge by node id
-    * (a < b), build wedges a→b→c, keep the closed ones via a left-semi
-    * probe of the (a, c) edge — every undirected triangle survives
-    * exactly once as a < b < c — then explode the three corners and
-    * count per node.
+  /** Per-node triangle participation counts over a symmetric edge list,
+    * via adjacency-list intersection (the "compact-forward" layout):
+    * orient each undirected edge by node id (a < b), build each node's
+    * HIGHER-neighbor list once, then for every edge (a, b) the witnesses
+    * are `array_intersect(N⁺(a), N⁺(b))` — each c > b > a closes the
+    * triangle {a, b, c} exactly once. Corners explode and count per node.
     *
-    * Scale shape: two equi-joins on graph keys; the wedge intermediate is
-    * Σ_b out-deg(b)² ≈ |E| · avg-degree, which scales LINEARLY when
-    * degree is data-independent (true for basket-style co-occurrence
-    * graphs — measured identical wedge counts for id- and degree-ordered
-    * orientation on this corpus). On skewed graphs orient edges
-    * low-degree → high-degree instead (same plan, wedge bound O(E^1.5));
-    * id-orientation is kept here because it is oracle-reproducible
-    * without a second degree join. */
+    * Why not the textbook wedge join (a→b ⋈ b→c, then semi-probe a→c)?
+    * The wedge intermediate is Σ deg² ≈ |E|·avg-degree rows THROUGH A
+    * SHUFFLE — measured 49M rows at sf0.1 / 144 s per trial at the 8×
+    * probe. Intersection never materializes open wedges: the widest
+    * flow is |E| rows carrying two degree-length arrays (the same
+    * information, amortized columnar), and only CLOSED triangles leave
+    * the intersection. Both adjacency joins are pinned shuffle_hash —
+    * the adjacency table is corpus-sized, never broadcast-safe, and
+    * sorting |E| array-payload rows for SMJ is wasted work. Max
+    * per-node state is the max degree (skewed graphs: orient
+    * low-degree → high-degree first, same plan). */
   def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
     val e = edges.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
-    val wedges = e
-      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
-      .select("a", "b", "c")
-    val tri = wedges.join(
-      e.select(col("a").as("ta"), col("b").as("tc")),
-      col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+    val adj = e.groupBy(col("a").as("node"))
+      .agg(collect_list(col("b")).as("nbrs"))
+    val tri = e
+      .join(adj.hint("shuffle_hash").select(col("node").as("na_key"), col("nbrs").as("na")),
+        col("a") === col("na_key"))
+      .join(adj.hint("shuffle_hash").select(col("node").as("nb_key"), col("nbrs").as("nb")),
+        col("b") === col("nb_key"))
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))

@@ -366,6 +366,84 @@ object ScaleQueries {
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
       "TF-IDF keyword extraction: top-3 terms per document"),
 
+    // Distribution window functions (percent_rank / cume_dist / ntile):
+    // all rank arithmetic over exact integer (rank, count) pairs → the
+    // doubles are identical cross-engine before rounding. ntile here is
+    // per-GROUP (3 status partitions), not the global-sort form the
+    // equi-depth histogram deliberately avoids.
+    "window_distribution" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        table(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .filter(col("o_orderkey") % 17 === 0)
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey, pr, cd, quartile FROM (
+             |  SELECT o_orderstatus, o_orderkey,
+             |    round(percent_rank() OVER w, 6) AS pr,
+             |    round(cume_dist() OVER w, 6) AS cd,
+             |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+             |WHERE o_orderkey % 17 = 0 ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+      "distribution window functions: percent_rank, cume_dist, per-group ntile"),
+
+    // Deequ-style data-quality audit: each expectation is one aggregate
+    // over a (possibly joined) scan, unioned into a single report row per
+    // check — the post-ingest gate a production pipeline runs before
+    // publishing a snapshot. The FK check is a broadcast anti join.
+    "audit_constraints" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        val cust = table(s, dir, "customer")
+        def row(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("violations")).select(lit(name).as("check"), col("violations"))
+        row("lineitem_nonpositive_qty", li.filter(col("l_quantity") <= 0))
+          .unionAll(row("lineitem_discount_over_10pct", li.filter(col("l_discount") > 0.10)))
+          .unionAll(row("orders_fk_customer_orphan",
+            orders.join(broadcast(cust.select("c_custkey")),
+              col("o_custkey") === col("c_custkey"), "left_anti")))
+          .unionAll(row("orders_null_custkey", orders.filter(col("o_custkey").isNull)))
+          .unionAll(row("orders_price_over_450k", orders.filter(col("o_totalprice") > 450000)))
+          .orderBy("check")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem_nonpositive_qty' AS "check", count(*) AS violations
+             |  FROM lineitem WHERE l_quantity <= 0
+             |  UNION ALL
+             |  SELECT 'lineitem_discount_over_10pct', count(*)
+             |  FROM lineitem WHERE l_discount > 0.10
+             |  UNION ALL
+             |  SELECT 'orders_fk_customer_orphan', count(*)
+             |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |  UNION ALL
+             |  SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+             |  UNION ALL
+             |  SELECT 'orders_price_over_450k', count(*)
+             |  FROM orders WHERE o_totalprice > 450000)
+             |ORDER BY "check"""".stripMargin),
+      "data-quality constraint audit: null/FK/range expectations as one report"),
+
+    // Time-hierarchy rollup: (year, month) subtotals + grand total in one
+    // pass — partial aggregation handles the hierarchy map-side, so the
+    // shuffle carries group keys only.
+    "agg_time_rollup" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first),
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY ROLLUP (y, m)
+             |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin),
+      "time-hierarchy rollup: month/year subtotals and grand total in one aggregate"),
+
     // Triangle participation over the SAME materialized co-purchase
     // artifact as graph_pagerank (built once per corpus); the oracle
     // re-derives the edge set from lineitem in SQL.

@@ -117,6 +117,16 @@ class ScaleOpsSpec extends SparkSpec {
       s"mass conservation violated: sum=${a.values.sum}, |V|=$v")
   }
 
+  test("triangles: adjacency-intersection counts match a hand-checked graph") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant edge
+    // 4-5 (node 5 in none); symmetric edge list like copurchaseEdges emits
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, topN = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
   // --------------------------------------------------------------- scd2
   test("scd2: contiguous intervals, one current version per key, LWW-consistent") {
     val orders = table(spark, sf("sf0.001"), "orders")
