@@ -430,4 +430,33 @@ object Dedup {
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
+
+  /** Blocked fuzzy record linkage: edit-distance matching on normalized
+    * key prefixes, with equi-join blocking so the quadratic comparison
+    * only ever runs INSIDE a block — the classic record-linkage layout
+    * (and a different dedup modality from the token/hash families above:
+    * it catches typo-level variants that shingling misses).
+    *
+    * Scale shape: one shuffle_hash self-join on (lang, 8-char block
+    * prefix); `levenshtein` runs on bounded 32-char keys, so per-pair
+    * cost is a constant ~32² DP. Block sizes are data-dependent — skewed
+    * blocks want a second blocking key (standard multi-pass linkage),
+    * same plan. Cross-engine exact: both engines compute classic
+    * Wagner-Fischer edit distance on ASCII keys. */
+  def fuzzyPairs(docs: org.apache.spark.sql.DataFrame, prefixLen: Int = 32,
+      blockLen: Int = 8, maxDist: Int = 5): org.apache.spark.sql.DataFrame = {
+    val norm = TextStats.normalized(col("text"))
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      substring(norm, 1, prefixLen).as("key"),
+      substring(norm, 1, blockLen).as("blk"))
+    val b = keyed.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("key").as("key_b"), col("blk").as("blk_b"))
+    keyed.select(col("doc_id").as("id_a"), col("lang"), col("key").as("key_a"), col("blk"))
+      .join(b.hint("shuffle_hash"),
+        col("lang") === col("lang_b") && col("blk") === col("blk_b") &&
+          col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("lev") <= maxDist)
+      .select("id_a", "id_b", "lev")
+  }
 }

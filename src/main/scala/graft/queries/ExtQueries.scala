@@ -1303,6 +1303,53 @@ object ExtQueries {
              |       ELSE 'video/mp4' END AS media_type,
              |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "multimodal metadata view over binary payload columns")
+      "multimodal metadata view over binary payload columns"),
+
+    // Exact binary-payload dedup over the media table: md5 the OPAQUE
+    // payload bytes (no decode needed) and keep the duplicate groups —
+    // the first pass of any multimodal ingest. The re-crawl is simulated
+    // like the other planted-dup inputs (every 10th payload re-ingested
+    // under a fresh id); the operator must surface exactly those groups.
+    // One groupBy on a 128-bit key; the payload bytes never shuffle
+    // (only the digest does).
+    "multimodal_dedup" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val recrawled = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+        Multimodal.mediaTable(docs.unionByName(recrawled))
+          .groupBy(md5(col("payload")).as("payload_md5"))
+          .agg(count(lit(1)).as("n"),
+            min("doc_id").as("keep_id"), max("doc_id").as("max_dup_id"))
+          .filter(col("n") > 1)
+          .orderBy("payload_md5")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+             |SELECT md5(text) AS payload_md5, count(*) AS n,
+             |  min(doc_id) AS keep_id, max(doc_id) AS max_dup_id
+             |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY payload_md5""".stripMargin),
+      "binary-payload exact dedup: md5 the opaque media bytes, keep duplicate groups"),
+
+    // Typo-tolerant linkage pairs over the corpus; DuckDB computes the
+    // identical blocked edit-distance join.
+    "link_fuzzy" -> Q(
+      (s, dir) => Dedup.fuzzyPairs(table(s, dir, "documents"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH k AS (
+             |  SELECT doc_id, lang,
+             |    substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 32) AS key,
+             |    substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 8) AS blk
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS lev
+             |FROM k a JOIN k b
+             |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.key, b.key) <= 5
+             |ORDER BY id_a, id_b""".stripMargin),
+      "blocked fuzzy record linkage: edit distance on normalized key prefixes")
   )
 }

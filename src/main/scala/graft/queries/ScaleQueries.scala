@@ -44,7 +44,38 @@ object ScaleQueries {
     s.read.parquet(path)
   }
 
+  /** Year-partitioned orders layout per sf-dir, written once per process —
+    * the hive-style `partitionBy` layout whose directory pruning is the
+    * coarsest (and cheapest) level of data skipping at 100 TB. */
+  private val partCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[queries] def partitionedOrdersPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    partCache.getOrElseUpdate(dir, {
+      val p = s"/tmp/graft_part/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+      table(s, dir, "orders")
+        .withColumn("y", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("y").parquet(p)
+      p
+    })
+
   def all: Map[String, Q] = Map(
+
+    // Read back through the partitioned layout with a partition-key
+    // filter: the year predicate must prune DIRECTORIES (plan guard
+    // asserts PartitionFilters), so the scan never opens 6 of the 7
+    // year partitions. The oracle runs the equivalent predicate over the
+    // flat table.
+    "source_partitioned" -> Q(
+      (s, dir) => s.read.parquet(partitionedOrdersPath(s, dir))
+        .filter(col("y") === 1995)
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("m"),
+      Some("""SELECT CAST(month(o_orderdate) AS INTEGER) AS m, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY m ORDER BY m""".stripMargin),
+      "hive-partitioned write + directory-pruned read (partition-level data skipping)"),
 
     // ------------------------------------------------- runtime pruning
     // Bloom-prune orders against the BUILDING customer set, then exact

@@ -312,6 +312,18 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe must be below (after, in tree order) the semi join:\n$plan")
   }
 
+  test("source_partitioned: the year predicate prunes partitions at the scan") {
+    val plan = explained("source_partitioned")
+    assert("PartitionFilters: \\[[^\\]]*\\(y#\\d+ = 1995\\)".r.findFirstIn(plan).isDefined,
+      s"partition pruning missing:\n$plan")
+  }
+
+  test("link_fuzzy: blocked self-join keeps its shuffle_hash pin") {
+    val plan = explained("link_fuzzy")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_keywords/bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {
     for (q <- Seq("text_keywords", "text_bm25")) {
       val plan = explained(q)
