@@ -3,7 +3,9 @@ package graft.ext
 import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.types.BinaryType
 
 /** Runtime bloom-filter join pruning: build a compact membership sketch
@@ -28,9 +30,12 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomPrune {
 
-  /** A plan-embeddable `might_contain(sketch, key)` predicate. The sketch
-    * rides the plan as a binary literal — at cluster scale it is
-    * broadcast once per executor like any literal, NOT per-task. */
+  /** An EAGER `might_contain(sketch, key)` predicate: the sketch is built
+    * now (one distributed aggregate) and rides the plan as a binary
+    * literal — broadcast once per executor like any literal. Useful when
+    * the same sketch filters several downstream queries; for a
+    * single-query filter prefer [[mightContainSubquery]], which defers
+    * the build into the query's own plan. */
   def mightContain(dim: DataFrame, dimKey: String, expectedKeys: Long,
       fpp: Double, factKey: Column): Column = {
     val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
@@ -39,6 +44,27 @@ object BloomPrune {
     GraftColumnBridge.column(BloomFilterMightContain(
       Literal(out.toByteArray, BinaryType),
       GraftColumnBridge.expression(factKey)))
+  }
+
+  /** The LAZY form Spark's own `InjectRuntimeFilter` emits: the sketch is
+    * a scalar subquery (`bloom_filter_agg` over the dim keys) INSIDE the
+    * probe plan, so constructing the DataFrame launches no job and the
+    * optimizer schedules the build like any other subquery. Both sides
+    * hash with `XxHash64`, mirroring Spark's runtime-filter convention. */
+  def mightContainSubquery(dim: DataFrame, dimKey: String, expectedKeys: Long,
+      fpp: Double, factKey: Column): Column = {
+    // standard bloom sizing: m = -n·ln(p) / (ln 2)²
+    val numBits = math.ceil(
+      -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val analyzed = dim.queryExecution.analyzed
+    val key = analyzed.output.find(_.name == dimKey).getOrElse(
+      throw new IllegalArgumentException(s"$dimKey not in ${analyzed.output.map(_.name)}"))
+    val agg = new BloomFilterAggregate(new XxHash64(Seq(key)),
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+    val sketchPlan = Aggregate(Nil, Seq(Alias(agg, "bf")()), analyzed)
+    GraftColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(sketchPlan),
+      new XxHash64(Seq(GraftColumnBridge.expression(factKey)))))
   }
 
   /** Prune `fact` to rows whose `factKey` might be in `dim.dimKey`, then
@@ -50,7 +76,7 @@ object BloomPrune {
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.functions.col
     fact
-      .filter(mightContain(dim, dimKey, expectedKeys, fpp, col(factKey)))
+      .filter(mightContainSubquery(dim, dimKey, expectedKeys, fpp, col(factKey)))
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }

@@ -223,6 +223,11 @@ object ScaleQueries {
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "equi-width histogram per group: fixed-range buckets, one aggregate pass"),
 
+    // Clamp bounds use EXACT percentile for oracle parity (quantile_cont
+    // ≡ percentile, proven by agg_percentiles); at cluster scale swap the
+    // bounds aggregate for approx_percentile — the sketch's bounded
+    // buffer vs the exact form's O(group) buffer, same plan otherwise
+    // (the error-bound gating pattern lives in agg_percentiles_approx).
     "stats_winsorize" -> Q(
       (s, dir) => {
         val orders = table(s, dir, "orders")

@@ -95,6 +95,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom filter missing from plan:\n$plan")
   }
 
+  test("bloom prune: lazy subquery form == eager literal form, builds no construction job") {
+    val cust = table(spark, sf("sf0.001"), "customer")
+    val orders = table(spark, sf("sf0.001"), "orders")
+    val dim = cust.filter(col("c_mktsegment") === "BUILDING")
+
+    val sc = spark.sparkContext
+    sc.setJobGroup("bloom-lazy", "guard")
+    try {
+      val lazyPred = BloomPrune.mightContainSubquery(
+        dim, "c_custkey", 1L << 16, 0.01, col("o_custkey"))
+      val lazyDf = orders.filter(lazyPred) // plan construction only
+      Thread.sleep(1000)
+      assert(sc.statusTracker.getJobIdsForGroup("bloom-lazy").isEmpty,
+        "subquery-form bloom must not run jobs at plan-construction time")
+      // semantics: the two forms hash differently (putLong vs XxHash64
+      // pre-hash) so their FALSE POSITIVE sets may differ — but both must
+      // keep every true key and prune comparably at the same fpp
+      val eager = orders.filter(BloomPrune.mightContain(
+        dim, "c_custkey", 1L << 16, 0.01, col("o_custkey")))
+      val exact = orders.join(dim.select("c_custkey").distinct(),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val a = lazyDf.select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val b = eager.select("o_orderkey").collect().map(_.getLong(0)).toSet
+      val nAll = orders.count()
+      assert(exact.subsetOf(a) && exact.subsetOf(b), "false negative in a bloom form")
+      assert((a.size - exact.size) <= (nAll - exact.size) / 10, s"lazy form barely prunes: ${a.size}")
+      assert((b.size - exact.size) <= (nAll - exact.size) / 10, s"eager form barely prunes: ${b.size}")
+    } finally sc.clearJobGroup()
+  }
+
   // ----------------------------------------------------------- pagerank
   test("pagerank: bit-identical across partitionings, sane fixed-point values") {
     val li = table(spark, sf("sf0.001"), "lineitem").select("l_orderkey", "l_partkey")
