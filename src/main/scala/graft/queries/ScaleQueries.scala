@@ -357,51 +357,6 @@ object ScaleQueries {
              |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin),
       "exact-k stratified sampling via salted-hash ranking per stratum"),
 
-    // TF-IDF keyword extraction: top-3 terms per doc. Full (doc, term)
-    // frequency is the one wide shuffle (inherent — it IS the operator);
-    // document frequencies and N ride back as broadcasts. Ranking is on
-    // the 6-dp-rounded score with term tiebreak, so cross-engine rank
-    // order is stable.
-    "text_keywords" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z]+"),
-            t => length(t) > 0)).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val nd = docs.agg(count(lit(1)).as("n_docs"))
-        val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(desc("score"), col("term"))
-        tf.join(broadcast(dfreq), "term")
-          .crossJoin(broadcast(nd))
-          .withColumn("score",
-            round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("rk"), col("term"), col("score"))
-          .orderBy("doc_id", "rk")
-      },
-      Some("""WITH toks AS (
-             |  SELECT doc_id,
-             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-             |nd AS (SELECT count(*) AS n_docs FROM documents),
-             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term),
-             |scored AS (
-             |  SELECT t.doc_id, t.term,
-             |    round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfreq), 6) AS score
-             |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd n),
-             |ranked AS (
-             |  SELECT doc_id, term, score,
-             |    CAST(row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY score DESC, term) AS INTEGER) AS rk
-             |  FROM scored)
-             |SELECT doc_id, rk, term, score FROM ranked
-             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
-      "TF-IDF keyword extraction: top-3 terms per document"),
-
     // Distribution window functions (percent_rank / cume_dist / ntile):
     // all rank arithmetic over exact integer (rank, count) pairs → the
     // doubles are identical cross-engine before rounding. ntile here is

@@ -324,12 +324,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("text_keywords/bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {
-    for (q <- Seq("text_keywords", "text_bm25")) {
-      val plan = explained(q)
-      assert(plan.contains("BroadcastHashJoin"), s"$q:\n$plan")
-      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
-      assert(!plan.contains("ShuffledHashJoin"), s"$q:\n$plan")
-    }
+  test("text_bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {
+    val plan = explained("text_bm25")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 }

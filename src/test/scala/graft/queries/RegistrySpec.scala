@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity guards — no Spark session needed.
+  *
+  * The harness surface is assembled by `++` over per-area Maps, which
+  * SILENTLY drops duplicates (later module wins) — and a careless edit
+  * can delete neighbouring entries without any compile error (it
+  * happened: an operator removal took three unrelated queries with it,
+  * caught only by a full verify-count diff). These pins make both
+  * failure modes loud. */
+class RegistrySpec extends AnyFunSuite {
+
+  private val modules = Seq(
+    "EtlQueries" -> EtlQueries.all,
+    "RelationalQueries" -> RelationalQueries.all,
+    "AdvancedQueries" -> AdvancedQueries.all,
+    "ExtQueries" -> ExtQueries.all,
+    "TpchExtraQueries" -> TpchExtraQueries.all,
+    "ScaleQueries" -> ScaleQueries.all)
+
+  test("no query name collides across modules (Map ++ would silently shadow)") {
+    val names = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = names.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate registrations: ${dups.map { case (k, v) => s"$k in ${v.map(_._2)}" }}")
+    assert(graft.SparkEntry.registry.size == names.size)
+  }
+
+  test("surface size only changes deliberately (bump on add/remove)") {
+    // 134 as of round 5: see COVERAGE.md tally. If this fails after an
+    // edit you did not expect to change the surface, an entry was
+    // silently dropped or duplicated.
+    assert(graft.SparkEntry.registry.size == 134,
+      s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
+  }
+
+  test("every query carries a doc line; every oracle is non-empty ANSI text") {
+    graft.SparkEntry.registry.foreach { case (name, q) =>
+      assert(q.doc.nonEmpty, s"$name: missing doc")
+      q.oracle.foreach(sql => assert(sql.trim.toUpperCase.startsWith("SELECT")
+        || sql.trim.toUpperCase.startsWith("WITH"), s"$name: odd oracle SQL"))
+    }
+  }
+}
