@@ -357,6 +357,48 @@ object ScaleQueries {
              |WHERE rk <= 30 ORDER BY lang, rk""".stripMargin),
       "exact-k stratified sampling via salted-hash ranking per stratum"),
 
+    // RFM (recency / frequency / monetary) segmentation — the classic
+    // customer-profiling rollup. Tiers are FIXED thresholds (business
+    // rules), not global quantiles, so there is no all-rows sort: one
+    // customer-keyed aggregate, one segment-keyed aggregate. The
+    // reference date is the corpus max (deterministic), not wall clock.
+    "profile_rfm" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+        val ref = orders.agg(max("o_orderdate").as("ref_d"))
+        val rfm = orders.crossJoin(broadcast(ref))
+          .groupBy("o_custkey")
+          .agg(min(datediff(col("ref_d"), col("o_orderdate"))).as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum("o_totalprice").as("monetary"))
+        rfm.select(
+            when(col("recency_days") <= 90, "active")
+              .when(col("recency_days") <= 365, "warm")
+              .otherwise("cold").as("recency_tier"),
+            when(col("frequency") >= 15, "frequent")
+              .when(col("frequency") >= 5, "regular")
+              .otherwise("rare").as("frequency_tier"),
+            col("monetary"))
+          .groupBy("recency_tier", "frequency_tier")
+          .agg(count(lit(1)).as("n_customers"),
+            round(avg("monetary"), 2).as("avg_monetary"))
+          .orderBy("recency_tier", "frequency_tier")
+      },
+      Some("""WITH ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+             |rfm AS (
+             |  SELECT o_custkey,
+             |    min(date_diff('day', CAST(o_orderdate AS DATE), CAST(ref_d AS DATE))) AS recency_days,
+             |    count(*) AS frequency, sum(o_totalprice) AS monetary
+             |  FROM orders, ref GROUP BY o_custkey)
+             |SELECT
+             |  CASE WHEN recency_days <= 90 THEN 'active'
+             |       WHEN recency_days <= 365 THEN 'warm' ELSE 'cold' END AS recency_tier,
+             |  CASE WHEN frequency >= 15 THEN 'frequent'
+             |       WHEN frequency >= 5 THEN 'regular' ELSE 'rare' END AS frequency_tier,
+             |  count(*) AS n_customers, round(avg(monetary), 2) AS avg_monetary
+             |FROM rfm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "RFM customer segmentation: fixed-threshold tiers, two keyed aggregates, no global sort"),
+
     // Distribution window functions (percent_rank / cume_dist / ntile):
     // all rank arithmetic over exact integer (rank, count) pairs → the
     // doubles are identical cross-engine before rounding. ntile here is

@@ -198,6 +198,20 @@ class ScaleOpsSpec extends SparkSpec {
     } finally dim.unpersist()
   }
 
+  // ------------------------------------------------------- empty inputs
+  test("empty inputs: scd2, triangles, bm25, fuzzy pairs all yield empty, not errors") {
+    val noOrders = table(spark, sf("sf0.001"), "orders").limit(0)
+    assert(Upsert.scd2(noOrders.select("o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey"), "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey").count() === 0L)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.triangleCounts(noEdges, 10).count() === 0L)
+    assert(Graph.pagerankFixedPoint(Graph.withOutDegree(noEdges), 3).count() === 0L)
+    val noDocs = table(spark, sf("sf0.001"), "documents").limit(0)
+    assert(TextStats.bm25(noDocs, Seq("hash"), 5).count() === 0L)
+    assert(Dedup.fuzzyPairs(noDocs).count() === 0L)
+  }
+
   // --------------------------------------------------------------- bm25
   test("bm25: more matching occurrences → higher score; non-matching docs absent") {
     val docs = Seq(
