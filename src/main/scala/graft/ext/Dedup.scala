@@ -455,8 +455,12 @@ object Dedup {
       .join(b.hint("shuffle_hash"),
         col("lang") === col("lang_b") && col("blk") === col("blk_b") &&
           col("id_a") < col("id_b"))
-      .withColumn("lev", levenshtein(col("key_a"), col("key_b")))
-      .filter(col("lev") <= maxDist)
+      // threshold form = banded DP with early exit (O(k·n) per pair, not
+      // O(n²)); returns -1 past the bound, which the filter drops — the
+      // kept pairs and distances are identical to the unbounded form the
+      // oracle computes
+      .withColumn("lev", levenshtein(col("key_a"), col("key_b"), maxDist))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select("id_a", "id_b", "lev")
   }
 }
