@@ -993,6 +993,36 @@ object ExtQueries {
              |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin),
       "user-journey transition mining: event-type bigram counts (Markov edges)"),
 
+    // Trigram extension of the transition mining: top user journeys of
+    // length 3. Same single user-keyed window pass as the bigram query —
+    // lead() twice instead of once — so the plan cost is identical; only
+    // the group-key arity grows.
+    "events_paths" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .withColumn("t2", lead("event_type", 1).over(w))
+          .withColumn("t3", lead("event_type", 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+            col("t3").as("step3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS step1,
+             |    lead(event_type, 1) OVER w AS step2,
+             |    lead(event_type, 2) OVER w AS step3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT step1, step2, step3, count(*) AS n
+             |FROM seq WHERE step3 IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3
+             |LIMIT 20""".stripMargin),
+      "top length-3 user journeys: one window pass, double lead"),
+
     "events_props" -> Q(
       (s, dir) => Sessionize.propsStats(events(s, dir)),
       Some("""SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,

@@ -477,6 +477,47 @@ object ScaleQueries {
              |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin),
       "time-hierarchy rollup: month/year subtotals and grand total in one aggregate"),
 
+    // K-hop reachability from the top-degree hubs, over the same edge
+    // artifact: hop 1 is a broadcast join of the 5-row hub list onto the
+    // edges; hop 2 re-joins the frontier on the graph key. Unrolled hops
+    // (not a loop) — the plan is two joins and one distinct-aggregate,
+    // and the frontier grows by avg-degree per hop.
+    "graph_khop" -> Q(
+      (s, dir) => {
+        val edges = copurchaseEdgesCached(s, dir)
+        val hubs = edges.select("src", "outdeg").distinct()
+          .orderBy(desc("outdeg"), col("src")).limit(5)
+          .select(col("src").as("hub"))
+        val h1 = edges.join(broadcast(hubs), col("src") === col("hub"))
+          .select(col("hub"), col("dst"))
+        val h2 = h1.select(col("hub"), col("dst").as("mid"))
+          .join(edges.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+          .select(col("hub"), col("dst2").as("dst"))
+        h1.withColumn("hop", lit(1))
+          .unionByName(h2.withColumn("hop", lit(2)))
+          .filter(col("dst") =!= col("hub"))
+          .groupBy("hub")
+          .agg(countDistinct(when(col("hop") === 1, col("dst"))).as("reach_1"),
+            countDistinct(col("dst")).as("reach_2"))
+          .orderBy("hub")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |sym AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+             |hubs AS (SELECT src AS hub FROM deg ORDER BY outdeg DESC, src LIMIT 5),
+             |h1 AS (SELECT h.hub, e.dst FROM sym e JOIN hubs h ON e.src = h.hub),
+             |h2 AS (SELECT h1.hub, e2.dst FROM h1 JOIN sym e2 ON e2.src = h1.dst),
+             |allr AS (SELECT hub, dst, 1 AS hop FROM h1
+             |         UNION ALL SELECT hub, dst, 2 AS hop FROM h2)
+             |SELECT hub,
+             |  count(DISTINCT CASE WHEN hop = 1 THEN dst END) AS reach_1,
+             |  count(DISTINCT dst) AS reach_2
+             |FROM allr WHERE dst <> hub GROUP BY hub ORDER BY hub""".stripMargin),
+      "k-hop reachability from top-degree hubs: unrolled frontier joins on the edge artifact"),
+
     // Triangle participation over the SAME materialized co-purchase
     // artifact as graph_pagerank (built once per corpus); the oracle
     // re-derives the edge set from lineitem in SQL.
