@@ -22,8 +22,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // stale-candidate guard: the oracle SQL reads this sf's OracleAux dir,
     // so clear it first — a leftover set from an older code version must
-    // never be what DuckDB verifies against
-    graft.queries.OracleAux.clear(sfDir)
+    // never be what DuckDB verifies against. Skipped for name-filtered
+    // builder runs: wiping the aux dir while re-running only a subset
+    // would orphan every unfiltered candidate-persisting query's tables.
+    if (only.isEmpty) graft.queries.OracleAux.clear(sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -75,9 +75,12 @@ object BloomPrune {
       dim: DataFrame, dimKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // dim key is aliased so fact and dim may share the same column name
+    // (the usual case for a semi-join helper) without an ambiguous-
+    // reference failure
     fact
       .filter(mightContainSubquery(dim, dimKey, expectedKeys, fpp, col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__bloom_dim_key")).distinct(),
+        col(factKey) === col("__bloom_dim_key"), "left_semi")
   }
 }

@@ -175,9 +175,12 @@ object TextStats {
   /** The DuckDB twin of [[bm25]] — same expression tree, same pinned
     * summation order, same (1 - b) = 0.25 constant folding. */
   def bm25Sql(terms: Seq[String], topN: Int): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL string-literal escaping, so a term like "don't" can't break the
+    // oracle while the Spark isin() side accepts it
+    def q(t: String) = "'" + t.replace("'", "''") + "'"
+    val inList = terms.map(q).mkString(", ")
     val pinned = terms.map(t =>
-      s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0.0)").mkString("\n    + ")
+      s"coalesce(max(CASE WHEN term = ${q(t)} THEN sc END), 0.0)").mkString("\n    + ")
     s"""WITH dls AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks,

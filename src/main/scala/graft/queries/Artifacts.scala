@@ -1,0 +1,29 @@
+package graft.queries
+
+/** Digest-keyed /tmp artifact paths for the derived-artifact queries (IVF
+  * index, near-dup pair table, graph edge list, partitioned layout): one
+  * artifact per (prefix, sf-dir), built at most once per process.
+  *
+  * The on-disk path carries a digest of the FULL dir, not just its
+  * basename — two corpora named "sf0.1" (harness vs probe copy) must
+  * never overwrite each other's artifacts. Every new JVM rebuilds its
+  * artifacts on first touch (mode overwrite), so a stale artifact from an
+  * older CODE version can never poison a newer process. */
+object Artifacts {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** The digest-keyed path for `prefix` over `dir` — no caching, for
+    * callers that manage their own build lifecycle. */
+  def path(prefix: String, dir: String): String =
+    s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+
+  /** Path for `prefix` over `dir`; `build(path)` runs exactly once per
+    * (prefix, dir) per process. */
+  def cached(prefix: String, dir: String)(build: String => Unit): String =
+    cache.getOrElseUpdate((prefix, dir), { val p = path(prefix, dir); build(p); p })
+}

@@ -43,39 +43,26 @@ object ExtQueries {
 
   /** Cluster-partitioned IVF index per sf-dir, built once per process —
     * the one-off index materialization of a vector-serving pipeline
-    * ([[graft.ext.Similarity.buildIvfIndex]]). Keyed by sf basename like
-    * OracleAux so scales can't clobber each other. */
-  // the on-disk path carries a digest of the FULL dir, not just its
-  // basename — two corpora named "sf0.1" (harness vs probe copy) must
-  // never overwrite each other's artifacts
-  private def dirDigest(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+    * ([[graft.ext.Similarity.buildIvfIndex]]); digest-keyed via
+    * [[Artifacts]] so same-named corpora can't clobber each other. */
   private[queries] def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    ivfIndexCache.getOrElseUpdate(dir, {
-      val path = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+    Artifacts.cached("graft_ivf_index", dir) { path =>
       graft.ext.Similarity.buildIvfIndex(table(s, dir, "embeddings"), ivfNlist(s, dir), path)
-      path
-    })
+    }
 
   /** SimHash-verified near-dup pair table per sf-dir, materialized once
     * per process — the production shape: the pair table is a derived
     * artifact computed once per corpus snapshot, and every downstream
     * consumer (clustering, compaction) reads it rather than re-hashing
-    * the corpus. Same digest-keyed pathing as the IVF index so two
-    * same-named corpora can never collide. */
-  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+    * the corpus. Same digest-keyed pathing ([[Artifacts]]) as the IVF
+    * index so two same-named corpora can never collide. */
   private[queries] def simhashPairsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val path = pairsCache.getOrElseUpdate(dir, {
-      val p = s"/tmp/graft_pairs/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+    val path = Artifacts.cached("graft_pairs", dir) { p =>
       graft.ext.Dedup.simhashPairs(table(s, dir, "documents"))
         .select("id_a", "id_b")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -789,8 +776,7 @@ object ExtQueries {
         val e = table(s, dir, "embeddings")
         val centroids = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        val path =
-          s"/tmp/graft_ivf_upsert/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+        val path = Artifacts.path("graft_ivf_upsert", dir)
         Similarity.buildIvfIndexFrom(
           e.filter(col("vec_id") % 2 === 0), centroids, path)
         Similarity.indexUpsertBatch(

@@ -17,12 +17,6 @@ object ScaleQueries {
   /** Fixed BM25 seed query over the synthetic corpus vocabulary. */
   private val Bm25Terms = Seq("hash", "join", "scan", "vector", "stream")
 
-  // path digest mirrors ExtQueries: keyed by the FULL dir, not just its
-  // basename, so two same-named corpora can never collide
-  private def dirDigest(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-
   /** Co-purchase edge list per sf-dir, materialized once per process —
     * the production shape for iterative graph analytics: the edge list is
     * a derived artifact built once per corpus snapshot (GraphX/GraphFrames
@@ -30,33 +24,27 @@ object ScaleQueries {
     * artifact instead of re-running the lineitem self-join + distinct.
     * Without this the 3-iteration plan re-derives the edges three times
     * (6 fact scans + 3 double-exchange distincts — plan-audited). */
-  private val edgeCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[queries] def copurchaseEdgesCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val path = edgeCache.getOrElseUpdate(dir, {
-      val p = s"/tmp/graft_graph/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+    val path = Artifacts.cached("graft_graph", dir) { p =>
       graft.ext.Graph.withOutDegree(
           graft.ext.Graph.copurchaseEdges(
             table(s, dir, "lineitem").select("l_orderkey", "l_partkey")))
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path)
   }
 
   /** Year-partitioned orders layout per sf-dir, written once per process —
     * the hive-style `partitionBy` layout whose directory pruning is the
     * coarsest (and cheapest) level of data skipping at 100 TB. */
-  private val partCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[queries] def partitionedOrdersPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    partCache.getOrElseUpdate(dir, {
-      val p = s"/tmp/graft_part/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+    Artifacts.cached("graft_part", dir) { p =>
       table(s, dir, "orders")
         .withColumn("y", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("y").parquet(p)
-      p
-    })
+    }
 
   def all: Map[String, Q] = Map(
 
@@ -439,9 +427,13 @@ object ScaleQueries {
           df.agg(count(lit(1)).as("violations")).select(lit(name).as("check"), col("violations"))
         row("lineitem_nonpositive_qty", li.filter(col("l_quantity") <= 0))
           .unionAll(row("lineitem_discount_over_10pct", li.filter(col("l_discount") > 0.10)))
+          // orphan = NON-NULL key with no dim match; null keys belong to
+          // the orders_null_custkey check (and NOT IN would silently drop
+          // them on the oracle side — keep both engines' semantics aligned)
           .unionAll(row("orders_fk_customer_orphan",
-            orders.join(broadcast(cust.select("c_custkey")),
-              col("o_custkey") === col("c_custkey"), "left_anti")))
+            orders.filter(col("o_custkey").isNotNull)
+              .join(broadcast(cust.select("c_custkey")),
+                col("o_custkey") === col("c_custkey"), "left_anti")))
           .unionAll(row("orders_null_custkey", orders.filter(col("o_custkey").isNull)))
           .unionAll(row("orders_price_over_450k", orders.filter(col("o_totalprice") > 450000)))
           .orderBy("check")
@@ -454,7 +446,8 @@ object ScaleQueries {
              |  FROM lineitem WHERE l_discount > 0.10
              |  UNION ALL
              |  SELECT 'orders_fk_customer_orphan', count(*)
-             |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |  FROM orders WHERE o_custkey IS NOT NULL
+             |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
              |  UNION ALL
              |  SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
              |  UNION ALL

@@ -272,10 +272,14 @@ object StreamingOps {
     * size is the dimension's key cardinality, not the changelog length.
     *
     * In-batch disorder is repaired by the same (ts, tie) sort the batch
-    * twin windows on; cross-batch disorder must stay within the
-    * watermark (an event older than an already-opened version cannot be
-    * retro-inserted in append mode — the standard streaming-SCD2
-    * limitation). */
+    * twin windows on. Cross-batch disorder is NOT repairable in append
+    * mode (an event older than the already-open version cannot be
+    * retro-inserted — the standard streaming-SCD2 limitation), and Spark
+    * does not drop watermark-late rows for flatMapGroupsWithState, so
+    * stale arrivals are DISCARDED explicitly here: without that guard a
+    * late change would emit an inverted interval (valid_to < valid_from)
+    * and replace the open version with older state. Pipelines needing
+    * retro-correction replay the affected keys through the batch build. */
   def scd2Stream(changes: DataFrame, lateMinutes: Int = 60): DataFrame = {
     val spark = changes.sparkSession
     import spark.implicits._
@@ -295,6 +299,10 @@ object StreamingOps {
             cur match {
               case None =>
                 cur = Some(Scd2Open(e.attr, e.ts_us, 1))
+              case Some(c) if e.ts_us < c.from_us =>
+                () // stale cross-batch arrival, older than the open
+                   // version — discard (see scaladoc); accepting it would
+                   // invert the interval and regress the current state
               case Some(c) if c.attr != e.attr =>
                 out += Scd2Closed(key, c.attr, c.from_us, e.ts_us, c.version)
                 cur = Some(Scd2Open(e.attr, e.ts_us, c.version + 1))

@@ -509,6 +509,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2 stream: a cross-batch stale arrival is discarded, never inverts an interval") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch 1: A@10:00 then B@12:00 (closes A, opens B v2)
+    // batch 2: C@11:00 — OLDER than the open version → must be discarded
+    //          (watermark does not drop it: flatMapGroupsWithState gets
+    //          late rows regardless); then D@13:00 closes B normally
+    val d = java.nio.file.Files.createTempDirectory("graft_scd2_late")
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+      rows.toDF("key", "attr", "ts_s", "tie")
+        .select(col("key"), col("attr"), to_timestamp(col("ts_s")).as("ts"), col("tie"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, d.resolve(name))
+      assert(d.resolve(name).toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    write("a.parquet", t0 - 60000, Seq(
+      (1L, "A", "2026-01-01 10:00:00", 1L), (1L, "B", "2026-01-01 12:00:00", 2L)))
+    write("b.parquet", t0, Seq(
+      (1L, "C", "2026-01-01 11:00:00", 3L), (1L, "D", "2026-01-01 13:00:00", 4L)))
+
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val q = StreamingOps.scd2Stream(stream, lateMinutes = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+
+    val got = spark.table("scd2_late_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._5)
+    got.foreach { case (_, _, f, t, _) =>
+      assert(t > f, s"inverted interval emitted: $got")
+    }
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(got.toSeq === Seq(
+      (1L, "A", us("2026-01-01 10:00:00"), us("2026-01-01 12:00:00"), 1),
+      (1L, "B", us("2026-01-01 12:00:00"), us("2026-01-01 13:00:00"), 2)),
+      s"stale event must be dropped, normal flow must continue: $got")
+  }
+
   test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
     import org.apache.spark.sql.functions._
     val raw = graft.queries.Registry.table(spark, dir, "events")

@@ -21,11 +21,13 @@ def main(a_dir, b_dir):
         gb = glob.glob(os.path.join(b_dir, name, "*.parquet"))
         if not ga or not gb:
             print(f"MISS  {name}"); diff += 1; continue
+        # file_row_number makes the compare ORDER-SENSITIVE: the registered
+        # queries fully ORDER BY their output, so row N must match row N —
+        # a multiset-only diff would miss a lost final sort
+        q = ("SELECT * FROM read_parquet(?, file_row_number=true) EXCEPT ALL "
+             "SELECT * FROM read_parquet(?, file_row_number=true)")
         n = con.execute(
-            "SELECT count(*) FROM ((SELECT * FROM read_parquet(?) EXCEPT ALL "
-            "SELECT * FROM read_parquet(?)) UNION ALL "
-            "(SELECT * FROM read_parquet(?) EXCEPT ALL "
-            "SELECT * FROM read_parquet(?)))",
+            f"SELECT count(*) FROM (({q}) UNION ALL ({q}))",
             [ga, gb, gb, ga]).fetchone()[0]
         if n == 0:
             same += 1
