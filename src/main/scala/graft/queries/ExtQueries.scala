@@ -1350,6 +1350,32 @@ object ExtQueries {
              |ORDER BY payload_md5""".stripMargin),
       "binary-payload exact dedup: md5 the opaque media bytes, keep duplicate groups"),
 
+    // Per-language corpus health report — the one-page rollup a curation
+    // pipeline publishes with every snapshot: volume, size profile, and
+    // exact-dup rate from the content fingerprint. One grouped aggregate;
+    // the dup rate is a ratio of exact integer counts, so the double is
+    // bit-identical cross-engine before rounding.
+    "corpus_report" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("lang"), length(col("text")).as("len"),
+          graft.ext.TextStats.wsTokenCount(col("text")).as("tok"),
+          graft.ext.TextStats.fingerprint(col("text")).as("fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("len"), 2).as("avg_chars"),
+          round(avg("tok"), 2).as("avg_ws_tokens"),
+          countDistinct(col("fp")).as("n_distinct"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(avg(length(text)), 2) AS avg_chars,
+             |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_ws_tokens,
+             |  count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_distinct,
+             |  round(1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS DOUBLE) / count(*), 6) AS dup_rate
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "per-language corpus health report: volume, size profile, exact-dup rate"),
+
     // Typo-tolerant linkage pairs over the corpus; DuckDB computes the
     // identical blocked edit-distance join.
     "link_fuzzy" -> Q(
