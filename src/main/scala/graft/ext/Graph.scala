@@ -49,10 +49,24 @@ object Graph {
 
   /** Per-node triangle participation counts over a symmetric edge list,
     * via adjacency-list intersection (the "compact-forward" layout):
-    * orient each undirected edge by node id (a < b), build each node's
-    * HIGHER-neighbor list once, then for every edge (a, b) the witnesses
-    * are `array_intersect(N⁺(a), N⁺(b))` — each c > b > a closes the
-    * triangle {a, b, c} exactly once. Corners explode and count per node.
+    * orient each undirected edge low-degree → high-degree (ties by id),
+    * build each node's FORWARD-neighbor list once, then for every
+    * oriented edge (a, b) the witnesses are `array_intersect(N⁺(a),
+    * N⁺(b))` — each triangle {x, y, z} with x ≺ y ≺ z in the (degree,
+    * id) order carries oriented edges x→y, x→z, y→z, so it closes on
+    * edge (x, y) exactly once. Corners explode and count per node.
+    *
+    * Why degree orientation, not id orientation? Forward-adjacency
+    * state per node is its FORWARD degree. Under id order that is the
+    * node's full residual degree — a low-id hub on a power-law graph
+    * collects a max-degree-sized array in one aggregation buffer. Under
+    * (degree, id) order a node's forward neighbors all have ≥ its
+    * degree, which bounds every forward list by O(√|E|) (arboricity
+    * argument: d_fwd(v) ≤ deg(v) and d_fwd(v) counts only
+    * higher-degree neighbors, so d_fwd(v)² ≤ deg(v)·d_fwd(v) ≤ 2|E|) —
+    * per-node state is bounded by graph size, not by the hubs. The
+    * triangle set is identical under any total order (spec-pinned on a
+    * hub graph).
     *
     * Why not the textbook wedge join (a→b ⋈ b→c, then semi-probe a→c)?
     * The wedge intermediate is Σ deg² ≈ |E|·avg-degree rows THROUGH A
@@ -62,12 +76,38 @@ object Graph {
     * information, amortized columnar), and only CLOSED triangles leave
     * the intersection. Both adjacency joins are pinned shuffle_hash —
     * the adjacency table is corpus-sized, never broadcast-safe, and
-    * sorting |E| array-payload rows for SMJ is wasted work. Max
-    * per-node state is the max degree (skewed graphs: orient
-    * low-degree → high-degree first, same plan). */
-  def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
-    val e = edges.filter(col("src") < col("dst"))
+    * sorting |E| array-payload rows for SMJ is wasted work. Degrees
+    * come from one groupBy over the symmetric list (degree ≡
+    * out-degree there), and the degree join is shuffle_hash-pinned for
+    * the same data-dependent-size reason. */
+  /** Symmetric edge list → (degree, id)-oriented edges (a ≺ b), each
+    * undirected edge exactly once. On a symmetric list degree ≡
+    * out-degree, so when the edges already carry `outdeg` (the
+    * [[withOutDegree]] artifact) the src side needs NO degree join —
+    * only the dst side joins the |V|-row degree table (shuffle_hash:
+    * |V| is data-dependent, never assume broadcast). Exposed for the
+    * hub-graph state-bound spec; see [[triangleCounts]] for why the
+    * order matters. */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val hasDeg = edges.columns.contains("outdeg")
+    val deg =
+      if (hasDeg) edges.select(col("src").as("node"), col("outdeg").as("deg")).distinct()
+      else edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val withA =
+      if (hasDeg) edges.select(col("src"), col("dst"), col("outdeg").as("deg_a"))
+      else edges.select("src", "dst")
+        .join(deg.hint("shuffle_hash").select(col("node").as("sk"), col("deg").as("deg_a")),
+          col("src") === col("sk"))
+    withA
+      .join(deg.hint("shuffle_hash").select(col("node").as("dk"), col("deg").as("deg_b")),
+        col("dst") === col("dk"))
+      .filter(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("src") < col("dst")))
       .select(col("src").as("a"), col("dst").as("b"))
+  }
+
+  def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
+    val e = orientByDegree(edges)
     val adj = e.groupBy(col("a").as("node"))
       .agg(collect_list(col("b")).as("nbrs"))
     val tri = e

@@ -1326,13 +1326,19 @@ object ExtQueries {
     // the first pass of any multimodal ingest. The re-crawl is simulated
     // like the other planted-dup inputs (every 10th payload re-ingested
     // under a fresh id); the operator must surface exactly those groups.
-    // One groupBy on a 128-bit key; the payload bytes never shuffle
-    // (only the digest does).
+    // Re-crawl ids offset past max(doc_id) + 1 (broadcast 1-row stats
+    // join, never a fixed constant) so a real doc can never collide with
+    // a simulated re-crawl on corpora of any size — keep_id = min is
+    // then always the genuine original. One groupBy on a 128-bit key;
+    // the payload bytes never shuffle (only the digest does).
     "multimodal_dedup" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        val mx = docs.agg(max("doc_id").as("mx"))
         val recrawled = docs.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(2000000L))
+          .crossJoin(broadcast(mx))
+          .withColumn("doc_id", col("doc_id") + col("mx") + lit(1L))
+          .drop("mx")
         Multimodal.mediaTable(docs.unionByName(recrawled))
           .groupBy(md5(col("payload")).as("payload_md5"))
           .agg(count(lit(1)).as("n"),
@@ -1340,10 +1346,11 @@ object ExtQueries {
           .filter(col("n") > 1)
           .orderBy("payload_md5")
       },
-      Some("""WITH corpus AS (
+      Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+             |corpus AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+             |  SELECT doc_id + mx + 1, text FROM documents, mx WHERE doc_id % 10 = 0)
              |SELECT md5(text) AS payload_md5, count(*) AS n,
              |  min(doc_id) AS keep_id, max(doc_id) AS max_dup_id
              |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
@@ -1377,9 +1384,15 @@ object ExtQueries {
       "per-language corpus health report: volume, size profile, exact-dup rate"),
 
     // Typo-tolerant linkage pairs over the corpus; DuckDB computes the
-    // identical blocked edit-distance join.
+    // identical blocked edit-distance join. The registered form is the
+    // SALT-CAPPED one (Dedup.fuzzyPairsCapped): output is bit-identical
+    // to the plain blocked join the oracle runs, but oversized blocks
+    // fan their quadratic pair work across an s×s salt grid instead of
+    // one reducer — the skew shape that dominates blocked linkage at
+    // scale. maxBlock=64 is deliberately small so the salting path is
+    // exercised (not dead code) at harness scale.
     "link_fuzzy" -> Q(
-      (s, dir) => Dedup.fuzzyPairs(table(s, dir, "documents"))
+      (s, dir) => Dedup.fuzzyPairsCapped(table(s, dir, "documents"))
         .orderBy("id_a", "id_b"),
       Some("""WITH k AS (
              |  SELECT doc_id, lang,

@@ -19,10 +19,16 @@ final case class Q(
 object Registry {
   /** Read one harness table (TESTDATA.md). `events.parquet` carries a
     * TIMESTAMP(NANOS) column that Spark's parquet reader rejects unless
-    * nanos are surfaced as longs, so that conf is forced here (runtime-set:
-    * it is read at scan planning). */
+    * nanos are surfaced as longs. Every graft entry point (Bench, Verify,
+    * Smoke, SparkSpec) sets that conf at session BUILD, so this runtime
+    * fallback fires only for externally-built sessions (e.g. the driver's
+    * smoke harness). It is safe under concurrent queries even then: the
+    * conf is only ever written with the same value ("true") and never
+    * unset, so racing writers are idempotent — but it IS a session-global
+    * mutation at plan time, which is why graft's own sessions pre-set it. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -350,6 +350,11 @@ object ScaleQueries {
     // rules), not global quantiles, so there is no all-rows sort: one
     // customer-keyed aggregate, one segment-keyed aggregate. The
     // reference date is the corpus max (deterministic), not wall clock.
+    // Monetary sums are EXACT integer cents (prices are 2-dp by
+    // construction), so both aggregation levels are order-invariant and
+    // the single final double division is bit-identical cross-engine —
+    // a double sum-of-sums would satisfy the determinism contract only
+    // empirically (2-dp rounding does not pin values near a boundary).
     "profile_rfm" -> Q(
       (s, dir) => {
         val orders = table(s, dir, "orders")
@@ -358,7 +363,7 @@ object ScaleQueries {
           .groupBy("o_custkey")
           .agg(min(datediff(col("ref_d"), col("o_orderdate"))).as("recency_days"),
             count(lit(1)).as("frequency"),
-            sum("o_totalprice").as("monetary"))
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
         rfm.select(
             when(col("recency_days") <= 90, "active")
               .when(col("recency_days") <= 365, "warm")
@@ -366,24 +371,26 @@ object ScaleQueries {
             when(col("frequency") >= 15, "frequent")
               .when(col("frequency") >= 5, "regular")
               .otherwise("rare").as("frequency_tier"),
-            col("monetary"))
+            col("cents"))
           .groupBy("recency_tier", "frequency_tier")
           .agg(count(lit(1)).as("n_customers"),
-            round(avg("monetary"), 2).as("avg_monetary"))
+            round(sum("cents") / (count(lit(1)) * 100.0), 2).as("avg_monetary"))
           .orderBy("recency_tier", "frequency_tier")
       },
       Some("""WITH ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
              |rfm AS (
              |  SELECT o_custkey,
              |    min(date_diff('day', CAST(o_orderdate AS DATE), CAST(ref_d AS DATE))) AS recency_days,
-             |    count(*) AS frequency, sum(o_totalprice) AS monetary
+             |    count(*) AS frequency,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
              |  FROM orders, ref GROUP BY o_custkey)
              |SELECT
              |  CASE WHEN recency_days <= 90 THEN 'active'
              |       WHEN recency_days <= 365 THEN 'warm' ELSE 'cold' END AS recency_tier,
              |  CASE WHEN frequency >= 15 THEN 'frequent'
              |       WHEN frequency >= 5 THEN 'regular' ELSE 'rare' END AS frequency_tier,
-             |  count(*) AS n_customers, round(avg(monetary), 2) AS avg_monetary
+             |  count(*) AS n_customers,
+             |  round(sum(cents) / (count(*) * 100.0), 2) AS avg_monetary
              |FROM rfm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "RFM customer segmentation: fixed-threshold tiers, two keyed aggregates, no global sort"),
 

@@ -158,6 +158,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("triangles: degree orientation bounds hub state (id orientation would not)") {
+    // star: hub 0 ↔ leaves 1..60, plus ring edges making 4 triangles
+    // {0,1,2} {0,2,3} {0,1,3} {1,2,3}. Hub degree 60, leaf degree ≤ 3.
+    val und = (1L to 60L).map(l => (0L, l)) ++ Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, topN = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $got")
+    // the state bound the orientation buys: every forward-adjacency list
+    // stays leaf-sized because low-degree endpoints point AT the hub
+    val maxFwd = Graph.orientByDegree(edges)
+      .groupBy("a").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxFwd <= 3L, s"degree orientation must bound hub state, got $maxFwd")
+    // contrast: id orientation hands the low-id hub its full degree
+    val idFwd = edges.filter(col("src") < col("dst"))
+      .groupBy("src").count().agg(max("count")).collect()(0).getLong(0)
+    assert(idFwd === 60L, s"control: id orientation should collect 60, got $idFwd")
+  }
+
   // --------------------------------------------------------------- scd2
   test("scd2: contiguous intervals, one current version per key, LWW-consistent") {
     val orders = table(spark, sf("sf0.001"), "orders")
@@ -196,6 +215,28 @@ class ScaleOpsSpec extends SparkSpec {
         .count()
       assert(disagree === 0L, "current SCD2 version must equal LWW compaction")
     } finally dim.unpersist()
+  }
+
+  // -------------------------------------------------------- fuzzy linkage
+  test("fuzzy linkage: salt-capped grid ≡ uncapped pairs, and hot blocks actually split") {
+    // a deliberately hot block: 40 near-identical docs sharing one 8-char
+    // prefix (one-char tail variants, all within lev 5 of each other)
+    // plus unrelated filler — maxBlock=8 forces a 5×5 salt grid
+    val hot = (0 until 40).map(i =>
+      (100L + i, "en", s"shared prefix text variant $i"))
+    val cold = (0 until 20).map(i =>
+      (500L + i, "en", s"totally unrelated document number $i with padding"))
+    val docs = (hot ++ cold).toDF("doc_id", "lang", "text")
+    val uncapped = Dedup.fuzzyPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val capped = Dedup.fuzzyPairsCapped(docs, maxBlock = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(uncapped.nonEmpty, "fixture must produce in-block pairs")
+    assert(capped === uncapped, "salting must preserve the exact pair set")
+    // and the grid actually engaged: the hot block's 40 rows at
+    // maxBlock=8 give s=5, so the left side replicates 5× per hot row
+    assert(capped.count(p => p._1 >= 100L && p._1 < 140L) > 0,
+      "hot-block pairs must survive the grid")
   }
 
   // ------------------------------------------------------- empty inputs

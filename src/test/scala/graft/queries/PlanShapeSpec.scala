@@ -318,10 +318,44 @@ class PlanShapeSpec extends SparkSpec {
       s"partition pruning missing:\n$plan")
   }
 
-  test("link_fuzzy: blocked self-join keeps its shuffle_hash pin") {
+  test("link_fuzzy: census + salted-grid joins keep their shuffle_hash pins") {
     val plan = explained("link_fuzzy")
-    assert(plan.contains("ShuffledHashJoin"), plan)
+    // block-census join + the s×s grid pair join — both pinned: both
+    // sides are corpus-derived and data-dependent in size
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph_triangles: degree + adjacency joins all shuffle_hash; no cartesian") {
+    val plan = explained("graph_triangles")
+    // dst-side degree-orientation join (src degree rides the artifact's
+    // outdeg column) + 2 adjacency joins, every side corpus-sized: none
+    // may auto-broadcast or sort-merge
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph_khop: hub list broadcasts; hops read the edge artifact, not the fact table") {
+    val plan = explained("graph_khop")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("/tmp/graft_graph/"), s"edge artifact missing:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"hops must not re-derive edges from the fact table:\n$plan")
+  }
+
+  test("profile_rfm: 1-row reference date broadcasts; no shuffle join anywhere") {
+    val plan = explained("profile_rfm")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("stats_winsorize: percentile bounds broadcast onto the scan") {
+    val plan = explained("stats_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
   test("text_bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {

@@ -13,8 +13,10 @@ import duckdb
 
 def main(a_dir, b_dir):
     con = duckdb.connect()
-    names = sorted(d for d in os.listdir(a_dir)
-                   if os.path.isdir(os.path.join(a_dir, d)))
+    # union of BOTH dirs: a query present on only one side (e.g. one run
+    # errored and skipped its write) must surface as MISS, not vanish
+    names = sorted({d for src in (a_dir, b_dir) for d in os.listdir(src)
+                    if os.path.isdir(os.path.join(src, d))})
     same = diff = 0
     for name in names:
         ga = glob.glob(os.path.join(a_dir, name, "*.parquet"))
