@@ -128,19 +128,41 @@ object Graph {
     * carrying (src, dst, outdeg) — see [[withOutDegree]]. Symmetric ⇒
     * every node with an in-edge has an out-edge, so no dangling mass.
     * Each iteration is ONE rank⋈edges join (both sides keyed on the
-    * graph key) plus one groupBy dst. Returns (node, pr), pr × 1e6. */
-  def pagerankFixedPoint(edgesWithDeg: DataFrame, iters: Int): DataFrame = {
-    var ranks = edgesWithDeg.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
-      ranks = edgesWithDeg
-        .join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          expr("(pr * 85) div (100 * outdeg)").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg((lit(150000L) + sum("contrib")).as("pr"))
-        .select(col("node"), col("pr"))
-    }
+    * graph key) plus one groupBy dst. Returns (node, pr), pr × 1e6.
+    *
+    * `materializeRanks` is the at-scale mode: each iteration's rank table
+    * is localCheckpoint-materialized (identical values — the fixed-point
+    * arithmetic is integer — so the oracle is unaffected). That buys two
+    * things a 1000-executor run needs: (1) lineage truncation, so
+    * iteration N's plan does not re-derive iterations 1..N-1 (the same
+    * reason [[Dedup]]'s connected components checkpoints); (2) the
+    * rank⋈edges join sees two BARE shuffle reads, which is the shape
+    * AQE's skew-join rule pattern-matches — with inline ranks the final
+    * HashAggregate sits between the shuffle and the join sort and the
+    * rewrite can never fire, so a power-law hub source pins its whole
+    * shuffle partition on one task (spec-pinned: ScaleOpsSpec asserts
+    * skew=true fires in this mode on a hub graph). Default off: the
+    * harness-scale registered query keeps the single lazy plan. */
+  /** One fixed-point update: rank⋈edges on the graph key, contributions
+    * re-aggregated per destination. Exposed so the skew spec can drive
+    * the exact iteration join over materialized inputs. */
+  private[graft] def pagerankStep(edgesWithDeg: DataFrame, ranks: DataFrame): DataFrame =
+    edgesWithDeg
+      .join(ranks, col("src") === col("node"))
+      .select(col("dst"),
+        expr("(pr * 85) div (100 * outdeg)").as("contrib"))
+      .groupBy(col("dst").as("node"))
+      .agg((lit(150000L) + sum("contrib")).as("pr"))
+      .select(col("node"), col("pr"))
+
+  def pagerankFixedPoint(edgesWithDeg: DataFrame, iters: Int,
+      materializeRanks: Boolean = false): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materializeRanks) df.localCheckpoint() else df
+    var ranks = mat(edgesWithDeg.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L)))
+    for (_ <- 1 to iters)
+      ranks = mat(pagerankStep(edgesWithDeg, ranks))
     ranks
   }
 }

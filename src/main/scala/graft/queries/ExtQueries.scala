@@ -946,6 +946,20 @@ object ExtQueries {
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
       "tumbling 1-hour windowed aggregation"),
 
+    // Batch twin of StreamingOps.enrichedSegmentCounts (stream-static
+    // join): the SAME function body runs under both planners — here the
+    // batch one, oracle-gated; StreamingSpec drives the multi-batch
+    // streaming leg against this result.
+    "events_enriched" -> Q(
+      (s, dir) => graft.streaming.StreamingOps.enrichedSegmentCounts(
+          events(s, dir), table(s, dir, "customer"))
+        .orderBy("window_start", "c_mktsegment"),
+      Some("""SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+             |  count(*) AS n, round(sum(e.value), 2) AS total_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "stream-static enrichment twin: events ⋈ broadcast dimension, per-segment window rollup"),
+
     "events_sliding" -> Q(
       (s, dir) => Sessionize.sliding(events(s, dir)),
       Some("""SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS window_start,

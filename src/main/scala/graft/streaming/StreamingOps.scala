@@ -49,6 +49,27 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-STATIC enrichment join — the most common production streaming
+    * shape: an unbounded event stream joins a bounded dimension table,
+    * then rolls up per (window, dimension attribute). The static side is
+    * stateless by construction (Spark re-resolves it each micro-batch, so
+    * a dimension refresh is picked up on the next trigger) and explicitly
+    * broadcast: a shuffle join against a stream would re-shuffle every
+    * micro-batch, while the broadcast rides the executors. Only the
+    * windowed aggregate keeps state, bounded by the watermark. The SAME
+    * function is the batch twin (`events_enriched`, oracle-gated):
+    * `withWatermark` is a documented no-op under batch execution, so one
+    * definition serves both planners. */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("total_value"))
+
   /** Stream-stream interval join: purchases joined to the same user's
     * events within the following `windowMinutes`. Both sides are
     * watermarked and the join condition carries the time bound, so state
@@ -257,7 +278,7 @@ object StreamingOps {
       }
 
   final case class Change(key: Long, attr: String, ts_us: Long, tie: Long)
-  final case class Scd2Open(attr: String, from_us: Long, version: Int)
+  final case class Scd2Open(attr: String, from_us: Long, from_tie: Long, version: Int)
   final case class Scd2Closed(key: Long, attr: String, valid_from_us: Long,
       valid_to_us: Long, version: Int)
 
@@ -298,14 +319,18 @@ object StreamingOps {
           evs.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
             cur match {
               case None =>
-                cur = Some(Scd2Open(e.attr, e.ts_us, 1))
-              case Some(c) if e.ts_us < c.from_us =>
-                () // stale cross-batch arrival, older than the open
-                   // version — discard (see scaladoc); accepting it would
-                   // invert the interval and regress the current state
+                cur = Some(Scd2Open(e.attr, e.ts_us, e.tie, 1))
+              case Some(c) if e.ts_us < c.from_us ||
+                  (e.ts_us == c.from_us && e.tie < c.from_tie) =>
+                () // stale cross-batch arrival, (ts, tie)-older than the
+                   // open version — discard (see scaladoc); the tie is
+                   // part of the comparison because the batch twin orders
+                   // by (ts, tie): a ts-equal-but-older-tie late event
+                   // would otherwise close an interval with
+                   // valid_to == valid_from and diverge from the batch
               case Some(c) if c.attr != e.attr =>
                 out += Scd2Closed(key, c.attr, c.from_us, e.ts_us, c.version)
-                cur = Some(Scd2Open(e.attr, e.ts_us, c.version + 1))
+                cur = Some(Scd2Open(e.attr, e.ts_us, e.tie, c.version + 1))
               case _ => () // unchanged attr → same version continues
             }
           }

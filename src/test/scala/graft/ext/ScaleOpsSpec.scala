@@ -148,6 +148,66 @@ class ScaleOpsSpec extends SparkSpec {
       s"mass conservation violated: sum=${a.values.sum}, |V|=$v")
   }
 
+  test("pagerank: AQE splits the skewed rank⋈edges shuffle on a power-law src key") {
+    // the per-iteration join keys the edge list by src — a power-law hub
+    // source skews that shuffle partition. At cluster scale the mitigation
+    // is AQE's skew-join split (runtime re-plan, no code change); this pins
+    // that the rewrite actually FIRES on a hub graph once the broadcast
+    // escape hatch is off (at 100 TB the rank table is not broadcastable).
+    val hub = (1L to 60000L).map(d => (0L, d))
+    val rest = (1L to 200L).flatMap(s => (1L to 20L).map(d => (s, s * 1000 + d)))
+    val und = hub ++ rest
+    val skewConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // the split target is clamped to coalescePartitions.minPartitionSize
+      // (default 1 MiB) — far above this fixture's ~320 KiB hub partition,
+      // so without lowering it the rule judges the hub unsplittable. At
+      // cluster scale hub partitions are GBs and the default is harmless.
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
+      // the rank join's output co-partitioning feeds the dst groupBy, so
+      // the conservative rule backs off (splitting adds a re-shuffle);
+      // force it — trading one extra exchange for unsticking the hub
+      // straggler is the right call on a power-law graph, and is the
+      // deployment conf this spec documents
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // materialized inputs = the at-scale iteration shape (edge artifact
+      // on disk, ranks checkpointed per round — pagerankFixedPoint's
+      // materializeRanks mode): both join children are bare shuffle
+      // reads, the ONLY shape AQE's skew rule pattern-matches. With
+      // inline ranks the final HashAggregate sits between shuffle and
+      // sort and the rewrite never fires (verified while building this).
+      // repartition(16) before the checkpoint: skew splitting is
+      // MAPPER-granular (a reduce partition subdivides only at map-output
+      // boundaries), so a single-mapper fixture can never split — real
+      // corpora always have many mappers
+      val edges = Graph.withOutDegree((und ++ und.map(_.swap)).toDF("src", "dst"))
+        .repartition(16).localCheckpoint()
+      val ranks0 = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L)).localCheckpoint()
+      val df = Graph.pagerankStep(edges, ranks0)
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join rewrite did not fire on the hub shuffle:\n$plan")
+      // and the materialized mode is value-identical to the lazy one
+      val lazyR = Graph.pagerankFixedPoint(edges, 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val matR = Graph.pagerankFixedPoint(edges, 2, materializeRanks = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lazyR === matR, "materializeRanks must not change the fixed point")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("triangles: adjacency-intersection counts match a hand-checked graph") {
     // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant edge
     // 4-5 (node 5 in none); symmetric edge list like copurchaseEdges emits

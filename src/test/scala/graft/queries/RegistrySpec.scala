@@ -28,10 +28,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("surface size only changes deliberately (bump on add/remove)") {
-    // 138 as of round 5: see COVERAGE.md tally. If this fails after an
-    // edit you did not expect to change the surface, an entry was
-    // silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 138,
+    // 139 as of round 6 (+events_enriched): see COVERAGE.md tally. If
+    // this fails after an edit you did not expect to change the surface,
+    // an entry was silently dropped or duplicated.
+    assert(graft.SparkEntry.registry.size == 139,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 

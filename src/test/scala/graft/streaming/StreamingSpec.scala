@@ -557,6 +557,81 @@ class StreamingSpec extends SparkSpec {
       s"stale event must be dropped, normal flow must continue: $got")
   }
 
+  test("stream-static join multi-batch: enriched segment rollup == batch twin") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.queries.Registry.table(spark, dir, "events")
+    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitNs, "enrich_mb")
+    val dim = graft.queries.Registry.table(spark, dir, "customer")
+    val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
+    val q = StreamingOps.enrichedSegmentCounts(stream, dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val nBatches =
+      try {
+        assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+        q.recentProgress.map(_.batchId).distinct.length
+      } finally q.stop()
+    assert(nBatches >= 2, s"expected a multi-batch run, got $nBatches batch(es)")
+    val got = spark.table("enrich_out")
+      .orderBy("window_start", "c_mktsegment").collect().toSeq
+    // batch twin = the registered oracle-gated query body, same function
+    val want = StreamingOps.enrichedSegmentCounts(events(spark, dir), dim)
+      .orderBy("window_start", "c_mktsegment").collect().toSeq
+    assert(got == want,
+      s"stream-static drift: ${got.length} stream rows vs ${want.length} batch rows")
+  }
+
+  test("scd2 stream: ts-equal-but-older-tie late arrival is discarded like the batch order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch 1: A@10:00(tie 5), B@12:00(tie 10) — closes A, opens B v2 at
+    //          from=(12:00, tie=10)
+    // batch 2: C@12:00(tie 3) — SAME ts as the open version but an OLDER
+    //          tie: under the batch (ts, tie) order C precedes B, so a
+    //          stream that already opened B must discard C (a ts-only
+    //          guard would accept it and emit a zero-length interval);
+    //          then D@13:00(tie 20) closes B normally
+    val d = java.nio.file.Files.createTempDirectory("graft_scd2_tie")
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+      rows.toDF("key", "attr", "ts_s", "tie")
+        .select(col("key"), col("attr"), to_timestamp(col("ts_s")).as("ts"), col("tie"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, d.resolve(name))
+      assert(d.resolve(name).toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    write("a.parquet", t0 - 60000, Seq(
+      (1L, "A", "2026-01-01 10:00:00", 5L), (1L, "B", "2026-01-01 12:00:00", 10L)))
+    write("b.parquet", t0, Seq(
+      (1L, "C", "2026-01-01 12:00:00", 3L), (1L, "D", "2026-01-01 13:00:00", 20L)))
+
+    val schema = spark.read.parquet(d.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val q = StreamingOps.scd2Stream(stream, lateMinutes = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_tie_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+
+    val got = spark.table("scd2_tie_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._5)
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(got.toSeq === Seq(
+      (1L, "A", us("2026-01-01 10:00:00"), us("2026-01-01 12:00:00"), 1),
+      (1L, "B", us("2026-01-01 12:00:00"), us("2026-01-01 13:00:00"), 2)),
+      s"tie-older stale event must be dropped, normal flow must continue: $got")
+  }
+
   test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
     import org.apache.spark.sql.functions._
     val raw = graft.queries.Registry.table(spark, dir, "events")
