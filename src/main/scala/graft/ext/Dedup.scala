@@ -464,60 +464,93 @@ object Dedup {
       .select("id_a", "id_b", "lev")
   }
 
-  /** [[fuzzyPairs]] with BOUNDED per-task state: bit-identical output, but
-    * no block may pin its quadratic comparison work on one reducer. The
-    * uncapped form's hazard is block skew — in-block pairs are quadratic
-    * in block size, and real corpora guarantee hot blocks (short texts all
-    * normalize to the same prefix; `"the "`-prefixed English piles up), so
-    * at 100 TB one hot block OOMs an executor or runs for hours (the 8×
-    * probe measured ×10.6 wall on ×8 data for the uncapped form).
+  /** [[fuzzyPairs]] made scale-safe: bit-identical output, with the two
+    * hazards of blocked linkage dismantled separately.
     *
-    * Fix shape: SALT-SPLIT the oversized blocks into an s×s comparison
-    * grid, s = ⌈block/maxBlock⌉ — row r lands in salt cell `r.doc_id mod
-    * s` (deterministic, partition-invariant), the left side replicates
-    * each row to its (own, *) grid row and the right side to its (*, own)
-    * grid column, and the join key grows to (lang, blk, salt_a, salt_b).
-    * Every in-block pair meets in EXACTLY one grid cell, so the output is
-    * identical to the uncapped form (spec-pinned) and the oracle twin is
-    * unchanged — but per-task pair work is capped at ~maxBlock² and hot
-    * blocks fan out across s² tasks instead of one. Replication cost is s
-    * per side — paid ONLY by oversized blocks (s = 1 ⇒ the plan below
-    * degenerates to the uncapped join for every healthy block).
+    * Hazard 1 — DUPLICATE PILE-UP. On a recrawl-heavy corpus most pair
+    * comparisons are between byte-identical keys (the 8× probe duplicates
+    * every doc: in-block pairs grow ×64 on ×8 data, and the plain blocked
+    * join measured ×10.6, then ×15.8 salted, wall). Collapse to DISTINCT
+    * keys FIRST: the edit-distance DP runs once per distinct-key pair —
+    * invariant under duplication — and doc multiplicity re-expands
+    * afterwards through cheap equi-joins on the key. Same-key doc pairs
+    * (lev 0 by definition, no DP at all) come from one key-equality
+    * self-join. This is the standard production composition: exact-dedup
+    * before fuzzy linkage. (A key duplicated m× still emits its m·(m-1)/2
+    * zero-distance pairs — that is the operator's pair-list contract; a
+    * pipeline facing million-fold duplicate groups should consume
+    * [[exactDupGroups]] instead of enumerating pairs.)
+    *
+    * Hazard 2 — DISTINCT-KEY BLOCK SKEW. Short texts all normalize to
+    * the same 8-char prefix, so even distinct keys pile into hot blocks.
+    * SALT-SPLIT oversized blocks into an s×s comparison grid,
+    * s = ⌈block/maxBlock⌉: each distinct key lands in salt cell
+    * `xxhash64(key) mod s` (deterministic, partition-invariant), side A
+    * replicates to its (own, *) grid row, side B to its (*, own) column,
+    * and every key pair meets in EXACTLY one cell — per-task DP work is
+    * capped at ~maxBlock² and hot blocks fan across s² tasks. s = 1 for
+    * healthy blocks ⇒ zero replication on the common path.
     *
     * Why not re-block on a longer prefix? Longer prefixes CHANGE the
     * candidate set (two typo-variants differing at char 9 leave a shared
     * 8-block but split at 16), so the capped operator would no longer be
-    * oracle-comparable against the blocking contract; salting preserves
-    * the exact pair semantics and still bounds the per-task state. */
+    * oracle-comparable against the blocking contract; dedup + salting
+    * preserve the exact pair semantics and still bound per-task state. */
   def fuzzyPairsCapped(docs: DataFrame, prefixLen: Int = 32,
       blockLen: Int = 8, maxDist: Int = 5, maxBlock: Int = 64): DataFrame = {
     val norm = TextStats.normalized(col("text"))
     val keyed = docs.select(col("doc_id"), col("lang"),
       substring(norm, 1, prefixLen).as("key"),
       substring(norm, 1, blockLen).as("blk"))
-    // block census: one keyed aggregate, |blocks| rows; joined back
-    // shuffle_hash (block count is data-dependent — never assume it
-    // broadcasts) on the same key the pair join shuffles on
-    val sizes = keyed.groupBy("lang", "blk").agg(count(lit(1)).as("bn"))
-    val salted = keyed
+
+    // hazard 1: DP work scales with DISTINCT keys, never multiplicity
+    val uniq = keyed.select("lang", "blk", "key").distinct()
+
+    // hazard 2: census + s×s salt grid over the distinct keys. The census
+    // joins back shuffle_hash (block count is data-dependent — never
+    // assume it broadcasts) on the same key the pair join shuffles on.
+    val sizes = uniq.groupBy("lang", "blk").agg(count(lit(1)).as("bn"))
+    val salted = uniq
       .join(sizes.hint("shuffle_hash"), Seq("lang", "blk"))
       .withColumn("ns", greatest(ceil(col("bn") / maxBlock), lit(1)).cast("int"))
-      .withColumn("my_salt", pmod(col("doc_id"), col("ns")).cast("int"))
+      .withColumn("my_salt", pmod(xxhash64(col("key")), col("ns")).cast("int"))
     val a = salted
       .withColumn("salt_b", explode(sequence(lit(0), col("ns") - 1)))
-      .select(col("doc_id").as("id_a"), col("lang"), col("key").as("key_a"),
-        col("blk"), col("my_salt").as("salt_a"), col("salt_b"))
+      .select(col("lang"), col("blk"), col("key").as("key_a"),
+        col("my_salt").as("salt_a"), col("salt_b"))
     val b = salted
       .withColumn("salt_a", explode(sequence(lit(0), col("ns") - 1)))
-      .select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-        col("key").as("key_b"), col("blk").as("blk_b"),
-        col("salt_a").as("salt_a2"), col("my_salt").as("salt_b2"))
-    a.join(b.hint("shuffle_hash"),
+      .select(col("lang").as("lang_b"), col("blk").as("blk_b"),
+        col("key").as("key_b"), col("salt_a").as("salt_a2"),
+        col("my_salt").as("salt_b2"))
+    // key_a < key_b visits each unordered DISTINCT-key pair exactly once
+    val keyPairs = a.join(b.hint("shuffle_hash"),
         col("lang") === col("lang_b") && col("blk") === col("blk_b") &&
           col("salt_a") === col("salt_a2") && col("salt_b") === col("salt_b2") &&
-          col("id_a") < col("id_b"))
+          col("key_a") < col("key_b"))
       .withColumn("lev", levenshtein(col("key_a"), col("key_b"), maxDist))
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
-      .select("id_a", "id_b", "lev")
+      .select(col("lang"), col("key_a"), col("key_b"), col("lev"))
+
+    // multiplicity re-expansion: (lang, key) equi-joins — blk is a prefix
+    // of key, so (lang, key) alone identifies the group
+    val ids = keyed.select(col("lang").as("l2"), col("key").as("k2"), col("doc_id"))
+    val cross = keyPairs
+      .join(ids.hint("shuffle_hash"),
+        col("lang") === col("l2") && col("key_a") === col("k2"))
+      .select(col("lang"), col("key_b"), col("lev"), col("doc_id").as("da"))
+      .join(ids.hint("shuffle_hash"),
+        col("lang") === col("l2") && col("key_b") === col("k2"))
+      .select(least(col("da"), col("doc_id")).as("id_a"),
+        greatest(col("da"), col("doc_id")).as("id_b"), col("lev"))
+
+    // same-key pairs: lev 0 by definition — no DP, one equality self-join
+    val same = keyed.select(col("lang"), col("key"), col("doc_id").as("da"))
+      .join(keyed.select(col("lang"), col("key"), col("doc_id").as("db"))
+        .hint("shuffle_hash"), Seq("lang", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("id_a"), col("db").as("id_b"), lit(0).as("lev"))
+
+    cross.unionByName(same)
   }
 }
