@@ -165,4 +165,38 @@ object Graph {
       ranks = mat(pagerankStep(edgesWithDeg, ranks))
     ranks
   }
+
+  /** Personalized PageRank: same fixed-point integer update as
+    * [[pagerankFixedPoint]], but teleport mass lands ONLY on `seeds`
+    * (node column), so rank measures proximity to the seed set — the
+    * "related items for THESE products" / "pages like THIS cluster"
+    * query. The rank table stays defined over ALL nodes every round
+    * (zero rank rows cost nothing and keep the recurrence one shape);
+    * `seeds` is a top-k list, bounded by construction, so its two joins
+    * per round broadcast legitimately — the rank⋈edges join stays keyed
+    * on the graph key exactly like the global variant. */
+  def pprFixedPoint(edgesWithDeg: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val nodes = edgesWithDeg.select(col("src").as("node")).distinct()
+    val seed = broadcast(seeds.select(col("node").as("sn")))
+    def teleported(inflow: DataFrame): DataFrame =
+      nodes
+        .join(seed, col("node") === col("sn"), "left")
+        .join(inflow.hint("shuffle_hash")
+          .select(col("node").as("ik"), col("inflow")), col("node") === col("ik"), "left")
+        .select(col("node"),
+          (when(col("sn").isNotNull, 150000L).otherwise(0L) +
+            coalesce(col("inflow"), lit(0L))).as("pr"))
+    var ranks = nodes.join(seed, col("node") === col("sn"), "left")
+      .select(col("node"),
+        when(col("sn").isNotNull, 1000000L).otherwise(0L).as("pr"))
+    for (_ <- 1 to iters)
+      ranks = teleported(
+        edgesWithDeg.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("(pr * 85) div (100 * outdeg)").as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum("contrib").as("inflow"))
+          .select(col("node"), col("inflow")))
+    ranks
+  }
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry.table
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * crawl and tokenizer: cross-document duplicated-span detection (the
+  * n-gram form of "Deduplicating Training Data Makes Language Models
+  * Better", Lee et al. 2022), split-leakage auditing (train→eval n-gram
+  * contamination, the within-corpus twin of `corpus_contamination`'s
+  * benchmark check), and hashed-n-gram importance resampling (the DSIR
+  * shape: "Data Selection for Language Models via Importance Resampling",
+  * Xie et al. 2023 — score = Σ log target/source over hashed features;
+  * here the ratio is fixed-point integer so the oracle is bit-exact).
+  *
+  * All three explode word n-grams/tokens. Scale notes:
+  *   - the (doc_id, gram) pre-aggregate is map-side combinable, so the
+  *     gram shuffle carries distinct pairs, not positions;
+  *   - gram-keyed joins are `shuffle_hash`-pinned (gram cardinality is
+  *     data-dependent — never assume a broadcastable side) and hot grams
+  *     (boilerplate) are AQE-skew-splittable because the join sees bare
+  *     shuffle reads;
+  *   - at 100 TB the shuffle key would be `xxhash64(gram)` (8 bytes)
+  *     rather than the gram text; `corpus_split_leakage` demonstrates
+  *     exactly that fingerprint-join shape (md5 here because both
+  *     engines share it — the oracle re-derives identical fingerprints).
+  */
+object CurationQueries {
+
+  private val N = 8 // word n-gram width (Lee et al. use 50 BPE tokens;
+                    // 8 whitespace words is the same operator at the
+                    // harness corpus' doc lengths)
+
+  /** Word 8-grams per document: (doc_id, gram), one row per POSITION.
+    * Docs shorter than `n` tokens emit nothing (mirrored by the oracle's
+    * empty `range`). */
+  private def wordGrams(docs: DataFrame, n: Int = N): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("gram"))
+
+  private val gramSql =
+    s"""SELECT doc_id, array_to_string(t[pos:pos+${N - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-${N - 2}, 1))) AS pos
+       |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents))""".stripMargin
+
+  /** Train/val/test assignment — the same hash rule `corpus_split` uses,
+    * so the leakage audit grades the exact splits that query ships. */
+  private def splitCol = when(col("doc_id") % 100 < 90, "train")
+    .when(col("doc_id") % 100 < 95, "val").otherwise("test")
+  private val splitSql =
+    """CASE WHEN doc_id % 100 < 90 THEN 'train'
+      |     WHEN doc_id % 100 < 95 THEN 'val' ELSE 'test' END""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Cross-document duplicated n-gram spans. Per doc: total 8-gram
+    // positions, positions whose gram also appears in ANOTHER doc, and
+    // the distinct shared grams — dup_frac is the "fraction of the doc
+    // that is boilerplate/copy" signal substring-dedup thresholds on.
+    // Plan: positions → (doc, gram) combinable pre-agg → |grams|-row
+    // doc-frequency table → shuffle_hash join back → one groupBy(doc).
+    // No windows: a window partitioned by gram would buffer every doc
+    // of a hot boilerplate gram in one task (the triangleCounts hazard
+    // class); the join+agg form is combinable end to end.
+    "text_ngram_dupspans" -> Q(
+      (s, dir) => {
+        val perGd = wordGrams(table(s, dir, "documents"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("pos"))
+        val df = perGd.groupBy("gram").agg(count(lit(1)).as("nd"))
+        perGd.join(df.hint("shuffle_hash"), "gram")
+          .groupBy("doc_id")
+          .agg(sum("pos").as("n_grams"),
+            sum(when(col("nd") >= 2, col("pos")).otherwise(0L)).as("n_shared_pos"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+          .withColumn("dup_frac", round(col("n_shared_pos") / col("n_grams"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS ($gramSql),
+             |per_gd AS (SELECT doc_id, gram, count(*) AS pos
+             |           FROM grams GROUP BY doc_id, gram),
+             |df AS (SELECT gram, count(*) AS nd FROM per_gd GROUP BY gram)
+             |SELECT doc_id,
+             |  CAST(sum(pos) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN pos ELSE 0 END) AS BIGINT) AS n_shared_pos,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+             |  round(CAST(sum(CASE WHEN nd >= 2 THEN pos ELSE 0 END) AS DOUBLE)
+             |        / CAST(sum(pos) AS DOUBLE), 4) AS dup_frac
+             |FROM per_gd JOIN df USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "cross-doc duplicated 8-gram spans (substring-dedup signal, Lee et al. 2022)"),
+
+    // Train→eval n-gram leakage: which val/test documents share an 8-gram
+    // fingerprint with ANY train document. The join key is md5(gram) — an
+    // 8-gram fingerprint table is how decontamination runs at 100 TB
+    // (shuffle 16 fingerprint bytes, not 60-char gram strings; left_semi
+    // so train multiplicity never re-expands the probe side). The two
+    // split-level aggregates are ≤2 rows by construction — their final
+    // join broadcasts legitimately.
+    "corpus_split_leakage" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").withColumn("split", splitCol)
+        val fps = wordGrams(docs.select("doc_id", "text"))
+          .join(docs.select("doc_id", "split"), "doc_id")
+          .select(col("split"), col("doc_id"), md5(col("gram").cast("binary")).as("fp"))
+        val trainFp = fps.filter(col("split") === "train").select("fp").distinct()
+        val evalFp = fps.filter(col("split") =!= "train")
+          .select("split", "doc_id", "fp").distinct()
+        val leaked = evalFp
+          .join(trainFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+          .groupBy("split")
+          .agg(countDistinct("doc_id").as("leaked_docs"),
+            count(lit(1)).as("leaked_grams"))
+        docs.filter(col("split") =!= "train")
+          .groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(leaked), Seq("split"), "left")
+          .select(col("split"), col("n_docs"),
+            coalesce(col("leaked_docs"), lit(0L)).as("leaked_docs"),
+            coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"),
+            round(coalesce(col("leaked_docs"), lit(0L)) / col("n_docs"), 4)
+              .as("leak_frac"))
+          .orderBy("split")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text, $splitSql AS split FROM documents),
+             |grams AS ($gramSql),
+             |fps AS (SELECT d.split, g.doc_id, md5(g.gram) AS fp
+             |        FROM grams g JOIN docs d USING (doc_id)),
+             |train_fp AS (SELECT DISTINCT fp FROM fps WHERE split = 'train'),
+             |eval_fp AS (SELECT DISTINCT split, doc_id, fp FROM fps WHERE split <> 'train'),
+             |leaked AS (
+             |  SELECT split, count(DISTINCT doc_id) AS leaked_docs,
+             |         count(*) AS leaked_grams
+             |  FROM eval_fp e WHERE EXISTS (SELECT 1 FROM train_fp t WHERE t.fp = e.fp)
+             |  GROUP BY split)
+             |SELECT d.split, count(*) AS n_docs,
+             |  CAST(coalesce(any_value(l.leaked_docs), 0) AS BIGINT) AS leaked_docs,
+             |  CAST(coalesce(any_value(l.leaked_grams), 0) AS BIGINT) AS leaked_grams,
+             |  round(CAST(coalesce(any_value(l.leaked_docs), 0) AS DOUBLE) / count(*), 4)
+             |    AS leak_frac
+             |FROM docs d LEFT JOIN leaked l ON d.split = l.split
+             |WHERE d.split <> 'train'
+             |GROUP BY d.split ORDER BY d.split""".stripMargin),
+      "train→eval 8-gram fingerprint leakage audit over the corpus_split assignment"),
+
+    // DSIR-shaped importance resampling: hashed unigram features (64
+    // md5 buckets), per-bucket fixed-point frequency ratio
+    // target/source (target = the English sub-corpus), doc score =
+    // Σ ratio over token positions, deterministic top-300 sample by
+    // (score, doc_id). The 64-row ratio table is bounded by
+    // construction — the ONLY broadcast in the plan; everything else is
+    // a combinable aggregate, and the top-N is a TakeOrdered, never a
+    // global sort. Fixed-point `div` keeps the oracle bit-exact (the
+    // log-ratio form would compare transcendentals across engines).
+    "sample_importance" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .withColumn("b",
+            pmod(conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+              .cast("long"), lit(64)))
+        val src = toks.groupBy("b").agg(count(lit(1)).as("scnt"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("tcnt"))
+        val ratio = src.join(tgt, Seq("b"), "left")
+          .select(col("b"),
+            expr("(coalesce(tcnt, 0L) * 1000000L) div scnt").as("r"))
+        toks.join(broadcast(ratio), "b")
+          .groupBy("doc_id", "lang")
+          .agg(sum("r").as("score"), count(lit(1)).as("n_tokens"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(300)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, tok,
+             |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 64 AS b
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |        FROM documents)),
+             |src AS (SELECT b, count(*) AS scnt FROM toks GROUP BY b),
+             |tgt AS (SELECT b, count(*) AS tcnt FROM toks WHERE lang = 'en' GROUP BY b),
+             |ratio AS (
+             |  SELECT s.b, (coalesce(t.tcnt, 0) * 1000000) // s.scnt AS r
+             |  FROM src s LEFT JOIN tgt t USING (b))
+             |SELECT doc_id, lang,
+             |  CAST(sum(r) AS BIGINT) AS score,
+             |  CAST(count(*) AS BIGINT) AS n_tokens
+             |FROM toks JOIN ratio USING (b)
+             |GROUP BY doc_id, lang
+             |ORDER BY score DESC, doc_id LIMIT 300""".stripMargin),
+      "DSIR-shaped importance resampling: hashed-unigram fixed-point ratio score, top-300")
+  )
+}

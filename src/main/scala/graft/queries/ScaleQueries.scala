@@ -534,6 +534,199 @@ object ScaleQueries {
              |corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
              |SELECT node, count(*) AS n_triangles FROM corners
              |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10""".stripMargin),
-      "per-node triangle counts: oriented wedges + semi-join closure, two graph-key joins")
+      "per-node triangle counts: oriented wedges + semi-join closure, two graph-key joins"),
+
+    // Personalized PageRank from the top-5 degree hubs over the SAME
+    // edge artifact: teleport mass lands only on the seed set, so rank
+    // is proximity-to-seeds ("related products for THIS cluster"). Same
+    // bit-exact fixed-point arithmetic as graph_pagerank; the 5-row seed
+    // list is bounded by construction (broadcast), the rank⋈edges join
+    // stays keyed on the graph key.
+    "graph_ppr" -> Q(
+      (s, dir) => {
+        val edges = copurchaseEdgesCached(s, dir)
+        val seeds = edges.select("src", "outdeg").distinct()
+          .orderBy(desc("outdeg"), col("src")).limit(5)
+          .select(col("src").as("node"))
+        Graph.pprFixedPoint(edges, seeds, 3)
+          .select(col("node").as("part_id"), col("pr"))
+          .orderBy(desc("pr"), col("part_id"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |edges AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+             |nodes AS (SELECT src AS node FROM deg),
+             |seeds AS (SELECT src AS node FROM deg ORDER BY outdeg DESC, src LIMIT 5),
+             |r0 AS (SELECT n.node,
+             |         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+             |       FROM nodes n LEFT JOIN seeds s USING (node)),
+             |r1 AS (SELECT n.node,
+             |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+             |              + coalesce(f.inflow, 0) AS BIGINT) AS pr
+             |       FROM nodes n LEFT JOIN seeds s USING (node)
+             |       LEFT JOIN (SELECT e.dst AS node,
+             |                    sum((r.pr * 85) // (100 * d.outdeg)) AS inflow
+             |                  FROM edges e JOIN deg d ON d.src = e.src
+             |                  JOIN r0 r ON r.node = e.src GROUP BY e.dst) f USING (node)),
+             |r2 AS (SELECT n.node,
+             |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+             |              + coalesce(f.inflow, 0) AS BIGINT) AS pr
+             |       FROM nodes n LEFT JOIN seeds s USING (node)
+             |       LEFT JOIN (SELECT e.dst AS node,
+             |                    sum((r.pr * 85) // (100 * d.outdeg)) AS inflow
+             |                  FROM edges e JOIN deg d ON d.src = e.src
+             |                  JOIN r1 r ON r.node = e.src GROUP BY e.dst) f USING (node)),
+             |r3 AS (SELECT n.node,
+             |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+             |              + coalesce(f.inflow, 0) AS BIGINT) AS pr
+             |       FROM nodes n LEFT JOIN seeds s USING (node)
+             |       LEFT JOIN (SELECT e.dst AS node,
+             |                    sum((r.pr * 85) // (100 * d.outdeg)) AS inflow
+             |                  FROM edges e JOIN deg d ON d.src = e.src
+             |                  JOIN r2 r ON r.node = e.src GROUP BY e.dst) f USING (node))
+             |SELECT node AS part_id, pr FROM r3
+             |ORDER BY pr DESC, part_id LIMIT 20""".stripMargin),
+      "personalized PageRank from hub seeds: fixed-point teleport-to-seeds rounds"),
+
+    // Zone-map data skipping over the Z-ordered layout: the same 64
+    // blocks as layout_zorder, each carrying min/max stats, probed with
+    // a 20%-band partkey predicate. ov=1 blocks MUST be scanned (stats
+    // overlap the band); ov=0 blocks are pruned without reading a row —
+    // and the n_match column proves pruning is sound (ov=0 ⇒ n_match=0).
+    // This is the file-footer skipping a 100 TB reader does before any
+    // scan; Z-ordering is what makes both dimensions' stats tight.
+    "stats_zonemap_prune" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        val stats = li.agg(
+          min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+          min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+        li.crossJoin(broadcast(stats))
+          .withColumn("nx",
+            expr("((l_partkey - minp) * 65535) div greatest(maxp - minp, 1)"))
+          .withColumn("ny",
+            expr("((l_suppkey - mins) * 65535) div greatest(maxs - mins, 1)"))
+          .withColumn("lo", expr("minp + ((maxp - minp) * 2) div 5"))
+          .withColumn("hi", expr("minp + ((maxp - minp) * 3) div 5"))
+          .select(col("l_partkey"), col("lo"), col("hi"),
+            ZOrder.zvalue16(col("nx"), col("ny")).as("z"))
+          .groupBy(shiftright(col("z"), 26).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+            sum(when(col("l_partkey").between(col("lo"), col("hi")), 1L)
+              .otherwise(0L)).as("n_match"),
+            max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+          .select(col("bucket"), col("n"), col("min_part"), col("max_part"),
+            when(col("min_part") <= col("hi") && col("max_part") >= col("lo"), 1)
+              .otherwise(0).as("ov"),
+            col("n_match"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH s AS (
+             |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+             |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
+             |         min(l_partkey) + ((max(l_partkey) - min(l_partkey)) * 2) // 5 AS lo,
+             |         min(l_partkey) + ((max(l_partkey) - min(l_partkey)) * 3) // 5 AS hi
+             |  FROM lineitem),
+             |n AS (
+             |  SELECT l_partkey, lo, hi,
+             |    ((l_partkey - minp) * 65535) // greatest(maxp - minp, 1) AS nx,
+             |    ((l_suppkey - mins) * 65535) // greatest(maxs - mins, 1) AS ny
+             |  FROM lineitem, s),
+             |b AS (
+             |  SELECT CAST((${ZOrder.zvalue16Sql("nx", "ny")}) >> 26 AS INTEGER) AS bucket,
+             |    count(*) AS n,
+             |    min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             |    CAST(sum(CASE WHEN l_partkey BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_match,
+             |    max(lo) AS lo, max(hi) AS hi
+             |  FROM n GROUP BY 1)
+             |SELECT bucket, n, min_part, max_part,
+             |  CASE WHEN min_part <= hi AND max_part >= lo THEN 1 ELSE 0 END AS ov,
+             |  n_match
+             |FROM b ORDER BY bucket""".stripMargin),
+      "zone-map skipping: per-Z-block min/max stats probed by a range predicate"),
+
+    // Shuffle-key skew pre-flight: the distribution profile of a join/agg
+    // key (events.user_id) — key counts, exact p50/p90/p99, the heaviest
+    // key, and max/avg skew ratio. At 100 TB this one combinable
+    // aggregate (key-count groupBy, then a 1-row summary + 1-row top key
+    // joined crosswise) is what decides salting vs AQE before launching
+    // the real shuffle. No window, no sort: top-1 is a TakeOrdered.
+    "skew_profile" -> Q(
+      (s, dir) => {
+        val counts = table(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val top = counts.orderBy(desc("cnt"), col("user_id")).limit(1)
+          .select(col("user_id").as("top_key"), col("cnt").as("top_cnt"))
+        counts
+          .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+            max("cnt").as("max_cnt"),
+            expr("percentile(cnt, array(0.5, 0.9, 0.99))").as("qs"))
+          .crossJoin(broadcast(top))
+          .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+            round(element_at(col("qs"), 1), 2).as("p50_cnt"),
+            round(element_at(col("qs"), 2), 2).as("p90_cnt"),
+            round(element_at(col("qs"), 3), 2).as("p99_cnt"),
+            col("top_key"), col("top_cnt"),
+            round(col("max_cnt") * col("n_keys") / col("n_rows"), 4)
+              .as("skew_ratio"))
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+             |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+             |        max(cnt) AS max_cnt, quantile_cont(cnt, [0.5, 0.9, 0.99]) AS qs
+             |      FROM c),
+             |t AS (SELECT user_id AS top_key, cnt AS top_cnt FROM c
+             |      ORDER BY cnt DESC, user_id LIMIT 1)
+             |SELECT n_rows, n_keys, max_cnt,
+             |  round(qs[1], 2) AS p50_cnt, round(qs[2], 2) AS p90_cnt,
+             |  round(qs[3], 2) AS p99_cnt, top_key, top_cnt,
+             |  round(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 4) AS skew_ratio
+             |FROM s, t""".stripMargin),
+      "shuffle-key skew pre-flight: key-count distribution, heavy key, max/avg ratio"),
+
+    // Incremental materialized-view maintenance: the monthly revenue MV
+    // is a PARTIAL-aggregate snapshot (sum/count per group, built once
+    // per corpus as an artifact over the pre-1997 history) merged with
+    // the delta partition's partials — merge(partial, partial) ≡ full
+    // recompute, which is exactly what the oracle computes over ALL
+    // orders. Monetary sums run in DECIMAL so the merge is order-exact
+    // (the house determinism contract); avg derives from the merged
+    // sums, never from averaging averages. At 100 TB this is the nightly
+    // pattern: the history partial is read (tiny), only the delta is
+    // scanned.
+    "mv_incremental" -> Q(
+      (s, dir) => {
+        val cut = to_date(lit("1997-01-01"))
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            col("o_orderstatus"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("cnt"))
+        val basePath = Artifacts.cached("graft_mv", dir) { p =>
+          partial(table(s, dir, "orders").filter(col("o_orderdate") < cut))
+            .write.mode("overwrite").parquet(p)
+        }
+        val delta = partial(table(s, dir, "orders").filter(col("o_orderdate") >= cut))
+        s.read.parquet(basePath).unionByName(delta)
+          .groupBy("ym", "o_orderstatus")
+          .agg(sum("rev").as("revd"), sum("cnt").as("n"))
+          .select(col("ym"), col("o_orderstatus"),
+            round(col("revd").cast("double"), 2).as("revenue"), col("n"),
+            round(col("revd").cast("double") / col("n"), 2).as("avg_price"))
+          .orderBy("ym", "o_orderstatus")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderstatus,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS revenue,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |        / count(*), 2) AS avg_price
+             |FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderstatus""".stripMargin),
+      "incremental MV maintenance: history partial-agg artifact + delta merge ≡ recompute")
   )
 }

@@ -18,7 +18,8 @@ class RegistrySpec extends AnyFunSuite {
     "AdvancedQueries" -> AdvancedQueries.all,
     "ExtQueries" -> ExtQueries.all,
     "TpchExtraQueries" -> TpchExtraQueries.all,
-    "ScaleQueries" -> ScaleQueries.all)
+    "ScaleQueries" -> ScaleQueries.all,
+    "CurationQueries" -> CurationQueries.all)
 
   test("no query name collides across modules (Map ++ would silently shadow)") {
     val names = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
@@ -28,10 +29,12 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("surface size only changes deliberately (bump on add/remove)") {
-    // 139 as of round 6 (+events_enriched): see COVERAGE.md tally. If
+    // 146 as of round 6 (+events_enriched, +graph_ppr, +stats_zonemap_prune,
+    // +skew_profile, +mv_incremental, +text_ngram_dupspans,
+    // +corpus_split_leakage, +sample_importance): see COVERAGE.md tally. If
     // this fails after an edit you did not expect to change the surface,
     // an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 139,
+    assert(graft.SparkEntry.registry.size == 146,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 
