@@ -50,6 +50,21 @@ object CurationQueries {
        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents))""".stripMargin
 
+  /** The dupspans aggregation over any (doc_id, text) frame — exposed for
+    * the synthetic-corpus spec. */
+  private[graft] def dupSpans(docs: DataFrame, n: Int = N): DataFrame = {
+    val perGd = wordGrams(docs, n)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("pos"))
+    val df = perGd.groupBy("gram").agg(count(lit(1)).as("nd"))
+    perGd.join(df.hint("shuffle_hash"), "gram")
+      .groupBy("doc_id")
+      .agg(sum("pos").as("n_grams"),
+        sum(when(col("nd") >= 2, col("pos")).otherwise(0L)).as("n_shared_pos"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+      .withColumn("dup_frac", round(col("n_shared_pos") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test assignment — the same hash rule `corpus_split` uses,
     * so the leakage audit grades the exact splits that query ships. */
   private def splitCol = when(col("doc_id") % 100 < 90, "train")
@@ -70,18 +85,7 @@ object CurationQueries {
     // of a hot boilerplate gram in one task (the triangleCounts hazard
     // class); the join+agg form is combinable end to end.
     "text_ngram_dupspans" -> Q(
-      (s, dir) => {
-        val perGd = wordGrams(table(s, dir, "documents"))
-          .groupBy("doc_id", "gram").agg(count(lit(1)).as("pos"))
-        val df = perGd.groupBy("gram").agg(count(lit(1)).as("nd"))
-        perGd.join(df.hint("shuffle_hash"), "gram")
-          .groupBy("doc_id")
-          .agg(sum("pos").as("n_grams"),
-            sum(when(col("nd") >= 2, col("pos")).otherwise(0L)).as("n_shared_pos"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
-          .withColumn("dup_frac", round(col("n_shared_pos") / col("n_grams"), 4))
-          .orderBy("doc_id")
-      },
+      (s, dir) => dupSpans(table(s, dir, "documents")),
       Some(s"""WITH grams AS ($gramSql),
              |per_gd AS (SELECT doc_id, gram, count(*) AS pos
              |           FROM grams GROUP BY doc_id, gram),

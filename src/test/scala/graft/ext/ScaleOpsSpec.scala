@@ -148,6 +148,47 @@ class ScaleOpsSpec extends SparkSpec {
       s"mass conservation violated: sum=${a.values.sum}, |V|=$v")
   }
 
+  test("ppr: teleport mass stays in the seed component; unreachable nodes score 0") {
+    // two components: a 3-cycle {1,2,3} (seeded at 1) and a 2-cycle
+    // {10,11} (unseeded). PPR must concentrate all mass in the seed
+    // component and give the other component EXACTLY zero — the property
+    // separating personalized from global PageRank (which teleports
+    // everywhere).
+    val sym = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val edges = Graph.withOutDegree(sym)
+    val seeds = Seq(1L).toDF("node")
+    val pr = Graph.pprFixedPoint(edges, seeds, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(pr(10L) === 0L && pr(11L) === 0L,
+      s"unseeded component must hold zero mass: $pr")
+    assert(pr(1L) > pr(2L) && pr(1L) > pr(3L),
+      s"the seed keeps the teleport advantage: $pr")
+    assert(pr(2L) === pr(3L), s"symmetric neighbours tie: $pr")
+  }
+
+  // ----------------------------------------------------------- dupspans
+  test("dupspans: planted shared span is counted on every copy, unique docs score 0") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta"), // span at pos 1
+      (2L, s"pre1 pre2 pre3 pre4 pre5 pre6 pre7 $span"),      // span at pos 8
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),                 // unique
+      (4L, "short doc")                                        // < 8 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1/2 share exactly ONE 8-gram (the planted span); every other
+    // gram straddles the span boundary and differs between the docs
+    assert(out(1L)._2 === 1L && out(1L)._3 === 1L, s"doc1: ${out(1L)}")
+    assert(out(2L)._2 === 1L && out(2L)._3 === 1L, s"doc2: ${out(2L)}")
+    assert(out(3L) === ((3L, 0L, 0L)), s"unique doc must score 0: ${out(3L)}")
+    assert(!out.contains(4L), "sub-n docs emit no grams (mirrors the oracle)")
+    // 15 tokens ⇒ 8 positions per planted doc
+    assert(out(1L)._1 === 8L && out(2L)._1 === 8L)
+  }
+
   test("pagerank: AQE splits the skewed rank⋈edges shuffle on a power-law src key") {
     // the per-iteration join keys the edge list by src — a power-law hub
     // source skews that shuffle partition. At cluster scale the mitigation

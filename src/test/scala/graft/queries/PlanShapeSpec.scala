@@ -358,6 +358,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("text_ngram_dupspans: doc-frequency join shuffle_hash; no gram-partitioned window") {
+    val plan = explained("text_ngram_dupspans")
+    // a Window partitioned by gram would buffer every doc of a hot
+    // boilerplate gram in one task — the shape must stay join+agg
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("corpus_split_leakage: fingerprint probe is left_semi; split rollup broadcasts") {
+    val plan = explained("corpus_split_leakage")
+    // left_semi: train-side multiplicity must never re-expand the probe;
+    // the ≤2-row split aggregate join is the only legitimate broadcast
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sample_importance: 64-row ratio table broadcasts; top-300 is a TakeOrdered") {
+    val plan = explained("sample_importance")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph_ppr: seeds broadcast, inflow joins pinned, edges from the artifact") {
+    val plan = explained("graph_ppr")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("/tmp/graft_graph/"), s"edge artifact missing:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"iterations must not re-derive edges from the fact table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stats_zonemap_prune: 1-row stats broadcast; no shuffle join") {
+    val plan = explained("stats_zonemap_prune")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("skew_profile: top-key via TakeOrdered; 1-row joins broadcast; one key shuffle") {
+    val plan = explained("skew_profile")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("mv_incremental: history comes from the MV artifact; delta filter pushed to orders scan") {
+    val plan = explained("mv_incremental")
+    assert(plan.contains("/tmp/graft_mv/"), s"MV artifact missing:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta date filter must reach the orders scan:\n$plan")
+  }
+
   test("text_bm25: corpus-stat joins all broadcast — no shuffle join on the token stream") {
     val plan = explained("text_bm25")
     assert(plan.contains("BroadcastHashJoin"), plan)
