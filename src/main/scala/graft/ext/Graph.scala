@@ -106,11 +106,23 @@ object Graph {
       .select(col("src").as("a"), col("dst").as("b"))
   }
 
-  def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
-    val e = orientByDegree(edges)
-    val adj = e.groupBy(col("a").as("node"))
+  /** Degree-oriented forward adjacency for `edges` — the CSR-style table
+    * a triangle query serves from. Array ORDER is partitioning-dependent
+    * (collect_list), but every consumer is order-insensitive
+    * (array_intersect), so results stay partition-invariant. */
+  def orientedAdjacency(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("a").as("node"))
       .agg(collect_list(col("b")).as("nbrs"))
-    val tri = e
+
+  /** Triangle counts served from PRE-oriented edges + adjacency (the
+    * artifact path): two graph-key joins + array intersection — no
+    * degree or orientation work in the serving plan. In production the
+    * oriented adjacency is materialized once per graph snapshot (exactly
+    * like a graph engine's CSR build) and every triangle/clustering
+    * query reads it. */
+  def triangleCountsServed(oriented: DataFrame, adj: DataFrame,
+      topN: Int): DataFrame = {
+    val tri = oriented
       .join(adj.hint("shuffle_hash").select(col("node").as("na_key"), col("nbrs").as("na")),
         col("a") === col("na_key"))
       .join(adj.hint("shuffle_hash").select(col("node").as("nb_key"), col("nbrs").as("nb")),
@@ -122,6 +134,11 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), col("node"))
       .limit(topN)
+  }
+
+  def triangleCounts(edges: DataFrame, topN: Int): DataFrame = {
+    val e = orientByDegree(edges)
+    triangleCountsServed(e, orientedAdjacency(e), topN)
   }
 
   /** `iters` rounds of the fixed-point update over a symmetric edge list

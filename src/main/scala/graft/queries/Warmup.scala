@@ -17,6 +17,7 @@ object Warmup {
     ExtQueries.ivfIndexPath(s, dir)
     ExtQueries.simhashPairsCached(s, dir)
     ScaleQueries.copurchaseEdgesCached(s, dir)
+    ScaleQueries.triAdjCached(s, dir)
     ScaleQueries.partitionedOrdersPath(s, dir)
     ()
   }

@@ -327,14 +327,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("graph_triangles: degree + adjacency joins all shuffle_hash; no cartesian") {
+  test("graph_triangles: serves from the oriented-adjacency artifact; joins pinned") {
     val plan = explained("graph_triangles")
-    // dst-side degree-orientation join (src degree rides the artifact's
-    // outdeg column) + 2 adjacency joins, every side corpus-sized: none
-    // may auto-broadcast or sort-merge
-    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // 2 adjacency joins, both sides corpus-sized: none may auto-broadcast
+    // or sort-merge; orientation/degree work lives in the snapshot build,
+    // so the serving plan reads the artifact, never the fact table
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("/tmp/graft_tri/"), s"triangle artifact missing:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"serving must not re-derive edges from the fact table:\n$plan")
   }
 
   test("graph_khop: hub list broadcasts; hops read the edge artifact, not the fact table") {
