@@ -198,6 +198,116 @@ object CurationQueries {
              |FROM toks JOIN ratio USING (b)
              |GROUP BY doc_id, lang
              |ORDER BY score DESC, doc_id LIMIT 300""".stripMargin),
-      "DSIR-shaped importance resampling: hashed-unigram fixed-point ratio score, top-300")
+      "DSIR-shaped importance resampling: hashed-unigram fixed-point ratio score, top-300"),
+
+    // First step of BPE tokenizer training: the most frequent adjacent
+    // character pairs, weighted by word frequency. The scale trick is the
+    // one production BPE trainers use: aggregate to the DISTINCT-word
+    // vocabulary first (vocab ≪ corpus — invariant under corpus growth),
+    // then explode pairs over vocab entries weighted by freq — the
+    // char-level explosion never touches the full token stream. Both
+    // aggregates are map-side combinable; top-20 is a TakeOrdered.
+    "text_bpe_pairs" -> Q(
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), col("pair")).limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT w, count(*) AS freq
+             |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY w),
+             |p AS (
+             |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+             |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+             |        FROM w WHERE length(w) >= 2))
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      "BPE merge induction: top adjacent char pairs over the distinct-word vocabulary"),
+
+    // Content-defined chunking (gear-hash style): a chunk boundary falls
+    // wherever the hash of the trailing 4-char window ≡ 0 (mod 16), so
+    // boundaries — and therefore chunk hashes — survive insertions that
+    // shift byte offsets, which is exactly what fixed-size chunking
+    // (text_chunk) cannot do. Per doc: chunk count, longest chunk, and
+    // how many chunk INSTANCES recur in another document (the
+    // shift-robust dedup signal backup/dedup systems like LBFS/restic
+    // block on). All array work is per-row narrow compute; the only
+    // shuffles are the combinable (doc, hash) pre-agg, the |chunks|-row
+    // frequency join (shuffle_hash — cardinality is data-dependent), and
+    // the final per-doc rollup.
+    "text_cdc_chunks" -> Q(
+      (s, dir) => {
+        val L = length(col("text"))
+        val bs = when(L >= 4,
+          filter(sequence(lit(4), L), i =>
+            pmod(conv(substring(md5(col("text").substr(i - 3, lit(4))
+              .cast("binary")), 1, 4), 16, 10).cast("long"), lit(16)) === 0))
+          .otherwise(array().cast("array<int>"))
+        val chunks = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), bs.as("bs"))
+          .withColumn("ends",
+            when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
+              .otherwise(concat(col("bs"), array(L))))
+          .withColumn("starts",
+            concat(array(lit(1)),
+              transform(slice(col("ends"), lit(1), size(col("ends")) - 1), x => x + 1)))
+          .select(col("doc_id"),
+            explode(zip_with(col("starts"), col("ends"), (st, en) =>
+              struct(md5(col("text").substr(st, en - st + 1).cast("binary")).as("h"),
+                (en - st + 1).as("clen")))).as("c"))
+          .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
+        val perDh = chunks.groupBy("doc_id", "h")
+          .agg(count(lit(1)).as("cnt"), max("clen").as("mx"))
+        val freq = perDh.groupBy("h").agg(count(lit(1)).as("nd"))
+        perDh.join(freq.hint("shuffle_hash"), "h")
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_chunks"), max("mx").as("max_len"),
+            sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, i
+             |  FROM (SELECT doc_id, text, unnest(range(4, length(text)+1)) AS i
+             |        FROM documents)
+             |  WHERE CAST('0x' || substr(md5(substr(text, i-3, 4)), 1, 4) AS BIGINT) % 16 = 0),
+             |bl AS (
+             |  SELECT d.doc_id, d.text, length(d.text) AS L,
+             |         coalesce(list(b.i ORDER BY b.i) FILTER (b.i IS NOT NULL), []) AS bs
+             |  FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+             |  GROUP BY d.doc_id, d.text),
+             |ce AS (
+             |  SELECT doc_id, text, L,
+             |    CASE WHEN len(bs) > 0 AND bs[-1] = L THEN bs
+             |         ELSE list_append(bs, L) END AS ends
+             |  FROM bl),
+             |cs AS (
+             |  SELECT doc_id, text, ends,
+             |    list_prepend(1, list_transform(ends[1:len(ends)-1], x -> x + 1)) AS starts
+             |  FROM ce),
+             |ch AS (
+             |  SELECT doc_id,
+             |    md5(substr(text, CAST(starts[k] AS INTEGER), CAST(ends[k] - starts[k] + 1 AS INTEGER))) AS h,
+             |    CAST(ends[k] - starts[k] + 1 AS INTEGER) AS clen
+             |  FROM (SELECT doc_id, text, starts, ends,
+             |          unnest(range(1, len(ends)+1)) AS k FROM cs)),
+             |per_dh AS (SELECT doc_id, h, count(*) AS cnt, max(clen) AS mx
+             |           FROM ch GROUP BY doc_id, h),
+             |freq AS (SELECT h, count(*) AS nd FROM per_dh GROUP BY h)
+             |SELECT doc_id,
+             |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+             |  max(mx) AS max_len,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_shared
+             |FROM per_dh JOIN freq USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "content-defined chunking (gear-hash boundaries) + shift-robust chunk dedup signal")
   )
 }

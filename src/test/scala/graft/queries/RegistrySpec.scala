@@ -29,12 +29,13 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("surface size only changes deliberately (bump on add/remove)") {
-    // 146 as of round 6 (+events_enriched, +graph_ppr, +stats_zonemap_prune,
+    // 148 as of round 6 (+events_enriched, +graph_ppr, +stats_zonemap_prune,
     // +skew_profile, +mv_incremental, +text_ngram_dupspans,
-    // +corpus_split_leakage, +sample_importance): see COVERAGE.md tally. If
-    // this fails after an edit you did not expect to change the surface,
-    // an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 146,
+    // +corpus_split_leakage, +sample_importance, +text_bpe_pairs,
+    // +text_cdc_chunks): see COVERAGE.md tally. If this fails after an
+    // edit you did not expect to change the surface, an entry was
+    // silently dropped or duplicated.
+    assert(graft.SparkEntry.registry.size == 148,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 
