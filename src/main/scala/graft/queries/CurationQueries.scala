@@ -65,6 +65,43 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunks for any (doc_id, text) frame: (doc_id, h,
+    * clen), one row per chunk instance — exposed for the shift-robustness
+    * spec. Boundary rule: trailing-4-char-window hash ≡ 0 (mod 16). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val L = length(col("text"))
+    val bs = when(L >= 4,
+      filter(sequence(lit(4), L), i =>
+        pmod(conv(substring(md5(col("text").substr(i - 3, lit(4))
+          .cast("binary")), 1, 4), 16, 10).cast("long"), lit(16)) === 0))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), col("text"), bs.as("bs"))
+      .withColumn("ends",
+        when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
+          .otherwise(concat(col("bs"), array(L))))
+      .withColumn("starts",
+        concat(array(lit(1)),
+          transform(slice(col("ends"), lit(1), size(col("ends")) - 1), x => x + 1)))
+      .select(col("doc_id"),
+        explode(zip_with(col("starts"), col("ends"), (st, en) =>
+          struct(md5(col("text").substr(st, en - st + 1).cast("binary")).as("h"),
+            (en - st + 1).as("clen")))).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
+  }
+
+  /** The per-doc rollup the registered query serves. */
+  private[graft] def cdcChunkStats(docs: DataFrame): DataFrame = {
+    val perDh = cdcChunks(docs).groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"), max("clen").as("mx"))
+    val freq = perDh.groupBy("h").agg(count(lit(1)).as("nd"))
+    perDh.join(freq.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_chunks"), max("mx").as("max_len"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test assignment — the same hash rule `corpus_split` uses,
     * so the leakage audit grades the exact splits that query ships. */
   private def splitCol = when(col("doc_id") % 100 < 90, "train")
@@ -245,35 +282,7 @@ object CurationQueries {
     // frequency join (shuffle_hash — cardinality is data-dependent), and
     // the final per-doc rollup.
     "text_cdc_chunks" -> Q(
-      (s, dir) => {
-        val L = length(col("text"))
-        val bs = when(L >= 4,
-          filter(sequence(lit(4), L), i =>
-            pmod(conv(substring(md5(col("text").substr(i - 3, lit(4))
-              .cast("binary")), 1, 4), 16, 10).cast("long"), lit(16)) === 0))
-          .otherwise(array().cast("array<int>"))
-        val chunks = table(s, dir, "documents")
-          .select(col("doc_id"), col("text"), bs.as("bs"))
-          .withColumn("ends",
-            when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
-              .otherwise(concat(col("bs"), array(L))))
-          .withColumn("starts",
-            concat(array(lit(1)),
-              transform(slice(col("ends"), lit(1), size(col("ends")) - 1), x => x + 1)))
-          .select(col("doc_id"),
-            explode(zip_with(col("starts"), col("ends"), (st, en) =>
-              struct(md5(col("text").substr(st, en - st + 1).cast("binary")).as("h"),
-                (en - st + 1).as("clen")))).as("c"))
-          .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
-        val perDh = chunks.groupBy("doc_id", "h")
-          .agg(count(lit(1)).as("cnt"), max("clen").as("mx"))
-        val freq = perDh.groupBy("h").agg(count(lit(1)).as("nd"))
-        perDh.join(freq.hint("shuffle_hash"), "h")
-          .groupBy("doc_id")
-          .agg(sum("cnt").as("n_chunks"), max("mx").as("max_len"),
-            sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_shared"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => cdcChunkStats(table(s, dir, "documents")),
       Some("""WITH b AS (
              |  SELECT doc_id, i
              |  FROM (SELECT doc_id, text, unnest(range(4, length(text)+1)) AS i

@@ -189,6 +189,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(1L)._1 === 8L && out(2L)._1 === 8L)
   }
 
+  // ---------------------------------------------------------------- cdc
+  test("cdc chunks: boundaries survive a prefix insertion (shift-robustness)") {
+    // THE property content-defined chunking buys over fixed-size
+    // chunking: prepending text shifts every byte offset, but boundaries
+    // depend only on local 4-char windows, so after the first boundary
+    // past the edit the chunk stream resynchronizes and the remaining
+    // chunk hashes are identical.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "INSERTED PREFIX " + base)).toDF("doc_id", "text")
+    val ch = graft.queries.CurationQueries.cdcChunks(docs).collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq
+    val common = h1.toSet.intersect(h2.toSet)
+    assert(h1.size >= 4, s"base doc should chunk into several pieces: ${h1.size}")
+    // everything after resync is shared; only the head chunk(s) differ
+    assert(common.size >= h1.size - 2,
+      s"CDC must resynchronize after the edit: ${common.size} of ${h1.size} shared")
+    // fixed-size chunking would share (almost) nothing: check offsets
+    // really did shift by a non-multiple of any chunk length
+    assert(h1 != h2, "the edited doc is not byte-identical")
+  }
+
+  test("cdc chunks: lossless partition of every doc (lengths sum to doc length)") {
+    val docs = Seq((1L, "abcd"), (2L, "x"), (3L, ("y" * 257))).toDF("doc_id", "text")
+    val sums = graft.queries.CurationQueries.cdcChunks(docs)
+      .groupBy("doc_id").agg(sum("clen").as("tot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums === Map(1L -> 4L, 2L -> 1L, 3L -> 257L))
+  }
+
+  // ---------------------------------------------------------------- bpe
+  test("bpe pairs: frequency-weighted vocab counting matches hand count") {
+    val docs = Seq((1L, "abab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    // vocab: abab×1 (pairs ab,ba,ab), ab×2 (pair ab), cd×1 (pair cd)
+    // ⇒ ab: 2+2=4, ba: 1, cd: 1
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs === Map("ab" -> 4L, "ba" -> 1L, "cd" -> 1L))
+  }
+
   test("pagerank: AQE splits the skewed rank⋈edges shuffle on a power-law src key") {
     // the per-iteration join keys the edge list by src — a power-law hub
     // source skews that shuffle partition. At cluster scale the mitigation

@@ -409,6 +409,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("text_bpe_pairs: two combinable aggregates + TakeOrdered, no joins at all") {
+    val plan = explained("text_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Join"), s"vocab pair counting must be pure aggregation:\n$plan")
+  }
+
+  test("text_cdc_chunks: chunk-frequency join shuffle_hash; no windows, no cartesian") {
+    val plan = explained("text_cdc_chunks")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("mv_incremental: history comes from the MV artifact; delta filter pushed to orders scan") {
     val plan = explained("mv_incremental")
     assert(plan.contains("/tmp/graft_mv/"), s"MV artifact missing:\n$plan")
