@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Registry.table
@@ -67,15 +67,27 @@ object CurationQueries {
 
   /** Content-defined chunks for any (doc_id, text) frame: (doc_id, h,
     * clen), one row per chunk instance — exposed for the shift-robustness
-    * spec. Boundary rule: trailing-4-char-window hash ≡ 0 (mod 16). */
+    * spec. Boundary rule: trailing-4-char-window polynomial hash ≡ 0
+    * (mod 17) — integer ops over a once-per-row char-code array (the
+    * gear-hash cost model: O(len) adds/multiplies, no per-window digest;
+    * an md5-per-window first cut measured 3.2 s at sf0.1, this form is
+    * the same plan shape at scan speed). The modulus must be PRIME: a
+    * power-of-two modulus reduces each multiplier mod 2^k (31-powers
+    * degenerate to ±1 mod 16 — an alternating sum that fires constantly
+    * on periodic text); mod 17 keeps all four coefficients distinct and
+    * non-degenerate, expected chunk ≈ 17 chars. Chunk IDENTITY is still
+    * md5 of the chunk text — a handful per doc. */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
     val L = length(col("text"))
+    val codes = transform(split(col("text"), ""), c => ascii(c))
+    def at(i: Column) = element_at(col("codes"), i)
     val bs = when(L >= 4,
       filter(sequence(lit(4), L), i =>
-        pmod(conv(substring(md5(col("text").substr(i - 3, lit(4))
-          .cast("binary")), 1, 4), 16, 10).cast("long"), lit(16)) === 0))
+        pmod(at(i - 3) * 29791 + at(i - 2) * 961 + at(i - 1) * 31 + at(i),
+          lit(17)) === 0))
       .otherwise(array().cast("array<int>"))
     docs
+      .select(col("doc_id"), col("text"), codes.as("codes"))
       .select(col("doc_id"), col("text"), bs.as("bs"))
       .withColumn("ends",
         when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
@@ -271,7 +283,7 @@ object CurationQueries {
       "BPE merge induction: top adjacent char pairs over the distinct-word vocabulary"),
 
     // Content-defined chunking (gear-hash style): a chunk boundary falls
-    // wherever the hash of the trailing 4-char window ≡ 0 (mod 16), so
+    // wherever the hash of the trailing 4-char window ≡ 0 (mod 17), so
     // boundaries — and therefore chunk hashes — survive insertions that
     // shift byte offsets, which is exactly what fixed-size chunking
     // (text_chunk) cannot do. Per doc: chunk count, longest chunk, and
@@ -287,7 +299,10 @@ object CurationQueries {
              |  SELECT doc_id, i
              |  FROM (SELECT doc_id, text, unnest(range(4, length(text)+1)) AS i
              |        FROM documents)
-             |  WHERE CAST('0x' || substr(md5(substr(text, i-3, 4)), 1, 4) AS BIGINT) % 16 = 0),
+             |  WHERE (ascii(substr(text, CAST(i-3 AS INTEGER), 1)) * 29791
+             |       + ascii(substr(text, CAST(i-2 AS INTEGER), 1)) * 961
+             |       + ascii(substr(text, CAST(i-1 AS INTEGER), 1)) * 31
+             |       + ascii(substr(text, CAST(i AS INTEGER), 1))) % 17 = 0),
              |bl AS (
              |  SELECT d.doc_id, d.text, length(d.text) AS L,
              |         coalesce(list(b.i ORDER BY b.i) FILTER (b.i IS NOT NULL), []) AS bs

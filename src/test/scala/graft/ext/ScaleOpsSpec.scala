@@ -199,15 +199,17 @@ class ScaleOpsSpec extends SparkSpec {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val docs = Seq((1L, base), (2L, "INSERTED PREFIX " + base)).toDF("doc_id", "text")
     val ch = graft.queries.CurationQueries.cdcChunks(docs).collect()
-    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
-    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq
-    val common = h1.toSet.intersect(h2.toSet)
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    val common = h1.intersect(h2)
     assert(h1.size >= 4, s"base doc should chunk into several pieces: ${h1.size}")
-    // everything after resync is shared; only the head chunk(s) differ
+    // boundaries are local 4-char properties, so the chunk stream
+    // resynchronizes at the first boundary past the edit: at most the
+    // head chunk (plus the one it merged into) differs
     assert(common.size >= h1.size - 2,
       s"CDC must resynchronize after the edit: ${common.size} of ${h1.size} shared")
-    // fixed-size chunking would share (almost) nothing: check offsets
-    // really did shift by a non-multiple of any chunk length
+    // fixed-size chunking would share (almost) nothing under a 16-char
+    // offset shift; CDC shares everything but the head
     assert(h1 != h2, "the edited doc is not byte-identical")
   }
 
