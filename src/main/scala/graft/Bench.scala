@@ -24,12 +24,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query must carry its reason into the artifact: a swallowed
+    // exception shows up as a suspiciously-fast time and poisons the
+    // scale-slope diff (seen once: a dying parent process took the
+    // SparkContext down mid-leg and the tail read as 4 ms/query)
+    val failures = scala.collection.mutable.Map.empty[String, String]
     def runOnce(name: String, dir: String): Boolean =
       try {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         true
-      } catch { case _: Throwable => false }
+      } catch {
+        case t: Throwable =>
+          failures(name) = (t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n]", " ").take(160))
+          false
+      }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up: JIT + codegen caches, small scale
@@ -83,8 +93,15 @@ object Bench {
     val qs2 = results2.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total2 = results2.map(_._2).sum
+    // sf2 failures were previously invisible (ok flag dropped on the
+    // floor); list them so a broken second leg can't masquerade as fast
+    val errs2 = results2.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val failJson = failures.toSeq.sorted
+      .map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir","sf2":"$sfDir2","total_sf2":$total2,"queries_sf2":$qs2}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir","sf2":"$sfDir2","total_sf2":$total2,"queries_sf2":$qs2,"errors_sf2":$errs2,"failure_detail":$failJson}"""
     // full artifact (every query, every trial) goes to the file; see below
     // for why stdout gets a smaller line
     val outFile = args.headOption.getOrElse("/tmp/graft_bench.json")
@@ -112,7 +129,7 @@ object Bench {
     def line(names: Seq[String]): String = {
       val hq = names.flatMap(n => byName.get(n).map(t => f""""$n":$t%.3f"""))
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$hq,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir","total_sf2":$total2%.2f,"sf2":"$sfDir2","artifact":"$outFile"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$hq,"n_queries":${results.size},"errors":$errs,"errors_sf2":$errs2,"sf":"$sfDir","total_sf2":$total2%.2f,"sf2":"$sfDir2","artifact":"$outFile"}"""
     }
     var keep = headline
     while (line(keep).length > 1800 && keep.nonEmpty) keep = keep.dropRight(1)
