@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join and bounded-memory frequency mining — the two
+  * candidate-pruning patterns a 100 TB curation pipeline needs when the
+  * approximate families ([[Dedup.minhashPairs]], IVF ANN) are not enough:
+  * an EXACT all-pairs similarity join that never goes quadratic, and
+  * heavy-hitter extraction whose shuffle is O(candidates), not O(vocab).
+  */
+object Mining {
+
+  // ------------------------------------- prefix-filtered set-similarity join
+  /** ALL pairs of docs with shingle-set Jaccard >= `theta` — EXACT, via
+    * prefix filtering (the AllPairs/PPJoin family: Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08). Under a global rare-first token order, any pair
+    * with J >= theta must share a token within its first
+    * `|x| - ceil(theta*|x|) + 1` sorted tokens (overlap bound:
+    * J >= theta implies O >= theta*max(|x|,|y|), then pigeonhole on the
+    * sorted suffix). Candidate generation therefore joins ONLY on prefix
+    * tokens — by construction the RAREST tokens of each set, so bucket
+    * sizes shrink exactly where a naive token join explodes (hot
+    * boilerplate shingles land in the suffix, never the join key).
+    *
+    * This is the exact twin of the approximate [[Dedup.minhashPairs]]:
+    * same input shape ([[Dedup.shingleRows]]), same threshold semantics,
+    * 100% recall by theorem instead of LSH probability.
+    *
+    * Plan shape (all data-dependent joins shuffle_hash-pinned):
+    *   1. distinct (doc, shingle) → shingle doc-frequency (combinable agg);
+    *   2. one doc-keyed groupBy building the (df, shingle)-sorted array;
+    *   3. prefix explode → candidate self-join keyed on prefix shingle,
+    *      with PPJoin's length filter (theta*|x| <= |y|) applied in-join;
+    *   4. pair-keyed verify: two doc-keyed joins fetch the sorted arrays,
+    *      `array_intersect` computes exact overlap — O(|x|+|y|) per
+    *      surviving candidate, never all pairs.
+    *
+    * The output filter compares ROUNDED jaccard (4 dp, oracle contract),
+    * so prefix/length pruning uses `theta - 1e-4`: a true J in
+    * [theta-5e-5, theta) rounds up into the result set and must not be
+    * pruned upstream of the verify. */
+  def prefixJaccardPairs(shingled: DataFrame, theta: Double): DataFrame = {
+    val thetaEff = theta - 1e-4
+    val toks = shingled.select(col("doc_id"), col("s")).distinct()
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val docs = toks.join(dfreq.hint("shuffle_hash"), "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), x => x.getField("s")).as("toks"),
+        size(col("st")).as("sz"))
+    val pref = docs.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - ceil(col("sz") * thetaEff) + 1).cast("int"))).as("p"))
+    val a = pref.select(col("p"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val b = pref.select(col("p"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b.hint("shuffle_hash"), "p")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * thetaEff &&
+        col("sz_b") >= col("sz_a") * thetaEff)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val da = docs.select(col("doc_id").as("id_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val db = docs.select(col("doc_id").as("id_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    cand.join(da.hint("shuffle_hash"), "id_a")
+      .join(db.hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= theta)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------- linear multi-touch attribution
+  /** Linear multi-touch attribution over an event log (event_id, ts,
+    * user_id, event_type, value): each purchase's value in cents is split
+    * equally (integer `div` — exact in any engine) across the same user's
+    * view/click touches in the `windowDays` before it, rolled up per
+    * touch type. One user-keyed equi-join with the time window as a join
+    * filter (shuffle_hash: both sides are event-scale and data-dependent),
+    * then a purchase-keyed count window — partition size bounded by
+    * touches-per-purchase, never user volume. */
+  def linearAttribution(ev: DataFrame, windowDays: Int = 3): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("touch_type"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+    p.join(t.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $windowDays DAYS"))
+      .withColumn("n_t", count(lit(1)).over(w))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("pid").as("n_conversions"),
+        sum(expr("cents div n_t")).as("credited_cents"))
+      .orderBy("touch_type")
+  }
+
+  // --------------------------------------------- Misra-Gries heavy hitters
+  /** Per-partition Misra-Gries summaries over a `tok` column: at most `k`
+    * (token, counter) rows per partition, one streaming pass, O(k) state —
+    * the genuine `mapPartitions` case (a mergeable sketch the DataFrame
+    * algebra can't express with bounded memory). MG guarantee per
+    * partition p: count_p(t) - n_p/(k+1) <= mg_p(t) <= count_p(t), so any
+    * token with GLOBAL count >= n/(k+1) survives in at least one
+    * partition's summary — the no-false-negative property
+    * [[heavyHitters]] builds on. */
+  def mgCandidates(toks: DataFrame, k: Int): DataFrame = {
+    val sp = toks.sparkSession
+    import sp.implicits._
+    toks.select(col("tok")).as[String].mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            // classic MG step: decrement every counter, drop zeros (the
+            // arriving token is uncounted). Amortized O(1): each
+            // decrement pass cancels k prior increments.
+            val snap = m.toArray
+            snap.foreach { case (key, c) =>
+              if (c == 1L) m.remove(key) else m.update(key, c - 1L)
+            }
+        }
+      }
+      m.iterator
+    }.toDF("tok", "mg")
+  }
+
+  /** Tokens appearing in >= `minFrac` of all token positions — EXACT
+    * counts, with candidate pruning so no shuffle ever carries the
+    * vocabulary: pass 1 builds per-partition MG(k) summaries (<= k rows
+    * per partition — broadcastable by construction); pass 2 re-scans,
+    * keeps candidate tokens via a broadcast semi-join (map-side filter),
+    * and exact-counts only those. With k+1 >= 1/minFrac the MG slack
+    * n/(k+1) <= minFrac*n, so every true heavy hitter is a candidate —
+    * the exact second pass then makes false positives harmless. Output is
+    * partitioning-invariant even though the intermediate candidate SET is
+    * not (extra candidates are filtered by the exact threshold).
+    *
+    * vs a plain groupBy(tok): same answer, but the groupBy shuffles one
+    * row per distinct token — at web-corpus scale a multi-billion-row
+    * vocabulary shuffle for an output of a few hundred rows. Here shuffle
+    * 1 is <= k rows/partition and shuffle 2 is the candidate-only
+    * pre-aggregate. */
+  def heavyHitters(docs: DataFrame, minFrac: Double, counters: Int): DataFrame = {
+    require(counters + 1 >= 1.0 / minFrac,
+      s"counters=$counters cannot guarantee recall at minFrac=$minFrac " +
+        "(need counters+1 >= 1/minFrac)")
+    val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+    val cand = mgCandidates(toks, counters).select("tok").distinct()
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot)) // 1-row stats join
+      .filter(col("cnt") >= ceil(col("n") * minFrac))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+}

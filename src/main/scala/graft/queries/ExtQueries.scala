@@ -79,7 +79,7 @@ object ExtQueries {
   }
 
   /** DuckDB twin of [[Dedup.planted]]. */
-  private val plantedSql =
+  private[queries] val plantedSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
       |UNION ALL SELECT doc_id + 2000000, regexp_replace(text, '^\S+', 'REPLACED')

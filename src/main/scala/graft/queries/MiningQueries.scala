@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Mining}
+import graft.queries.Registry.{events, table}
+
+/** Round-7 mining/serving operators: exact set-similarity join (prefix
+  * filtering), sketch-pruned heavy hitters, time-decayed engagement,
+  * multi-touch attribution, positional phrase search, compaction
+  * planning, and quantile feature binning. Every entry is oracle-gated;
+  * scale rationale lives on each operator.
+  */
+object MiningQueries {
+
+  /** Shared tokenized-with-positions CTE (1-based positions, matching the
+    * relative-adjacency join both engines run). */
+  private val posToksSql =
+    """SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS pos
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      |      FROM documents)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // EXACT all-pairs set-similarity join over 3-word shingles of the
+    // planted corpus — the exact twin of dedup_minhash (same shingles,
+    // same theta=0.7 rounded-Jaccard output contract): prefix filtering
+    // gives 100% recall by theorem where LSH gives it probabilistically.
+    // Scale: candidates join ONLY on each set's rarest
+    // |x|-ceil(theta|x|)+1 shingles, so hot boilerplate shingles never
+    // become join keys; all joins shuffle_hash-pinned (plan-guarded).
+    "join_setsim_prefix" -> Q(
+      (s, dir) => Mining.prefixJaccardPairs(
+        Dedup.shingleRows(Dedup.planted(table(s, dir, "documents"))), 0.7),
+      Some(s"""WITH planted AS (${ExtQueries.plantedSql}),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, jaccard FROM (
+              |  SELECT i.id_a, i.id_b,
+              |    round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b)
+              |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      "exact set-similarity self-join (prefix filtering, AllPairs/PPJoin family)"),
+
+    // Heavy hitters with EXACT counts but sketch-bounded shuffles: pass 1
+    // per-partition Misra-Gries (<= 64 rows/partition), pass 2 exact
+    // counts for candidates only (broadcast semi-join keeps the filter
+    // map-side). k+1 >= 1/minFrac makes candidate recall exact, so the
+    // output equals plain groupBy+HAVING — which is exactly what the
+    // oracle runs. At web scale this replaces a vocabulary-sized shuffle
+    // with an O(k*partitions) one.
+    "agg_heavy_hitters" -> Q(
+      (s, dir) => Mining.heavyHitters(table(s, dir, "documents"),
+        minFrac = 0.034, counters = 64),
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |tot AS (SELECT count(*) AS n FROM toks)
+             |SELECT tok, cnt FROM
+             |  (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), tot
+             |WHERE cnt >= ceil(n * 0.034)
+             |ORDER BY cnt DESC, tok""".stripMargin),
+      "exact heavy hitters via per-partition Misra-Gries candidate pruning"),
+
+    // Half-life-decayed engagement score per user at a fixed reference
+    // date — the recency-weighted feature every ranking/retention
+    // pipeline derives from an event log. Decay weights are fixed-point
+    // integers (1e6 >> weeks_old), so the aggregate is exact in both
+    // engines; one combinable user-keyed aggregation, no windows.
+    "events_decay" -> Q(
+      (s, dir) => events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("age_d", datediff(lit("2024-01-31").cast("date"),
+          col("ts").cast("date")))
+        .filter(col("age_d") >= 0)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("w",
+          expr("cast(shiftright(1000000, cast(least(age_d div 7, 20) as int)) as long)"))
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("w")).as("decayed_score"),
+          count(lit(1)).as("n_events"))
+        .orderBy(desc("decayed_score"), col("user_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             |    date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age_d
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')
+             |    AND CAST(ts AS DATE) <= DATE '2024-01-31')
+             |SELECT user_id,
+             |  CAST(sum(cents * (1000000 >> CAST(least(age_d // 7, 20) AS INTEGER))) AS BIGINT)
+             |    AS decayed_score,
+             |  count(*) AS n_events
+             |FROM e GROUP BY user_id
+             |ORDER BY decayed_score DESC, user_id""".stripMargin),
+      "half-life time-decayed engagement score per user (fixed-point weights)"),
+
+    // Linear multi-touch attribution: each purchase's value (in cents)
+    // split equally across the user's view/click touches in the 3 days
+    // before it. One user-keyed equi-join (shuffle_hash: both sides are
+    // event-scale) with the time window as a join-filter, then a
+    // purchase-keyed window for the per-conversion touch count —
+    // partition size bounded by touches-per-purchase, never by user
+    // volume. Fixed-point `div` keeps credit integral and exact.
+    "events_attribution" -> Q(
+      (s, dir) => Mining.linearAttribution(events(s, dir)),
+      Some("""WITH p AS (
+             |  SELECT event_id AS pid, user_id, ts AS pts,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, ts AS tts, event_type AS touch_type
+             |      FROM events WHERE event_type IN ('view', 'click')),
+             |pt AS (
+             |  SELECT p.pid, p.cents, t.touch_type
+             |  FROM p JOIN t USING (user_id)
+             |  WHERE t.tts < p.pts AND t.tts >= p.pts - INTERVAL 3 DAY),
+             |ptn AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n_t FROM pt)
+             |SELECT touch_type, count(*) AS n_touches,
+             |  count(DISTINCT pid) AS n_conversions,
+             |  CAST(sum(cents // n_t) AS BIGINT) AS credited_cents
+             |FROM ptn GROUP BY 1 ORDER BY 1""".stripMargin),
+      "linear multi-touch attribution: purchase cents split across 3-day-window touches"),
+
+    // Positional phrase search ("hash join") over the corpus: the
+    // inverted-index-with-positions shape — per-term posting fetch
+    // (term filter BEFORE any join, pushdown-eligible), adjacency via a
+    // (doc, pos)-keyed equi-join, doc-keyed hit rollup. At 100 TB the
+    // postings are a token-partitioned artifact and this plan touches
+    // only the query terms' partitions; the join/agg shape is identical.
+    "search_phrase" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val tk = docs.select(col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+        val p0 = tk.filter(col("t") === "hash").select(col("doc_id"), col("pos"))
+        val p1 = tk.filter(col("t") === "join")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p0.join(p1.hint("shuffle_hash"), Seq("doc_id", "pos"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .join(docs.select("doc_id", "lang", "n_chars").hint("shuffle_hash"),
+            "doc_id")
+          .select("doc_id", "lang", "n_chars", "n_hits")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS ($posToksSql),
+              |hits AS (
+              |  SELECT a.doc_id, count(*) AS n_hits
+              |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              |  WHERE a.t = 'hash' AND b.t = 'join'
+              |  GROUP BY 1)
+              |SELECT h.doc_id, d.lang, d.n_chars, h.n_hits
+              |FROM hits h JOIN documents d USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      "positional phrase search: per-term posting fetch + adjacency join"),
+
+    // Small-file compaction planner (the OPTIMIZE/bin-packing step of a
+    // lakehouse layout job): per-day "files" (row count * est. row width)
+    // packed contiguously into 32 KiB target bins within each month
+    // partition via a running-total window. File inventories are
+    // metadata-scale (1 row per file), and the window partitions by the
+    // table partition — per-task state is bounded by files-per-partition,
+    // never the global listing.
+    "layout_compaction" -> Q(
+      (s, dir) => {
+        val files = table(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("file_date"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("bytes", col("n_rows") * 128L)
+          .withColumn("part", date_format(col("file_date"), "yyyy-MM"))
+        val w = Window.partitionBy("part").orderBy("file_date")
+        files.withColumn("cum", sum("bytes").over(w))
+          .withColumn("bin", expr("(cum - bytes) div 32768"))
+          .groupBy("part", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+            min("file_date").as("from_date"), max("file_date").as("to_date"))
+          .orderBy("part", "bin")
+      },
+      Some("""WITH files AS (
+             |  SELECT CAST(l_shipdate AS DATE) AS file_date, count(*) AS n_rows,
+             |    count(*) * 128 AS bytes,
+             |    strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS part
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT *,
+             |    sum(bytes) OVER (PARTITION BY part ORDER BY file_date) AS cum
+             |  FROM files)
+             |SELECT part, CAST((cum - bytes) // 32768 AS BIGINT) AS bin,
+             |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             |  min(file_date) AS from_date, max(file_date) AS to_date
+             |FROM c GROUP BY 1, 2 ORDER BY part, bin""".stripMargin),
+      "small-file compaction plan: running-total bin packing per table partition"),
+
+    // Quantile feature binning: exact decile cutpoints of o_totalprice
+    // (rounded 4 dp so both engines bin against identical doubles),
+    // broadcast as a 1-row stats frame, per-row bin assignment via a
+    // higher-order filter, then the per-bin profile. At scale the
+    // cutpoints come from approx_percentile (bounded sketch) feeding the
+    // same broadcast+bin plan — agg_percentiles_approx pins that form.
+    "feature_bins" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val cuts = o.agg(expr(
+          "transform(percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), x -> round(x, 4))")
+          .as("cuts"))
+        o.crossJoin(broadcast(cuts)) // 1-row stats join
+          .withColumn("bin", size(filter(col("cuts"),
+            c => col("o_totalprice") > c)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH cuts AS (
+             |  SELECT list_transform(
+             |    quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             |    x -> round(x, 4)) AS cuts
+             |  FROM orders)
+             |SELECT CAST(len(list_filter(cuts, c -> o_totalprice > c)) AS INTEGER) AS bin,
+             |  count(*) AS n,
+             |  round(min(o_totalprice), 2) AS lo,
+             |  round(max(o_totalprice), 2) AS hi
+             |FROM orders, cuts GROUP BY 1 ORDER BY bin""".stripMargin),
+      "decile feature binning from broadcast exact-percentile cutpoints"))
+}

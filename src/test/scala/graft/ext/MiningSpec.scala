@@ -1,0 +1,110 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry.table
+
+/** Behavioral specs for the round-7 mining operators: exactness of the
+  * prefix-filtered similarity join (vs brute force AND vs the LSH
+  * approximation), the Misra-Gries no-false-negative guarantee under
+  * forced decrements, and fixture-pinned attribution arithmetic. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = Dedup.planted(table(spark, sf("sf0.001"), "documents"))
+
+  test("prefix join equals brute-force all-pairs shingle Jaccard") {
+    val shd = Dedup.shingleRows(planted).distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = shd.as("a")
+      .join(shd.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("jaccard", round($"inter".cast("double") /
+        ($"sz_a" + $"sz_b" - $"inter").cast("double"), 4))
+      .filter($"jaccard" >= 0.7)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Mining.prefixJaccardPairs(Dedup.shingleRows(planted), 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"prefix join must be exact: missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
+
+  test("prefix join recall is a superset of the MinHash LSH approximation") {
+    val lsh = Dedup.minhashPairs(table(spark, sf("sf0.001"), "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Mining.prefixJaccardPairs(Dedup.shingleRows(planted), 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"exact join must dominate LSH recall: lsh-only=${lsh -- exact}")
+  }
+
+  test("heavy hitters equals plain groupBy+HAVING on the corpus") {
+    val docs = table(spark, sf("sf0.001"), "documents")
+    val got = Mining.heavyHitters(docs, 0.034, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(n * 0.034).toLong)
+      .orderBy(desc("cnt"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("heavy hitters stays exact when vocab >> counters (MG decrements fire)") {
+    // 500-token vocab against 32 counters: every partition's sketch must
+    // decrement constantly, yet the one true heavy hitter (10% support)
+    // survives — the n/(k+1) slack bound in action.
+    val rows = (1 to 5000).map(i => if (i % 10 == 0) "hh" else s"t${i % 499}")
+    val docs = rows.toDF("text").repartition(4)
+    val got = Mining.heavyHitters(docs, 0.05, 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hh", 500L)), s"got $got")
+  }
+
+  test("MG summaries are bounded by k rows per partition") {
+    val toks = (1 to 10000).map(i => s"t${i % 997}").toDF("tok").repartition(8)
+    val perPart = Mining.mgCandidates(toks, 32)
+    assert(perPart.count() <= 32L * 8,
+      "sketch output must be bounded by k * partitions")
+  }
+
+  test("heavy hitters refuses an unsound counters/minFrac combination") {
+    val docs = table(spark, sf("sf0.001"), "documents")
+    intercept[IllegalArgumentException] {
+      Mining.heavyHitters(docs, 0.01, 64) // needs >= 99 counters
+    }
+  }
+
+  test("linear attribution splits cents exactly on a hand fixture") {
+    def ts(day: Int, hour: Int = 0) =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val ev = Seq(
+      // user 1: purchase 10.00 with two in-window touches -> 500 each
+      (1L, ts(10), 1L, "purchase", 10.00),
+      (2L, ts(9), 1L, "view", 1.0),
+      (3L, ts(8), 1L, "click", 1.0),
+      // user 2: purchase 9.99 with one view touch -> 999
+      (4L, ts(20), 2L, "purchase", 9.99),
+      (5L, ts(19), 2L, "view", 1.0),
+      // excluded: outside the 3-day window / after the purchase
+      (6L, ts(10), 2L, "view", 1.0),
+      (7L, ts(25), 2L, "click", 1.0),
+      // user 3: purchase with no touches -> contributes nothing
+      (8L, ts(15), 3L, "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Mining.linearAttribution(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", 1L, 1L, 500L),
+      ("view", 2L, 2L, 500L + 999L)), s"got ${got.toSeq}")
+  }
+}

@@ -435,4 +435,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
+
+  // ------------------------------------------------ round-7 mining guards
+
+  test("join_setsim_prefix: df/candidate/verify joins all shuffle_hash; no cartesian") {
+    val plan = explained("join_setsim_prefix")
+    // shingle-df join + prefix candidate self-join + two verify joins
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
+  }
+
+  test("agg_heavy_hitters: candidate filter is a broadcast semi-join; stats join is 1-row") {
+    val plan = explained("agg_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate pruning must stay map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"1-row total join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("events_attribution: user-keyed join keeps its shuffle_hash pin") {
+    val plan = explained("events_attribution")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("search_phrase: posting joins shuffle_hash; term filters applied before the join") {
+    val plan = explained("search_phrase")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // each posting branch filters its term below the join, not after
+    assert(plan.contains("= hash") && plan.contains("= join"),
+      s"term predicates must appear as filters:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("layout_compaction: running-total window is partitioned (no global window)") {
+    val plan = explained("layout_compaction")
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(part"),
+      s"window must partition by the table partition, never a single task:\n$plan")
+  }
+
+  test("feature_bins: single 1-row cutpoint broadcast; no shuffle joins") {
+    val plan = explained("feature_bins")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
 }

@@ -19,7 +19,8 @@ class RegistrySpec extends AnyFunSuite {
     "ExtQueries" -> ExtQueries.all,
     "TpchExtraQueries" -> TpchExtraQueries.all,
     "ScaleQueries" -> ScaleQueries.all,
-    "CurationQueries" -> CurationQueries.all)
+    "CurationQueries" -> CurationQueries.all,
+    "MiningQueries" -> MiningQueries.all)
 
   test("no query name collides across modules (Map ++ would silently shadow)") {
     val names = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
@@ -29,13 +30,12 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("surface size only changes deliberately (bump on add/remove)") {
-    // 148 as of round 6 (+events_enriched, +graph_ppr, +stats_zonemap_prune,
-    // +skew_profile, +mv_incremental, +text_ngram_dupspans,
-    // +corpus_split_leakage, +sample_importance, +text_bpe_pairs,
-    // +text_cdc_chunks): see COVERAGE.md tally. If this fails after an
-    // edit you did not expect to change the surface, an entry was
-    // silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 148,
+    // 155 as of round 7 (+join_setsim_prefix, +agg_heavy_hitters,
+    // +events_decay, +events_attribution, +search_phrase,
+    // +layout_compaction, +feature_bins): see COVERAGE.md tally. If this
+    // fails after an edit you did not expect to change the surface, an
+    // entry was silently dropped or duplicated.
+    assert(graft.SparkEntry.registry.size == 155,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 
