@@ -110,19 +110,30 @@ object Dedup {
     * ONE shuffle keyed by band hash, never an all-pairs comparison. At
     * 100 TB the bucket join is the only wide operation and AQE handles the
     * skewed "common shingle" buckets. */
+  /** Banded LSH signature rows (doc_id, band, bhash) — the self-contained
+    * per-document index entry set. Kept as its own seam so it can be
+    * PERSISTED as a corpus artifact and probed incrementally
+    * ([[minhashIncrementalPairs]]): the production dedup-at-ingest shape
+    * is "signatures of the standing corpus live in a table; each new
+    * batch computes only ITS signatures and joins against that table". */
+  def bandedSignatures(shingleRowsDf: DataFrame, numPerms: Int = 32,
+      numBands: Int = 8, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    val sigs = minhashSignatures(shingleRowsDf, numPerms, seed)
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*)
+      }: _*)).as(Seq("band", "bhash")))
+  }
+
   /** Candidate pairs from LSH banding over the shingle rows. `shingleRowsDf`
     * feeds multiple join branches; callers should `localCheckpoint` it
     * first (at cluster scale: persist the signature table to parquet for
     * reuse across dedup runs). */
   def minhashCandidates(shingleRowsDf: DataFrame, numPerms: Int = 32,
       numBands: Int = 8, seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numPerms / numBands
-    val sigs = minhashSignatures(shingleRowsDf, numPerms, seed)
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"m$i")): _*)
-      }: _*)).as(Seq("band", "bhash")))
+    val banded = bandedSignatures(shingleRowsDf, numPerms, numBands, seed)
       .localCheckpoint()
     val a = banded.select(col("band"), col("bhash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("doc_id").as("id_b"))
@@ -162,6 +173,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental near-dup detection: a DELTA batch probed against the
+    * standing corpus's persisted LSH index — the dedup-at-ingest shape a
+    * 100 TB pipeline actually runs (re-signing the whole corpus per batch
+    * would be O(corpus) per ingest; this is O(delta) compute + one
+    * banded equi-join against the index table).
+    *
+    *   - `baseBanded`: the standing corpus's (doc_id, band, bhash) rows —
+    *     a durable artifact ([[bandedSignatures]] written to parquet,
+    *     exactly like the IVF serving index in `sim_topk_ivf_indexed`).
+    *   - `deltaDocs`: the new batch (doc_id, text). Only ITS shingles and
+    *     signatures are computed here.
+    *
+    * Candidates are delta×base only (never base×base — those pairs were
+    * resolved when the base was ingested); the exact-Jaccard verify joins
+    * each side against its own shingle rows. Same banding params as
+    * [[minhashCandidates]] so one index serves both batch and incremental
+    * dedup. `persistCand` is the oracle seam, as in [[minhashPairs]]. */
+  def minhashIncrementalPairs(baseBanded: DataFrame, deltaDocs: DataFrame,
+      baseShingles: DataFrame, threshold: Double = 0.7,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    val deltaSh = shingleRows(deltaDocs).localCheckpoint()
+    val deltaBanded = bandedSignatures(deltaSh)
+    val cand = persistCand(
+      deltaBanded.select(col("band"), col("bhash"), col("doc_id").as("id_d"))
+        .join(baseBanded.hint("shuffle_hash")
+          .select(col("band"), col("bhash"), col("doc_id").as("id_b")),
+          Seq("band", "bhash"))
+        .select("id_d", "id_b")
+        .dropDuplicates("id_d", "id_b"))
+    val dShd = deltaSh.distinct()
+    val bShd = baseShingles.distinct()
+    val dSizes = dShd.groupBy("doc_id").agg(count(lit(1)).as("sz_d"))
+    val bSizes = bShd.groupBy("doc_id").agg(count(lit(1)).as("sz_b"))
+    val interCounts = cand
+      .join(dShd.toDF("id_d", "s").hint("shuffle_hash"), "id_d")
+      .join(bShd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
+      .groupBy("id_d", "id_b").agg(count(lit(1)).as("inter"))
+    // size tables are one row per doc — corpus-sized and data-dependent,
+    // so they must never rely on auto-broadcast either
+    interCounts
+      .join(dSizes.toDF("id_d", "sz_d").hint("shuffle_hash"), "id_d")
+      .join(bSizes.toDF("id_b", "sz_b").hint("shuffle_hash"), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_d") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_d", "id_b", "jaccard")
+      .orderBy("id_d", "id_b")
   }
 
   // ------------------------------------------------------------- simhash

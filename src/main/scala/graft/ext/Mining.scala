@@ -166,4 +166,33 @@ object Mining {
       .select(col("tok"), col("cnt"))
       .orderBy(desc("cnt"), col("tok"))
   }
+
+  // --------------------------------------------- a-priori frequent pairs
+  /** Token pairs co-occurring in >= `minSupport` documents — frequent-
+    * itemset mining at the pair level, with the a-priori downward-closure
+    * prune: a pair can only be frequent if BOTH members are, so the
+    * (doc, token) set is first semi-joined against the frequent-singleton
+    * list, and only then self-joined per doc. The prune is what keeps the
+    * per-doc pair explosion bounded at corpus scale: the frequent
+    * vocabulary has at most total_tokens/minSupport entries regardless of
+    * corpus size, so it broadcasts by construction (same bounded-side
+    * argument as [[heavyHitters]]'s candidate set), and per-doc pair
+    * counts are quadratic only in each doc's FREQUENT-token count, never
+    * its length. The pair-generating self-join is doc-keyed and
+    * shuffle_hash-pinned (both sides corpus-sized). */
+  def frequentPairs(docs: DataFrame, minSupport: Long): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+    val freq1 = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minSupport)
+      .select("tok")
+    val pruned = dt.join(broadcast(freq1), Seq("tok"), "left_semi")
+    val a = pruned.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = pruned.select(col("doc_id"), col("tok").as("tok_b"))
+    a.join(b.hint("shuffle_hash"), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(desc("support"), col("tok_a"), col("tok_b"))
+  }
 }

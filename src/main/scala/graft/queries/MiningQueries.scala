@@ -21,6 +21,28 @@ object MiningQueries {
       |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
       |      FROM documents)""".stripMargin
 
+  /** Pair-support threshold (20% of corpus), cached per sf-dir so the
+    * registered query never pays a count() job per invocation — at
+    * cluster scale this is table-statistics metadata (same pattern as
+    * [[ExtQueries.ivfNlist]]). */
+  private val supportCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def pairSupport(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    supportCache.getOrElseUpdate(dir,
+      math.ceil(0.2 * Registry.table(s, dir, "documents").count()).toLong)
+
+  /** Standing-corpus MinHash LSH index per sf-dir, materialized once per
+    * process: banded signature rows + distinct shingle rows of the BASE
+    * corpus — the durable dedup-at-ingest index that incremental batches
+    * probe ([[Dedup.minhashIncrementalPairs]]). Digest-keyed via
+    * [[Artifacts]] like the IVF serving index. */
+  private def minhashIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Artifacts.cached("graft_minhash_idx", dir) { p =>
+      val sh = Dedup.shingleRows(Registry.table(s, dir, "documents")
+        .select("doc_id", "text")).localCheckpoint()
+      Dedup.bandedSignatures(sh).write.mode("overwrite").parquet(s"$p/banded")
+      sh.distinct().write.mode("overwrite").parquet(s"$p/shingles")
+    }
+
   val all: Map[String, Q] = Map(
 
     // EXACT all-pairs set-similarity join over 3-word shingles of the
@@ -235,5 +257,126 @@ object MiningQueries {
              |  round(min(o_totalprice), 2) AS lo,
              |  round(max(o_totalprice), 2) AS hi
              |FROM orders, cuts GROUP BY 1 ORDER BY bin""".stripMargin),
-      "decile feature binning from broadcast exact-percentile cutpoints"))
+      "decile feature binning from broadcast exact-percentile cutpoints"),
+
+    // Frequent token-pair mining with the a-priori downward-closure
+    // prune: frequent singletons first (bounded by tokens/support
+    // regardless of corpus size — broadcastable by construction), then a
+    // doc-keyed shuffle_hash self-join over only the pruned set. Support
+    // is 20% of the corpus, so the threshold scales with the data.
+    "itemsets_pairs" -> Q(
+      (s, dir) => graft.ext.Mining.frequentPairs(
+        Registry.table(s, dir, "documents"), pairSupport(s, dir)),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+             |  FROM documents),
+             |sup AS (SELECT ceil(0.2 * count(*)) AS ms FROM documents),
+             |f1 AS (SELECT tok FROM dt, sup GROUP BY tok, ms HAVING count(*) >= ms),
+             |p AS (
+             |  SELECT a.doc_id, a.tok AS tok_a, b.tok AS tok_b
+             |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |  WHERE a.tok IN (SELECT tok FROM f1) AND b.tok IN (SELECT tok FROM f1))
+             |SELECT tok_a, tok_b, count(*) AS support FROM p, sup
+             |GROUP BY tok_a, tok_b, ms HAVING count(*) >= ms
+             |ORDER BY support DESC, tok_a, tok_b""".stripMargin),
+      "a-priori-pruned frequent token-pair mining (20% support)"),
+
+    // d×d covariance of the embedding corpus in ONE narrow pass: a typed
+    // Aggregator (CovSums) reduces the stream to exact fixed-point
+    // moments (n, per-dim sums, upper-triangle cross sums) in a
+    // d(d+3)/2-long buffer that map-side combines — never the
+    // explode-to-pairs shuffle, whose input is d²/2× the corpus. The
+    // tiny moments row is then unpacked declaratively. Fixed-point
+    // (1e4-scaled longs) makes every sum order-independent and
+    // bit-reproducible in DuckDB.
+    "stats_covariance" -> Q(
+      (s, dir) => {
+        val d = 64
+        val covU = udaf(new graft.functions.CovSums.CovSumsAggregator(d),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+        Registry.table(s, dir, "embeddings")
+          .select(transform(col("embedding"),
+            x => round(x.cast("double") * 10000, 0).cast("long")).as("q"))
+          .agg(covU(col("q")).as("m"))
+          .select(col("m.n").as("n"), col("m.s").as("s"), col("m.ss").as("ss"))
+          .select(col("n"), col("s"), col("ss"),
+            explode(sequence(lit(0), lit(d - 1))).as("i"))
+          .select(col("n"), col("s"), col("ss"), col("i"),
+            explode(sequence(col("i"), lit(d - 1))).as("j"))
+          .withColumn("k",
+            expr(s"cast(i * $d - (i * (i - 1)) div 2 + j - i as int)"))
+          .select(col("i"), col("j"),
+            round((col("n") * element_at(col("ss"), col("k") + 1) -
+              element_at(col("s"), col("i") + 1) * element_at(col("s"), col("j") + 1))
+              .cast("double") /
+              (col("n") * col("n")).cast("double") / 1e8, 6).as("cov"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, i,
+             |    CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+             |  FROM (SELECT vec_id, unnest(embedding) AS x,
+             |          generate_subscripts(embedding, 1) AS i
+             |        FROM embeddings)),
+             |nn AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+             |sums AS (SELECT i, sum(qv) AS si FROM q GROUP BY i),
+             |cr AS (
+             |  SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS sij
+             |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |  GROUP BY 1, 2)
+             |SELECT CAST(c.i - 1 AS INTEGER) AS i, CAST(c.j - 1 AS INTEGER) AS j,
+             |  round(CAST(nn.n * c.sij - sa.si * sb.si AS DOUBLE)
+             |    / CAST(nn.n * nn.n AS DOUBLE) / 1e8, 6) AS cov
+             |FROM cr c, nn
+             |JOIN sums sa ON sa.i = c.i
+             |JOIN sums sb ON sb.i = c.j
+             |ORDER BY i, j""".stripMargin),
+      "one-pass d×d covariance via a fixed-point typed Aggregator (CovSums)"),
+
+    // Incremental near-dup dedup: the planted delta batch probed against
+    // the standing corpus's PERSISTED LSH index — O(delta) signature
+    // compute + one banded equi-join against the index artifact, never a
+    // corpus re-sign. Candidates (delta×base only) persist via OracleAux
+    // so DuckDB re-verifies the exact Jaccard over the same pair set.
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val p = minhashIndexPath(s, dir)
+        val delta = Dedup.planted(Registry.table(s, dir, "documents"))
+          .filter(col("doc_id") >= 1000000L)
+        Dedup.minhashIncrementalPairs(
+          s.read.parquet(s"$p/banded"), delta, s.read.parquet(s"$p/shingles"),
+          0.7, OracleAux.persist(dir, "dedup_incr_cand"))
+      },
+      Some(s"""WITH planted AS (${ExtQueries.plantedSql}),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |dsh AS (SELECT * FROM shd WHERE doc_id >= 1000000),
+              |bsh AS (SELECT * FROM shd WHERE doc_id < 1000000),
+              |dsz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+              |bsz AS (SELECT doc_id, count(*) AS sz FROM bsh GROUP BY 1),
+              |cand AS (SELECT DISTINCT id_d, id_b
+              |         FROM read_parquet(${OracleAux.duckGlob("dedup_incr_cand")})),
+              |inter AS (
+              |  SELECT c.id_d, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN dsh a ON a.doc_id = c.id_d
+              |  JOIN bsh b ON b.doc_id = c.id_b AND b.s = a.s
+              |  GROUP BY 1, 2)
+              |SELECT id_d, id_b, jaccard FROM (
+              |  SELECT i.id_d, i.id_b,
+              |    round(CAST(inter AS DOUBLE) / CAST(d.sz + b.sz - inter AS DOUBLE), 4) AS jaccard
+              |  FROM inter i
+              |  JOIN dsz d ON d.doc_id = i.id_d
+              |  JOIN bsz b ON b.doc_id = i.id_b)
+              |WHERE jaccard >= 0.7 ORDER BY id_d, id_b""".stripMargin),
+      "incremental MinHash dedup: delta batch vs persisted corpus LSH index"))
 }

@@ -747,6 +747,162 @@ object ScaleQueries {
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |        / count(*), 2) AS avg_price
              |FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderstatus""".stripMargin),
-      "incremental MV maintenance: history partial-agg artifact + delta merge ≡ recompute")
+      "incremental MV maintenance: history partial-agg artifact + delta merge ≡ recompute"),
+
+    // Snapshot diff (the change-data-feed shape): two table versions
+    // compared with ONE key-keyed full-outer join, classifying each key
+    // as insert / delete / update. Snapshot B is derived deterministically
+    // from orders (updates %97, deletes %101, re-keyed inserts %103) so
+    // both engines diff identical inputs. At 100 TB the compared columns
+    // collapse to an xxhash64 row fingerprint so the shuffle carries
+    // (key, hash), never the row — the classification plan is unchanged;
+    // here the two compare columns stay explicit so the oracle is
+    // engine-exact.
+    "snapshot_diff" -> Q(
+      (s, dir) => {
+        val a = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = a.filter(col("o_orderkey") % 101 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 97 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(a.filter(col("o_orderkey") % 103 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        val d = a.select(col("o_orderkey"), col("o_orderstatus").as("st_a"),
+            col("o_totalprice").as("tp_a"))
+          .join(b.select(col("o_orderkey"), col("o_orderstatus").as("st_b"),
+            col("o_totalprice").as("tp_b")), Seq("o_orderkey"), "full_outer")
+        d.withColumn("change",
+            when(col("st_b").isNull && col("tp_b").isNull, "delete")
+              .when(col("st_a").isNull && col("tp_a").isNull, "insert")
+              .when(col("st_a") =!= col("st_b") || col("tp_a") =!= col("tp_b"),
+                "update"))
+          .filter(col("change").isNotNull)
+          .select("o_orderkey", "change")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |b AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+             |      AS o_orderstatus,
+             |    o_totalprice
+             |  FROM a WHERE o_orderkey % 101 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+             |  FROM a WHERE o_orderkey % 103 = 0)
+             |SELECT o_orderkey, change FROM (
+             |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |    CASE WHEN b.o_orderkey IS NULL THEN 'delete'
+             |         WHEN a.o_orderkey IS NULL THEN 'insert'
+             |         WHEN a.o_orderstatus <> b.o_orderstatus
+             |           OR a.o_totalprice <> b.o_totalprice THEN 'update'
+             |    END AS change
+             |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+             |WHERE change IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin),
+      "snapshot diff via one full-outer key join: insert/delete/update feed"),
+
+    // Interval-overlap join WITHOUT a nested-loop: shipment transit
+    // intervals [shipdate, shipdate + transit] vs monthly promo windows,
+    // bucketized on the calendar month — each interval explodes into the
+    // few months it covers (bounded: transit <= 27 d spans <= 2 months),
+    // the join is a plain month-keyed equi-join, and the true overlap
+    // predicate filters in-join. The naive range-theta join is a
+    // BroadcastNestedLoopJoin — quadratic work at scale; bucketizing
+    // turns it into one shuffle keyed by bucket (plan-guarded: no BNLJ).
+    "join_interval_overlap" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_shipdate").cast("date").as("ship_from"))
+          // deterministic synthetic transit: 3..27 days, both engines alike
+          .withColumn("ship_to",
+            expr("date_add(ship_from, cast(l_orderkey % 25 + 3 as int))"))
+        val promo = li.select(trunc(col("ship_from"), "month").as("promo_from"))
+          .distinct()
+          .withColumn("promo_to", date_add(col("promo_from"), 6))
+        val buckets = li.withColumn("m",
+          explode(expr("sequence(trunc(ship_from, 'month'), trunc(ship_to, 'month'), interval 1 month)")))
+        buckets
+          .join(promo.withColumnRenamed("promo_from", "m").hint("shuffle_hash")
+              .select(col("m"), col("m").as("promo_from"), col("promo_to")),
+            Seq("m"))
+          .filter(col("ship_from") <= col("promo_to") &&
+            col("ship_to") >= col("promo_from"))
+          .groupBy("promo_from")
+          .agg(count(lit(1)).as("n_shipments"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("promo_from")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity,
+             |    CAST(l_shipdate AS DATE) AS ship_from,
+             |    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 25 + 3 AS INTEGER)
+             |      AS ship_to
+             |  FROM lineitem),
+             |promo AS (
+             |  SELECT DISTINCT date_trunc('month', ship_from) AS promo_from,
+             |    date_trunc('month', ship_from) + 6 AS promo_to
+             |  FROM li)
+             |SELECT promo_from, count(*) AS n_shipments,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM li JOIN promo
+             |  ON li.ship_from <= promo.promo_to AND li.ship_to >= promo.promo_from
+             |GROUP BY 1 ORDER BY promo_from""".stripMargin),
+      "interval-overlap join bucketized by month: equi-join + in-join verify, no BNLJ"),
+
+    // GDPR erasure audit: a forget-set of users anti-joined across every
+    // dataset that carries the key — raw events, the sessionized rollup,
+    // and the purchase ledger — reporting purged/kept counts per dataset.
+    // The forget list is request-sized (contractually tiny next to the
+    // data), so it BROADCASTS and every anti/semi join stays map-side:
+    // erasure across a 100 TB lake costs one narrow scan per dataset,
+    // zero shuffles (plan-guarded: broadcast joins only).
+    "compliance_forget" -> Q(
+      (s, dir) => {
+        val ev = Registry.events(s, dir)
+        val forget = ev.select("user_id").distinct()
+          .filter(col("user_id") % 37 === 0)
+        val daily = ev.groupBy(col("user_id"),
+          col("ts").cast("date").as("d")).agg(count(lit(1)).as("n"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+        def audit(name: String, df: org.apache.spark.sql.DataFrame) = {
+          val kept = df.join(broadcast(forget), Seq("user_id"), "left_anti")
+          val purged = df.join(broadcast(forget), Seq("user_id"), "left_semi")
+          kept.agg(count(lit(1)).as("kept_rows"))
+            .crossJoin(purged.agg(count(lit(1)).as("purged_rows")))
+            .select(lit(name).as("dataset"), col("kept_rows"), col("purged_rows"))
+        }
+        audit("events", ev)
+          .unionByName(audit("user_daily", daily))
+          .unionByName(audit("purchases", purchases))
+          .orderBy("dataset")
+      },
+      Some("""WITH forget AS (
+             |  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+             |daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+             |SELECT 'events' AS dataset,
+             |  count(*) FILTER (user_id NOT IN (SELECT user_id FROM forget))
+             |    AS kept_rows,
+             |  count(*) FILTER (user_id IN (SELECT user_id FROM forget))
+             |    AS purged_rows
+             |FROM events
+             |UNION ALL
+             |SELECT 'purchases',
+             |  count(*) FILTER (user_id NOT IN (SELECT user_id FROM forget)),
+             |  count(*) FILTER (user_id IN (SELECT user_id FROM forget))
+             |FROM purchases
+             |UNION ALL
+             |SELECT 'user_daily',
+             |  count(*) FILTER (user_id NOT IN (SELECT user_id FROM forget)),
+             |  count(*) FILTER (user_id IN (SELECT user_id FROM forget))
+             |FROM daily
+             |ORDER BY dataset""".stripMargin),
+      "GDPR forget-set erasure audit: broadcast anti/semi joins per dataset")
   )
 }

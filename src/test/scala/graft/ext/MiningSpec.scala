@@ -84,6 +84,59 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs equals unpruned pair counting (a-priori prune is lossless)") {
+    val docs = table(spark, sf("sf0.001"), "documents")
+    val got = Mining.frequentPairs(docs, 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dt = docs.select($"doc_id",
+      explode(array_distinct(Dedup.tokens($"text"))).as("tok")).distinct()
+    val want = dt.as("a").join(dt.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+  }
+
+  test("CovSums moments equal the exploded-pairs computation") {
+    val embs = table(spark, sf("sf0.001"), "embeddings")
+      .select($"vec_id", transform($"embedding",
+        x => round(x.cast("double") * 10000, 0).cast("long")).as("q"))
+    val covU = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CovSums.CovSumsAggregator(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val m = embs.agg(covU($"q").as("m")).select($"m.n", $"m.s", $"m.ss")
+      .collect()(0)
+    val n = m.getLong(0)
+    val s0 = m.getSeq[Long](1)
+    val ss = m.getSeq[Long](2)
+    val rows = embs.select($"q").collect().map(_.getSeq[Long](0))
+    assert(n == rows.length)
+    assert(s0 == (0 until 64).map(i => rows.map(_(i)).sum))
+    // spot-check a few upper-triangle cells against direct products
+    for ((i, j) <- Seq((0, 0), (0, 63), (5, 17), (63, 63))) {
+      val k = graft.functions.CovSums.triIndex(i, j, 64)
+      assert(ss(k) == rows.map(r => r(i) * r(j)).sum, s"cell ($i,$j)")
+    }
+  }
+
+  test("incremental minhash equals the full planted run restricted to delta×base") {
+    val docs = table(spark, sf("sf0.001"), "documents")
+    val base = docs.select("doc_id", "text")
+    val baseSh = Dedup.shingleRows(base).localCheckpoint()
+    val idx = Dedup.bandedSignatures(baseSh).localCheckpoint()
+    val delta = Dedup.planted(docs).filter($"doc_id" >= 1000000L)
+    val incr = Dedup.minhashIncrementalPairs(idx, delta, baseSh)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs)
+      .filter($"id_a" < 1000000L && $"id_b" >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == full, s"missing=${full -- incr} extra=${incr -- full}")
+    assert(incr.nonEmpty, "planted exact copies must match their base docs")
+  }
+
   test("linear attribution splits cents exactly on a hand fixture") {
     def ts(day: Int, hour: Int = 0) =
       Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")

@@ -414,4 +414,64 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L), s"tf monotonicity: $scores")
     assert(scores.values.forall(_ > 0.0))
   }
+
+  // ------------------------------------------------- round-7 warehouse ops
+  test("snapshot_diff classifies every derived change and nothing else") {
+    val out = graft.SparkEntry.queries("snapshot_diff")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keys = table(spark, sf("sf0.001"), "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    // ground truth from the derivation: %101 deleted (wins over %97),
+    // %103 re-keyed as inserts, %97 updated unless deleted
+    val deletes = keys.filter(_ % 101 == 0).toSet
+    val updates = keys.filter(k => k % 97 == 0 && k % 101 != 0).toSet
+    val inserts = keys.filter(_ % 103 == 0).map(_ + 10000000L).toSet
+    assert(out.collect { case (k, "delete") => k }.toSet == deletes)
+    assert(out.collect { case (k, "update") => k }.toSet == updates)
+    assert(out.collect { case (k, "insert") => k }.toSet == inserts)
+    assert(out.length == deletes.size + updates.size + inserts.size)
+  }
+
+  test("bucketized interval overlap equals the direct theta join") {
+    val li = table(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_quantity"), col("l_shipdate").cast("date").as("ship_from"))
+      .withColumn("ship_to",
+        expr("date_add(ship_from, cast(l_quantity % 25 + 3 as int))"))
+      .localCheckpoint()
+    val promo = li.select(trunc(col("ship_from"), "month").as("promo_from"))
+      .distinct().withColumn("promo_to", date_add(col("promo_from"), 6))
+      .localCheckpoint()
+    // direct theta join (the plan the operator exists to avoid)
+    val want = li.crossJoin(promo)
+      .filter(col("ship_from") <= col("promo_to") &&
+        col("ship_to") >= col("promo_from"))
+      .groupBy("promo_from").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val got = li.withColumn("m",
+        explode(expr("sequence(trunc(ship_from, 'month'), trunc(ship_to, 'month'), interval 1 month)")))
+      .join(promo.select(col("promo_from").as("m"), col("promo_from"),
+        col("promo_to")), Seq("m"))
+      .filter(col("ship_from") <= col("promo_to") &&
+        col("ship_to") >= col("promo_from"))
+      .groupBy("promo_from").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+  }
+
+  test("compliance_forget: kept + purged equals each dataset's total; purge is complete") {
+    val rows = graft.SparkEntry.queries("compliance_forget")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.queries.Registry.events(spark, sf("sf0.001"))
+    val evTotal = ev.count()
+    val purchTotal = ev.filter(col("event_type") === "purchase").count()
+    val dailyTotal = ev.groupBy(col("user_id"), col("ts").cast("date")).count().count()
+    assert(rows("events")._1 + rows("events")._2 == evTotal)
+    assert(rows("purchases")._1 + rows("purchases")._2 == purchTotal)
+    assert(rows("user_daily")._1 + rows("user_daily")._2 == dailyTotal)
+    // completeness: purged count equals the direct filter count
+    val evPurged = ev.filter(col("user_id") % 37 === 0).count()
+    assert(rows("events")._2 == evPurged)
+    assert(rows.values.forall(_._2 > 0), "forget-set must actually hit rows")
+  }
 }

@@ -482,4 +482,53 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
+
+  // --------------------------------------------- round-7 batch-B guards
+
+  test("itemsets_pairs: a-priori prune is a broadcast semi-join; pair join shuffles") {
+    val plan = explained("itemsets_pairs")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"frequent-singleton prune must stay map-side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stats_covariance: one narrow agg pass — no joins anywhere") {
+    val plan = explained("stats_covariance")
+    assert(!plan.contains("Join"),
+      s"covariance must reduce in one pass, never join exploded pairs:\n$plan")
+  }
+
+  test("dedup_incremental: probes the persisted index; verify joins all pinned") {
+    // the banded candidate probe runs at construction (OracleAux seam);
+    // the explained plan is the verify phase — its shingle AND size joins
+    // must all stay shuffle_hash (every side is corpus-sized)
+    val plan = explained("dedup_incremental")
+    assert(plan.contains("graft_minhash_idx"),
+      s"incremental dedup must read the index artifact:\n$plan")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("snapshot_diff: one key-keyed full-outer join, no nested loop") {
+    val plan = explained("snapshot_diff")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("join_interval_overlap: bucketized equi-join — never a nested-loop range join") {
+    val plan = explained("join_interval_overlap")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the whole point is avoiding the theta-join BNLJ:\n$plan")
+  }
+
+  test("compliance_forget: erasure joins broadcast (map-side), zero shuffle joins") {
+    val plan = explained("compliance_forget")
+    assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the forget list is request-sized — anti/semi joins must broadcast:\n$plan")
+  }
 }

@@ -30,12 +30,14 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("surface size only changes deliberately (bump on add/remove)") {
-    // 155 as of round 7 (+join_setsim_prefix, +agg_heavy_hitters,
+    // 161 as of round 7 (+join_setsim_prefix, +agg_heavy_hitters,
     // +events_decay, +events_attribution, +search_phrase,
-    // +layout_compaction, +feature_bins): see COVERAGE.md tally. If this
-    // fails after an edit you did not expect to change the surface, an
-    // entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 155,
+    // +layout_compaction, +feature_bins, then +itemsets_pairs,
+    // +stats_covariance, +dedup_incremental, +snapshot_diff,
+    // +join_interval_overlap, +compliance_forget): see COVERAGE.md tally.
+    // If this fails after an edit you did not expect to change the
+    // surface, an entry was silently dropped or duplicated.
+    assert(graft.SparkEntry.registry.size == 161,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 
