@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{RawSource, Transform}
-import graft.queries.{AdvancedQueries, CurationQueries, EtlQueries, ExtQueries, MiningQueries, Q, RelationalQueries, ScaleQueries, TpchExtraQueries}
+import graft.queries.{AdvancedQueries, CurationQueries, EtlQueries, ExtQueries, MiningQueries, Q, RelationalQueries, ScaleQueries, StatsQueries, TpchExtraQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     EtlQueries.all ++ RelationalQueries.all ++ AdvancedQueries.all ++
       ExtQueries.all ++ TpchExtraQueries.all ++ ScaleQueries.all ++
-      CurationQueries.all ++ MiningQueries.all
+      CurationQueries.all ++ MiningQueries.all ++ StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole compute path: synth raw scrape table →

@@ -60,6 +60,40 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ms: Int,
+      frame_checksum: Long)
+
+  /** Video frame sampling — the training-data op that turns a video corpus
+    * into a bounded image set. Frame COUNT comes from container metadata
+    * (stubbed as payload_bytes/64, one "frame" per 64-byte window); stride
+    * sampling caps output at ≤8 frames per doc regardless of duration, so
+    * the fan-out is bounded and the downstream table grows with the corpus,
+    * not with video length. Per-frame decode+checksum is the deterministic
+    * stub (polynomial over the frame's byte window — a production build
+    * swaps in the codec seek+decode); the sampling plan (which indices,
+    * their timestamps) is pure arithmetic the oracle re-derives exactly.
+    * Same batch shape as [[extractFeatures]]: flatMap inside mapPartitions,
+    * one decoder init per partition, never materializing the partition. */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === lit("video/mp4")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition codec init would go here
+        rows.flatMap { r =>
+          val nFrames = math.max(r.payload.length / 64, 1)
+          val stride = (nFrames + 7) / 8 // ceil → at most 8 sampled frames
+          Iterator.range(0, nFrames, stride).map { i =>
+            val from = math.min(i * 64, r.payload.length)
+            val until = math.min(from + 64, r.payload.length)
+            var cs = 0L
+            var j = from
+            while (j < until) { cs = cs * 131 + (r.payload(j) & 0xff); j += 1 }
+            FrameRow(r.doc_id, i, i * 40, cs) // 25 fps → 40 ms per frame
+          }
+        }
+      }
+  }
+
   /** Metadata-only view — SQL-expressible, oracle-checked: payload size and
     * type stats without decoding (and, at scale, without even reading the
     * payload pages when the parquet layout splits columns). */

@@ -1326,6 +1326,37 @@ object ExtQueries {
               |ORDER BY d.doc_id""".stripMargin),
       "batched media decode → feature columns (stub checksum persisted, derivations verified)"),
 
+    // Video frame sampling: the sampling PLAN (which frame indices, their
+    // timestamps) is arithmetic DuckDB re-derives independently from the
+    // documents table — a LEFT join from the expected frame set, so a
+    // missing or extra emitted frame breaks the row count, and a wrong
+    // timestamp nulls out. The per-frame stub checksum is persisted and
+    // passed through, exactly like multimodal_features' decode stub.
+    "multimodal_framesample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.mediaTable(table(s, dir, "documents"))
+          .as[Multimodal.MediaRow]
+        val frames = Multimodal.sampleFrames(media).toDF()
+        OracleAux.persist(dir, "multimodal_framesample")(frames)
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(s"""WITH fr AS (
+              |  SELECT * FROM read_parquet(${OracleAux.duckGlob("multimodal_framesample")})),
+              |vids AS (
+              |  SELECT doc_id, greatest(octet_length(encode(text)) // 64, 1) AS nf
+              |  FROM documents WHERE doc_id % 3 = 2),
+              |exp AS (
+              |  SELECT doc_id,
+              |    CAST(unnest(range(0, nf, (nf + 7) // 8)) AS INTEGER) AS frame_idx
+              |  FROM vids)
+              |SELECT e.doc_id, e.frame_idx,
+              |  CASE WHEN f.frame_ms = e.frame_idx * 40 THEN f.frame_ms END AS frame_ms,
+              |  f.frame_checksum
+              |FROM exp e LEFT JOIN fr f USING (doc_id, frame_idx)
+              |ORDER BY e.doc_id, e.frame_idx""".stripMargin),
+      "bounded-stride video frame sampling (sampling plan oracle-derived, stub decode persisted)"),
+
     "multimodal_meta" -> Q(
       (s, dir) => Multimodal.metadata(table(s, dir, "documents")),
       Some("""SELECT doc_id,

@@ -769,10 +769,14 @@ object ScaleQueries {
           .unionByName(a.filter(col("o_orderkey") % 103 === 0)
             .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
               col("o_orderstatus"), col("o_totalprice")))
+        // Snapshots are unique-keyed, so the full-outer compare pins the
+        // sort-free shuffled hash join (Spark ≥3.1 supports full-outer
+        // SHJ): both sides exchange on the key but neither pays a sort.
         val d = a.select(col("o_orderkey"), col("o_orderstatus").as("st_a"),
             col("o_totalprice").as("tp_a"))
           .join(b.select(col("o_orderkey"), col("o_orderstatus").as("st_b"),
-            col("o_totalprice").as("tp_b")), Seq("o_orderkey"), "full_outer")
+              col("o_totalprice").as("tp_b")).hint("shuffle_hash"),
+            Seq("o_orderkey"), "full_outer")
         d.withColumn("change",
             when(col("st_b").isNull && col("tp_b").isNull, "delete")
               .when(col("st_a").isNull && col("tp_a").isNull, "insert")
@@ -825,9 +829,15 @@ object ScaleQueries {
           .withColumn("promo_to", date_add(col("promo_from"), 6))
         val buckets = li.withColumn("m",
           explode(expr("sequence(trunc(ship_from, 'month'), trunc(ship_to, 'month'), interval 1 month)")))
+        // The promo side is calendar-bounded (one row per month in the
+        // corpus — ~90 at 7 years, growing with TIME, not data volume), so
+        // it broadcasts: the bucketized fact stream never shuffles at all.
+        // A shuffle_hash join on the month key would cap parallelism at
+        // the month count and skew on busy months — measured ×10.9 on the
+        // ×8 probe before this change.
         buckets
-          .join(promo.withColumnRenamed("promo_from", "m").hint("shuffle_hash")
-              .select(col("m"), col("m").as("promo_from"), col("promo_to")),
+          .join(broadcast(promo.withColumnRenamed("promo_from", "m")
+              .select(col("m"), col("m").as("promo_from"), col("promo_to"))),
             Seq("m"))
           .filter(col("ship_from") <= col("promo_to") &&
             col("ship_to") >= col("promo_from"))

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry.table
+
+/** Statistical analytics / experimentation operators — the read-side
+  * queries a data platform runs beside the curation pipeline: trend fits,
+  * robust outlier screens, A/B test readouts, and mergeable-sketch
+  * rollups for distinct-count dashboards.
+  *
+  * Scale contract shared by the family: every statistic here is computed
+  * from COMBINABLE per-group summaries (moment sums, exact percentiles
+  * over bounded group counts, HLL registers) — one shuffle keyed by the
+  * group column, map-side partial aggregation, broadcast-only stats
+  * joins. No operator materializes per-row intermediates wider than the
+  * input row, so each plan survives a 1000-executor scale-up unchanged.
+  * Determinism follows the house contract (SURVEY §7.4): fixed rounding
+  * on floating aggregates, full ORDER BY on output.
+  */
+object StatsQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // Per-group ordinary least squares fit from one combinable moment
+    // aggregate: n, Σx, Σy, Σxy, Σx², Σy² per group, closed-form
+    // slope/intercept/R² on the 3-row result. The classic "fit a trend
+    // per segment" query — ONE map-side-combinable shuffle regardless of
+    // corpus size (the alternative ML-library path collects vectors;
+    // this stays in whole-stage codegen end to end).
+    "stats_regression" -> Q(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("slope_raw",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n"),
+            round(col("slope_raw"), 4).as("slope"),
+            round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 4)
+              .as("intercept"),
+            round(
+              pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+                ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+             |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             |    sum(l_quantity * l_extendedprice) AS sxy,
+             |    sum(l_quantity * l_quantity) AS sxx,
+             |    sum(l_extendedprice * l_extendedprice) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+             |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept,
+             |  round(pow(n*sxy - sx*sy, 2) /
+             |        ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+             |FROM m ORDER BY l_returnflag""".stripMargin),
+      "per-group OLS trend fit from one combinable moment aggregate"),
+
+    // Robust outlier screen: per-group median + MAD (median absolute
+    // deviation), modified z-score |0.6745·(x−med)/MAD| > 3.5 — the
+    // Iglewicz-Hoaglin rule that survives the heavy tails a mean/σ screen
+    // (events_anomaly) is blinded by. Two exact-percentile aggregates
+    // over a BOUNDED group count (order statuses), stats rejoined via
+    // broadcast — the fact table is scanned, never sorted globally.
+    "stats_mad_outliers" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
+        val med = o.groupBy("o_orderstatus")
+          .agg(expr("percentile(v, 0.5)").as("med"))
+        val mad = o.join(broadcast(med), "o_orderstatus")
+          .groupBy("o_orderstatus")
+          .agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+        val stats = med.join(broadcast(mad), "o_orderstatus")
+        o.join(broadcast(stats), "o_orderstatus")
+          .withColumn("mz", lit(0.6745) * (col("v") - col("med")) / col("mad"))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("med")), 4).as("med"),
+            round(min(col("mad")), 4).as("mad"),
+            count(when(abs(col("mz")) > 3.5, 1)).as("n_outliers"),
+            round(avg(when(abs(col("mz")) <= 3.5, col("v"))), 4).as("avg_inlier"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY 1),
+             |d AS (
+             |  SELECT o.o_orderstatus,
+             |    quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+             |  FROM orders o JOIN m USING (o_orderstatus) GROUP BY 1),
+             |st AS (SELECT m.o_orderstatus, med, mad FROM m JOIN d USING (o_orderstatus))
+             |SELECT o.o_orderstatus, count(*) AS n,
+             |  round(min(med), 4) AS med, round(min(mad), 4) AS mad,
+             |  count(CASE WHEN abs(0.6745*(o.o_totalprice - med)/mad) > 3.5 THEN 1 END)
+             |    AS n_outliers,
+             |  round(avg(CASE WHEN abs(0.6745*(o.o_totalprice - med)/mad) <= 3.5
+             |            THEN o.o_totalprice END), 4) AS avg_inlier
+             |FROM orders o JOIN st USING (o_orderstatus)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "median/MAD robust outlier screen (modified z-score, broadcast stats)"),
+
+    // A/B experiment readout: hash-split purchase events into two arms,
+    // Welch's unequal-variance t statistic + Welch-Satterthwaite df from
+    // ONE conditional aggregate over the fact scan — no join, no
+    // per-arm subquery, single map-side-combinable pass. The readout
+    // every experimentation platform serves; at 100 TB the plan is one
+    // scan + a 1-row reduce.
+    "stats_abtest" -> Q(
+      (s, dir) => {
+        val e = Registry.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2 === 0).as("a"),
+            col("value").cast("double").as("v"))
+        e.agg(
+            count(when(col("a"), 1)).cast("double").as("na"),
+            count(when(!col("a"), 1)).cast("double").as("nb"),
+            avg(when(col("a"), col("v"))).as("ma"),
+            avg(when(!col("a"), col("v"))).as("mb"),
+            var_samp(when(col("a"), col("v"))).as("va"),
+            var_samp(when(!col("a"), col("v"))).as("vb"))
+          .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+          .select(
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            round(col("ma"), 4).as("mean_a"),
+            round(col("mb"), 4).as("mean_b"),
+            round((col("ma") - col("mb")) / sqrt(col("se2")), 4).as("welch_t"),
+            round(
+              pow(col("se2"), 2) /
+                (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+                  pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2)
+              .as("welch_df"),
+            round(col("mb") / col("ma") - 1, 6).as("rel_lift_b"))
+      },
+      Some("""WITH s AS (
+             |  SELECT
+             |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS DOUBLE) AS na,
+             |    CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS DOUBLE) AS nb,
+             |    avg(CASE WHEN user_id % 2 = 0 THEN value END) AS ma,
+             |    avg(CASE WHEN user_id % 2 <> 0 THEN value END) AS mb,
+             |    var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS va,
+             |    var_samp(CASE WHEN user_id % 2 <> 0 THEN value END) AS vb
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+             |  round((ma - mb) / sqrt(va/na + vb/nb), 4) AS welch_t,
+             |  round(pow(va/na + vb/nb, 2) /
+             |        (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)), 2) AS welch_df,
+             |  round(mb/ma - 1, 6) AS rel_lift_b
+             |FROM s""".stripMargin),
+      "Welch t-test A/B readout from one conditional aggregate pass"),
+
+    // Mergeable-sketch rollup: per-day HLL sketches of distinct users per
+    // event type, unioned across days into the per-type total — the
+    // two-level pre-aggregation every 100 TB distinct-count dashboard
+    // runs (daily sketches are built once at ingest; ANY date-range
+    // distinct is then a register-wise union of tiny sketches, never a
+    // rescan). The estimate is oracle-GATED like agg_percentiles_approx:
+    // DuckDB recomputes the exact distinct count and nulls the estimate
+    // if it strays past 5% (HLL lgK=12 ⇒ ~1.6% expected); the day count
+    // is compared exactly.
+    "agg_hll_rollup" -> Q(
+      (s, dir) => {
+        val daily = Registry.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        val rolled = daily.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+              .as("approx_users"))
+        OracleAux.persist(dir, "agg_hll_rollup")(rolled)
+          .orderBy("event_type")
+      },
+      Some(s"""WITH approx AS (
+              |  SELECT * FROM read_parquet(${OracleAux.duckGlob("agg_hll_rollup")})),
+              |exact AS (
+              |  SELECT event_type, count(DISTINCT user_id) AS e,
+              |    count(DISTINCT CAST(ts AS DATE)) AS nd
+              |  FROM events GROUP BY 1)
+              |SELECT a.event_type,
+              |  CASE WHEN a.n_days = x.nd THEN a.n_days END AS n_days,
+              |  CASE WHEN abs(a.approx_users - x.e) <= 0.05 * x.e
+              |       THEN a.approx_users END AS approx_users
+              |FROM approx a JOIN exact x ON a.event_type = x.event_type
+              |ORDER BY a.event_type""".stripMargin),
+      "two-level mergeable HLL rollup (daily sketches → per-type union)"))
+}

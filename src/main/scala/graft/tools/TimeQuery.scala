@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * sf0.001 (JIT), then `trials` timed runs per directory. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args.head
+    val names = args.head.split(',').toSeq // one query, or comma-separated batch
     val dirs = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.get("SPARK_GRAFT_TRIALS").flatMap(_.toIntOption).getOrElse(2)
@@ -25,17 +25,19 @@ object TimeQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def run(dir: String): Double = {
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run("/root/testdata/sf0.001") // JIT warm-up
+    names.foreach(run(_, "/root/testdata/sf0.001")) // JIT warm-up
     for (dir <- dirs) {
       graft.queries.Warmup.artifacts(spark, dir)
-      val ts = (1 to trials).map(_ => run(dir))
-      println(f"[time] $name $dir trials=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+      for (name <- names) {
+        val ts = (1 to trials).map(_ => run(name, dir))
+        println(f"[time] $name $dir trials=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+      }
     }
     spark.stop()
   }

@@ -411,6 +411,36 @@ class ExtSpec extends SparkSpec {
     assert(feats.map(_.media_type).toSet == Set("image/png", "audio/wav", "video/mp4"))
   }
 
+  test("multimodal: frame sampling is video-only, stride-capped at 8, deterministic") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(docs).as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(media).collect()
+    val again = Multimodal.sampleFrames(media).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx))
+      .sameElements(again.sortBy(f => (f.doc_id, f.frame_idx))))
+    // only video docs produce frames
+    val videoIds = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 3 == 2).toSet
+    assert(frames.map(_.doc_id).toSet == videoIds)
+    val perDoc = frames.groupBy(_.doc_id)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length <= 8, s"doc $id sampled ${fs.length} frames (> 8)")
+      assert(fs.forall(f => f.frame_ms == f.frame_idx * 40))
+      // indices are a 0-based arithmetic stride
+      val idx = fs.map(_.frame_idx).sorted
+      assert(idx.head == 0)
+      if (idx.length > 1) {
+        val d = idx(1) - idx(0)
+        assert(idx.zipWithIndex.forall { case (v, k) => v == k * d })
+      }
+    }
+    // hand-checked stride: 1000-byte payload → 15 frames, stride 2 → 8 sampled
+    val one = Seq(Multimodal.MediaRow(2L, "video/mp4", Array.fill(1000)(7.toByte)))
+      .toDS()
+    val fs = Multimodal.sampleFrames(one).collect().map(_.frame_idx).sorted
+    assert(fs.toSeq == Seq(0, 2, 4, 6, 8, 10, 12, 14))
+  }
+
   test("global index: contiguous 0..n-1, order-aligned, input-partitioning-invariant") {
     val base = docs.select("doc_id")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -510,16 +510,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
-  test("snapshot_diff: one key-keyed full-outer join, no nested loop") {
+  test("snapshot_diff: one key-keyed full-outer join, sort-free, no nested loop") {
     val plan = explained("snapshot_diff")
     assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"unique-keyed snapshot compare should not pay two sorts:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("join_interval_overlap: bucketized equi-join — never a nested-loop range join") {
+  test("join_interval_overlap: bucketized equi-join broadcasts the month dim — never a BNLJ") {
     val plan = explained("join_interval_overlap")
-    assert(plan.contains("ShuffledHashJoin"), plan)
+    // the promo dim is calendar-bounded → broadcast; the exploded fact
+    // stream must NOT shuffle on the ~90-key month column (parallelism
+    // cap + skew, measured ×10.9 on the ×8 probe with shuffle_hash)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"the whole point is avoiding the theta-join BNLJ:\n$plan")
@@ -530,5 +536,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the forget list is request-sized — anti/semi joins must broadcast:\n$plan")
+  }
+
+  test("stats_regression: one combinable agg pass — no joins, moment sums only") {
+    val plan = explained("stats_regression")
+    assert(!plan.contains("Join"), s"the OLS fit must stay a single groupBy:\n$plan")
+    assert(plan.contains("partial_"), s"moment sums must map-side combine:\n$plan")
+  }
+
+  test("stats_mad_outliers: every stats rejoin broadcasts — no shuffle joins") {
+    val plan = explained("stats_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"median/MAD tables are group-count-sized — they must broadcast:\n$plan")
+  }
+
+  test("stats_abtest: single conditional-agg pass; arm split never joins") {
+    val plan = explained("stats_abtest")
+    assert(!plan.contains("Join"), s"arms come from CASE, not a self-join:\n$plan")
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"the event-type filter must reach the parquet scan:\n$plan")
+  }
+
+  test("agg_hll_rollup: two-level sketch agg — no joins, partial registers merge") {
+    // Guard the sketch-build subtree (the registered query's output side
+    // is the persisted read-back, same as the other OracleAux queries).
+    val daily = graft.queries.Registry.events(spark, sf("sf0.001"))
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d"), org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions.hll_sketch_agg(
+        org.apache.spark.sql.functions.col("user_id"), 12).as("sk"))
+    val rolled = daily.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_union_agg(
+          org.apache.spark.sql.functions.col("sk"), allowDifferentLgConfigK = false)))
+    val plan = rolled.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"exactly the two keyed agg exchanges (day-level, type-level):\n$plan")
+    assert(plan.contains("partial_hll_sketch_agg") || plan.contains("partial_"),
+      s"day sketches must build map-side:\n$plan")
   }
 }

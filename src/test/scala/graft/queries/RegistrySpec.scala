@@ -20,7 +20,8 @@ class RegistrySpec extends AnyFunSuite {
     "TpchExtraQueries" -> TpchExtraQueries.all,
     "ScaleQueries" -> ScaleQueries.all,
     "CurationQueries" -> CurationQueries.all,
-    "MiningQueries" -> MiningQueries.all)
+    "MiningQueries" -> MiningQueries.all,
+    "StatsQueries" -> StatsQueries.all)
 
   test("no query name collides across modules (Map ++ would silently shadow)") {
     val names = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
@@ -34,10 +35,13 @@ class RegistrySpec extends AnyFunSuite {
     // +events_decay, +events_attribution, +search_phrase,
     // +layout_compaction, +feature_bins, then +itemsets_pairs,
     // +stats_covariance, +dedup_incremental, +snapshot_diff,
-    // +join_interval_overlap, +compliance_forget): see COVERAGE.md tally.
+    // +join_interval_overlap, +compliance_forget; then the StatsQueries
+    // module: +stats_regression, +stats_mad_outliers, +stats_abtest,
+    // +agg_hll_rollup, and +multimodal_framesample → 166): see
+    // COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 161,
+    assert(graft.SparkEntry.registry.size == 166,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 

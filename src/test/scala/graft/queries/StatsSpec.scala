@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral pins for the StatsQueries family: hand-computed fixtures
+  * for the closed-form statistics, plus registered-query sanity runs at
+  * sf0.001 (the oracle hash-gates the full semantics at sf0.01).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats_regression: exact line y=2x+1 fits slope 2, intercept 1, r2 1") {
+    // Route the registered closed form over a fixture lineitem dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsfix").toString
+    Seq(("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0),
+        ("B", 1.0, 10.0), ("B", 2.0, 8.0), ("B", 3.0, 6.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.SparkEntry.queries("stats_regression")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A") == ((3L, 2.0, 1.0, 1.0)))
+    assert(out("B") == ((3L, -2.0, 12.0, 1.0))) // perfect negative fit
+  }
+
+  test("stats_mad_outliers: planted spike is the only modified-z outlier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsfix").toString
+    Seq(("O", 1.0), ("O", 2.0), ("O", 3.0), ("O", 4.0), ("O", 5.0), ("O", 100.0))
+      .toDF("o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("stats_mad_outliers")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // median 3.5; |x−3.5| = [2.5,1.5,0.5,0.5,1.5,96.5] → MAD 1.5;
+    // mz(100) = 0.6745·96.5/1.5 ≈ 43.4 — the one outlier; inliers avg 3.
+    assert(row.getAs[Long]("n") == 6L)
+    assert(row.getAs[Double]("med") == 3.5)
+    assert(row.getAs[Double]("mad") == 1.5)
+    assert(row.getAs[Long]("n_outliers") == 1L)
+    assert(row.getAs[Double]("avg_inlier") == 3.0)
+  }
+
+  test("stats_abtest: Welch t and Satterthwaite df match the hand computation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_statsfix").toString
+    // arm a (even user_id): [10,12,14] → mean 12, var 4
+    // arm b (odd user_id):  [20,24]    → mean 22, var 8
+    // se² = 4/3 + 8/2 = 16/3; t = −10/√(16/3) = −4.3301
+    // df = (16/3)² / ((4/3)²/2 + 4²/1) = 28.4444/16.8889 = 1.6842 → 1.68
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((2L, "purchase", 10.0, ts), (4L, "purchase", 12.0, ts),
+        (6L, "purchase", 14.0, ts), (1L, "purchase", 20.0, ts),
+        (3L, "purchase", 24.0, ts), (5L, "view", 999.0, ts))
+      .toDF("user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = graft.SparkEntry.queries("stats_abtest")(spark, dir).collect().head
+    assert(row.getAs[Long]("n_a") == 3L)
+    assert(row.getAs[Long]("n_b") == 2L)
+    assert(row.getAs[Double]("mean_a") == 12.0)
+    assert(row.getAs[Double]("mean_b") == 22.0)
+    assert(row.getAs[Double]("welch_t") == -4.3301)
+    assert(row.getAs[Double]("welch_df") == 1.68)
+    assert(row.getAs[Double]("rel_lift_b") == 0.833333)
+  }
+
+  test("agg_hll_rollup: day-sketch union equals the single-level sketch") {
+    // Mergeability — the property the two-level rollup rests on: unioning
+    // per-day sketches must estimate the same set as one direct sketch
+    // (HLL registers are element-wise max, so union == rebuild).
+    val df = (1 to 200).map { i => (i.toLong % 60, s"d${i % 3}") }
+      .toDF("user_id", "d")
+    val daily = df.groupBy("d").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    val rolled = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false)))
+      .head().getLong(0)
+    val direct = df
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)))
+      .head().getLong(0)
+    assert(rolled == direct)
+    // 60 distinct users; lgK=12 keeps small cardinalities near-exact
+    assert(math.abs(rolled - 60L) <= 2L)
+  }
+
+  test("registered stats queries run non-empty at sf0.001 with sane ranges") {
+    val reg = graft.SparkEntry.queries
+    val regr = reg("stats_regression")(spark, sf("sf0.001")).collect()
+    assert(regr.nonEmpty)
+    regr.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    }
+    val mad = reg("stats_mad_outliers")(spark, sf("sf0.001")).collect()
+    assert(mad.nonEmpty)
+    mad.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+    val ab = reg("stats_abtest")(spark, sf("sf0.001")).collect()
+    assert(ab.length == 1)
+    assert(ab.head.getAs[Long]("n_a") > 0 && ab.head.getAs[Long]("n_b") > 0)
+    val hll = reg("agg_hll_rollup")(spark, sf("sf0.001")).collect()
+    assert(hll.nonEmpty)
+    assert(hll.forall(_.getAs[Long]("approx_users") > 0))
+  }
+}
