@@ -42,6 +42,35 @@ object Analytics {
         count(col("p_us")).as("n_full_funnel"))
   }
 
+  /** Time-constrained funnel: same first-view → first-qualifying-click →
+    * first-qualifying-purchase fold as [[funnel]], but each step must land
+    * within `maxGapUs` of the previous step's timestamp — the conversion-
+    * window semantics every product-analytics funnel defaults to (an
+    * unbounded funnel credits a purchase months after the click). Same
+    * single user-keyed window pass; the gap predicate is per-row
+    * arithmetic, so the plan (one Exchange on user_id) is unchanged. */
+  def funnelWindowed(events: DataFrame, maxGapUs: Long): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = base
+      .withColumn("rv", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("rv") < col("us") &&
+          col("us") <= col("rv") + maxGapUs, col("us")))
+      .withColumn("rc", min(col("qc")).over(w))
+    flagged.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("v_us"),
+        min(col("qc")).as("c_us"),
+        min(when(col("event_type") === "purchase" && col("rc") < col("us") &&
+          col("us") <= col("rc") + maxGapUs, col("us"))).as("p_us"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_view_click"),
+        count(col("p_us")).as("n_full_funnel"))
+  }
+
   /** Cohort retention: users grouped by first-seen day; for each cohort ×
     * day-offset, how many distinct users were active. */
   def cohortRetention(events: DataFrame, maxOffset: Int = 7): DataFrame = {

@@ -1067,6 +1067,30 @@ object ExtQueries {
              |FROM p""".stripMargin),
       "ordered funnel conversion (view → click → purchase)"),
 
+    // Conversion-window funnel: each step must land within 24 hours of
+    // the previous step — the default semantics of every product-analytics
+    // funnel (unbounded credit is a reporting bug, not a feature; 24 h
+    // fits this corpus's step-gap distribution, median ~33 h). Same
+    // one-Exchange user-keyed window pass as events_funnel.
+    "events_funnel_windowed" -> Q(
+      (s, dir) => graft.ext.Analytics.funnelWindowed(events(s, dir),
+        maxGapUs = 24L * 3600 * 1000000),
+      Some("""WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v_us
+             |      FROM base GROUP BY user_id),
+             |c AS (SELECT b.user_id, v.v_us,
+             |        min(CASE WHEN b.event_type = 'click' AND b.us > v.v_us
+             |                  AND b.us <= v.v_us + 86400000000 THEN b.us END) AS c_us
+             |      FROM base b JOIN v ON b.user_id = v.user_id GROUP BY b.user_id, v.v_us),
+             |p AS (SELECT b.user_id, c.v_us, c.c_us,
+             |        min(CASE WHEN b.event_type = 'purchase' AND b.us > c.c_us
+             |                  AND b.us <= c.c_us + 86400000000 THEN b.us END) AS p_us
+             |      FROM base b JOIN c ON b.user_id = c.user_id GROUP BY b.user_id, c.v_us, c.c_us)
+             |SELECT count(*) AS n_users, count(v_us) AS n_view,
+             |  count(c_us) AS n_view_click, count(p_us) AS n_full_funnel
+             |FROM p""".stripMargin),
+      "conversion-window funnel (every step within 24 h of the previous)"),
+
     "events_cohort" -> Q(
       (s, dir) => graft.ext.Analytics.cohortRetention(events(s, dir)),
       Some("""WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -1275,6 +1299,86 @@ object ExtQueries {
     // must agree). doc_id is reduced mod p BEFORE the multiply so the
     // arithmetic stays under 2^63 for arbitrarily large ids (ANSI-safe at
     // 100 TB id ranges). Narrow filter — scan speed, no shuffle.
+    // Deterministic negative sampling — the contrastive-training op that
+    // pairs every positive (user bought item) with k pseudo-random items
+    // the user did NOT buy. Candidates come from the house stable hash
+    // (Knuth multiplicative, prime modulus — integer-exact cross-engine),
+    // one probe per (user, i<k); probes that collide with a positive are
+    // DROPPED, not retried (documented: survival ≈ 1 − purchase density,
+    // deterministic, no iteration). Plan: |U|·k generated rows, one
+    // broadcast 1-row item-count join, one shuffle_hash anti-join against
+    // the positives — no per-user loop, no rejection sampling rounds.
+    // The item-id domain is read from the part table (1..max contiguous
+    // in the TPC-H layout), never a hardcoded constant.
+    "sample_negatives" -> Q(
+      (s, dir) => {
+        val pos = table(s, dir, "orders")
+          .select(col("o_custkey").as("u"), col("o_orderkey"))
+          .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey").as("item")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select("u", "item").distinct()
+        val users = table(s, dir, "orders").select(col("o_custkey").as("u")).distinct()
+        val np = table(s, dir, "part").agg(max("p_partkey").as("np"))
+        val P7 = 1000000007L
+        val probes = users.crossJoin(broadcast(np))
+          .withColumn("i", explode(array((0 until 4).map(lit): _*)))
+          .withColumn("item",
+            pmod(pmod(pmod(col("u") * 4 + col("i"), lit(P7)) * lit(2654435761L),
+              lit(P7)), col("np")) + 1)
+        probes.join(pos.hint("shuffle_hash"), Seq("u", "item"), "left_anti")
+          .select(col("u").as("user_id"), col("i").as("probe_i"), col("item"))
+          .orderBy("user_id", "probe_i")
+      },
+      Some("""WITH pos AS (
+             |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |users AS (SELECT DISTINCT o_custkey AS u FROM orders),
+             |pmax AS (SELECT max(p_partkey) AS np FROM part),
+             |probes AS (
+             |  SELECT u, i,
+             |    ((((u*4 + i) % 1000000007) * 2654435761) % 1000000007) % np + 1 AS item
+             |  FROM users CROSS JOIN pmax CROSS JOIN (VALUES (0),(1),(2),(3)) t(i))
+             |SELECT p.u AS user_id, p.i AS probe_i, p.item
+             |FROM probes p LEFT JOIN pos ON p.u = pos.u AND p.item = pos.item
+             |WHERE pos.u IS NULL
+             |ORDER BY user_id, probe_i""".stripMargin),
+      "deterministic hash-probe negative sampling (k=4 non-purchased items per user)"),
+
+    // Hashing-trick feature vectorization: whitespace tokens hashed into
+    // 256 buckets (md5-prefix integer, cross-engine exact), per-doc
+    // bucket counts summarized as (n_buckets, Σcount², max count) — the
+    // fixed-dimension sparse featurizer (Weinberger et al.) that needs NO
+    // vocabulary build, no fit step, no broadcast dictionary. Two keyed
+    // aggregations, both map-side combinable; the token stream never
+    // joins anything.
+    "feature_hash" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+        toks
+          .withColumn("b",
+            pmod(conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long"), lit(256)))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("c") * col("c")).as("sum_sq"),
+            max(col("c")).as("max_c"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+             |  FROM documents),
+             |bk AS (
+             |  SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::BIGINT % 256 AS b,
+             |    count(*) AS c
+             |  FROM toks GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_buckets,
+             |  CAST(sum(c*c) AS BIGINT) AS sum_sq, max(c) AS max_c
+             |FROM bk GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      "hashing-trick featurizer: 256 md5-bucketed token counts per doc, no vocabulary"),
+
     "corpus_mix_sample" -> Q(
       (s, dir) => {
         val rate = when(col("lang") === "en", lit(10000L))

@@ -535,6 +535,39 @@ object ScaleQueries {
              |FROM allr WHERE dst <> hub GROUP BY hub ORDER BY hub""".stripMargin),
       "k-hop reachability from top-degree hubs: unrolled frontier joins on the edge artifact"),
 
+    // Link prediction (the "customers also bought" candidate generator)
+    // over the same materialized co-purchase artifact: common-neighbor
+    // pairs scored with the fixed-point Resource-Allocation index,
+    // existing edges anti-joined away. Hub centers are capped at degree
+    // 32 — the scalable semantic (wedges are quadratic in CENTER degree
+    // and cannot be degree-oriented away like triangles; hub centers are
+    // the weakest RA signal anyway) — and the oracle applies the same cap.
+    "graph_link_predict" -> Q(
+      (s, dir) => Graph.linkPredictRA(copurchaseEdgesCached(s, dir),
+        maxCenterDeg = 32, topK = 20),
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |sym AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+             |ctr AS (
+             |  SELECT e.src AS ctr, e.dst, d.outdeg FROM sym e
+             |  JOIN deg d USING (src) WHERE d.outdeg <= 32),
+             |w AS (
+             |  SELECT a.dst AS u, b.dst AS v, a.outdeg FROM ctr a
+             |  JOIN ctr b ON a.ctr = b.ctr WHERE a.dst < b.dst),
+             |sc AS (
+             |  SELECT u, v, count(*) AS common_neighbors,
+             |    sum(1000000 // outdeg) AS ra_score
+             |  FROM w GROUP BY u, v),
+             |cand AS (
+             |  SELECT sc.* FROM sc LEFT JOIN sym e ON sc.u = e.src AND sc.v = e.dst
+             |  WHERE e.src IS NULL)
+             |SELECT u, v, common_neighbors, ra_score FROM cand
+             |ORDER BY ra_score DESC, u, v LIMIT 20""".stripMargin),
+      "link prediction: capped-center common-neighbor pairs, fixed-point RA score, top-20"),
+
     // Triangle participation over the SAME materialized co-purchase
     // artifact as graph_pagerank (built once per corpus); the oracle
     // re-derives the edge set from lineitem in SQL.

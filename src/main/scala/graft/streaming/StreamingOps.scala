@@ -382,4 +382,80 @@ object StreamingOps {
           }
       }.toDF()
   }
+
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_type: String)
+  final case class FunnelState(v_us: Long, c_us: Long, done: Boolean)
+  final case class FunnelStageOut(user_id: Long, stage: String, ts_us: Long)
+
+  /** Streaming twin of the conversion-window funnel
+    * ([[graft.ext.Analytics.funnelWindowed]]): per-user stage events
+    * (view → qualifying click → qualifying purchase) appended AS THEY
+    * COMPLETE, each step bound to land within `maxGapMinutes` of the
+    * previous. Counting stages downstream reproduces the batch funnel's
+    * n_view / n_view_click / n_full_funnel exactly (multi-batch
+    * spec-pinned). State is O(1) per user — two timestamps + a terminal
+    * flag. The flag is load-bearing for parity: the batch semantics pin
+    * every step to the user's FIRST view EVER, so an expired funnel must
+    * be REMEMBERED (as `done`), not dropped — dropping it would let a
+    * later view restart the funnel and emit stages the batch twin never
+    * counts. Live timeout-tracked state is bounded by ACTIVE funnels;
+    * terminal markers are one tiny record per user who ever viewed —
+    * dimension-table cardinality, the same state class as the streaming
+    * SCD2 open-version map, not event-volume state. Cross-batch
+    * continuation matters: a click landing in a later micro-batch must
+    * qualify against the view held in state. */
+  def funnelStream(events: DataFrame, maxGapMinutes: Int = 1440): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = maxGapMinutes * 60L * 1000000L
+    val typed = events
+      .withWatermark("ts", s"$maxGapMinutes minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[FunnelEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStageOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // no qualifying next step can arrive anymore — freeze the
+            // funnel as terminal (see scaladoc: expired ≠ forgettable)
+            state.getOption.foreach(s => state.update(s.copy(done = true)))
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelStageOut]
+            evs.toSeq.sortBy(_.ts_us).foreach { e =>
+              e.event_type match {
+                case _ if s.done => ()
+                case "view" if s.v_us < 0 =>
+                  s = s.copy(v_us = e.ts_us)
+                  out += FunnelStageOut(uid, "view", e.ts_us)
+                case "click" if s.v_us >= 0 && s.c_us < 0 &&
+                    e.ts_us > s.v_us && e.ts_us <= s.v_us + gapUs =>
+                  s = s.copy(c_us = e.ts_us)
+                  out += FunnelStageOut(uid, "click", e.ts_us)
+                case "purchase" if s.c_us >= 0 &&
+                    e.ts_us > s.c_us && e.ts_us <= s.c_us + gapUs =>
+                  s = s.copy(done = true) // funnel complete — terminal
+                  out += FunnelStageOut(uid, "purchase", e.ts_us)
+                case _ => ()
+              }
+            }
+            if (s.v_us >= 0) {
+              state.update(s)
+              if (!s.done) {
+                // horizon: last reached step's conversion window
+                val horizon = (if (s.c_us >= 0) s.c_us else s.v_us) / 1000 +
+                  maxGapMinutes * 60000L
+                state.setTimeoutTimestamp(
+                  math.max(horizon, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
 }

@@ -48,4 +48,57 @@ class FunnelPropSpec extends SparkSpec {
       assert(got == want, s"funnel divergence on case $i:\n${rows.mkString("\n")}")
     }
   }
+
+  /** 3-round transliteration of the CONVERSION-WINDOW semantics (the
+    * oracle's shape): each step must land within `gap` of the previous. */
+  private def referenceFunnelWindowed(events: DataFrame, gap: Long): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = base.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val c = base.join(v, "user_id")
+      .groupBy("user_id", "v_us")
+      .agg(min(when(col("event_type") === "click" && col("us") > col("v_us") &&
+        col("us") <= col("v_us") + gap, col("us"))).as("c_us"))
+    val p = base.join(c, "user_id")
+      .groupBy("user_id", "v_us", "c_us")
+      .agg(min(when(col("event_type") === "purchase" && col("us") > col("c_us") &&
+        col("us") <= col("c_us") + gap, col("us"))).as("p_us"))
+    p.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v_us")).as("n_view"),
+      count(col("c_us")).as("n_view_click"),
+      count(col("p_us")).as("n_full_funnel"))
+  }
+
+  test("windowed funnel ≡ 3-round form with gap bounds on 40 arbitrary event sets") {
+    import spark.implicits._
+    // gap 5 on a 0..19 timestamp domain — the bound prunes constantly,
+    // including the step-lands-exactly-on-the-bound tie
+    (1 to 40).foreach { i =>
+      val rows = Gen.listOfN(60, eventGen).sample.get
+      val events = rows.toDF("user_id", "event_type", "us")
+        .select(col("user_id"), col("event_type"), timestamp_micros(col("us")).as("ts"))
+      val got = Analytics.funnelWindowed(events, maxGapUs = 5L).collect().toSeq
+      val want = referenceFunnelWindowed(events, gap = 5L).collect().toSeq
+      assert(got == want, s"windowed-funnel divergence on case $i:\n${rows.mkString("\n")}")
+    }
+  }
+
+  test("windowed funnel: expired windows drop conversions the unbounded funnel keeps") {
+    import spark.implicits._
+    // u1: view@0 → click@10 (in window) → purchase@45 (35 past the click — out)
+    // u2: view@0 → click@40 (40 past the view — out)
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 45L),
+      (2L, "view", 0L), (2L, "click", 40L))
+    val events = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"), timestamp_micros(col("us")).as("ts"))
+    val bounded = Analytics.funnelWindowed(events, maxGapUs = 30L).collect().head
+    assert(bounded.getAs[Long]("n_view") == 2L)
+    assert(bounded.getAs[Long]("n_view_click") == 1L) // u2's click expired
+    assert(bounded.getAs[Long]("n_full_funnel") == 0L) // u1's purchase expired
+    val unbounded = Analytics.funnel(events).collect().head
+    assert(unbounded.getAs[Long]("n_view_click") == 2L)
+    assert(unbounded.getAs[Long]("n_full_funnel") == 1L)
+  }
 }

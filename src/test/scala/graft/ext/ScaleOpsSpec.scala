@@ -326,6 +326,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(idFwd === 60L, s"control: id orientation should collect 60, got $idFwd")
   }
 
+  test("link prediction: path graph scores the open pair; cap excludes hub centers") {
+    // path 1—2—3: the only wedge is centered at 2 (deg 2) → candidate
+    // (1,3) with one common neighbor and RA = 1000000 div 2 = 500000
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = Graph.withOutDegree((und ++ und.map(_.swap)).toDF("src", "dst"))
+    val got = Graph.linkPredictRA(edges, maxCenterDeg = 32, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 500000L)), s"got ${got.toSeq}")
+
+    // star: hub 0 ↔ leaves 1..40 plus edge 1—2. Uncapped, the hub center
+    // wedges every leaf pair: C(40,2) − 1 existing = 779 candidates. With
+    // the cap, hub wedges vanish and the only leaf-centered candidates
+    // (0,1)/(0,2) are existing edges → empty. The cap IS the state bound.
+    val star = (1L to 40L).map(l => (0L, l)) ++ Seq((1L, 2L))
+    val sEdges = Graph.withOutDegree((star ++ star.map(_.swap)).toDF("src", "dst"))
+    val uncapped = Graph.linkPredictRA(sEdges, maxCenterDeg = 50, topK = 1000).count()
+    assert(uncapped == 779L, s"uncapped hub wedges: got $uncapped")
+    val capped = Graph.linkPredictRA(sEdges, maxCenterDeg = 32, topK = 1000).count()
+    assert(capped == 0L, s"capped: got $capped")
+  }
+
   // --------------------------------------------------------------- scd2
   test("scd2: contiguous intervals, one current version per key, LWW-consistent") {
     val orders = table(spark, sf("sf0.001"), "orders")

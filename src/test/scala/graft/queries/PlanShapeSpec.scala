@@ -538,6 +538,37 @@ class PlanShapeSpec extends SparkSpec {
       s"the forget list is request-sized — anti/semi joins must broadcast:\n$plan")
   }
 
+  test("sample_negatives: positives anti-join shuffle_hash; item-count join is 1-row broadcast") {
+    val plan = explained("sample_negatives")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the positives side is corpus-sized — never broadcast it:\n$plan")
+    // the only nested-loop is the broadcast 1-row max(p_partkey) stats join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("feature_hash: pure two-level aggregation — no joins, map-side combine") {
+    val plan = explained("feature_hash")
+    assert(!plan.contains("Join"), s"the hashing trick needs no vocabulary join:\n$plan")
+    assert(plan.contains("partial_"), s"bucket counts must combine map-side:\n$plan")
+  }
+
+  test("graph_link_predict: wedge/anti joins pinned shuffle_hash; top-k is TakeOrdered") {
+    val plan = explained("graph_link_predict")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), s"existing edges must anti-join away:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must never be a global sort:\n$plan")
+  }
+
+  test("events_funnel_windowed: stacked windows + per-user agg reuse ONE user_id exchange") {
+    val plan = explained("events_funnel_windowed")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("stats_regression: one combinable agg pass — no joins, moment sums only") {
     val plan = explained("stats_regression")
     assert(!plan.contains("Join"), s"the OLS fit must stay a single groupBy:\n$plan")

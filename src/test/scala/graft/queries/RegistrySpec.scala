@@ -37,11 +37,12 @@ class RegistrySpec extends AnyFunSuite {
     // +stats_covariance, +dedup_incremental, +snapshot_diff,
     // +join_interval_overlap, +compliance_forget; then the StatsQueries
     // module: +stats_regression, +stats_mad_outliers, +stats_abtest,
-    // +agg_hll_rollup, and +multimodal_framesample → 166): see
-    // COVERAGE.md tally.
+    // +agg_hll_rollup, and +multimodal_framesample → 166; then
+    // +graph_link_predict, +events_funnel_windowed → 168; then
+    // +sample_negatives, +feature_hash → 170): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 166,
+    assert(graft.SparkEntry.registry.size == 170,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 

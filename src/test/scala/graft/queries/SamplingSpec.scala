@@ -41,6 +41,46 @@ class SamplingSpec extends SparkSpec {
     assert(enRate > 0.3 && enRate < 0.7, s"en sample rate $enRate")
   }
 
+  test("sample_negatives: never emits a positive, ≤4 probes per user, in-domain items") {
+    val dir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("sample_negatives")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val sampled = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pos = table(spark, dir, "orders")
+      .select(col("o_custkey").as("u"), col("o_orderkey"))
+      .join(table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("item")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("u", "item").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled.intersect(pos).isEmpty, "a sampled negative was actually purchased")
+    val perUser = out.groupBy(_.getLong(0))
+    assert(perUser.values.forall(_.length <= 4))
+    val maxPart = table(spark, dir, "part").agg(max("p_partkey")).collect().head.getLong(0)
+    assert(out.forall { r => val it = r.getLong(2); it >= 1 && it <= maxPart })
+    // deterministic: same output on a second evaluation
+    val again = graft.SparkEntry.queries("sample_negatives")(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("feature_hash: bucket math matches a hand-computed fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fhash").toString
+    Seq((1L, "alpha alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val out = graft.SparkEntry.queries("feature_hash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: alpha×2, beta×1 → two buckets unless md5 prefixes collide
+    val collide = bucket("alpha") == bucket("beta")
+    assert(out(1L) == (if (collide) (1L, 9L, 3L) else (2L, 5L, 2L)))
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
+
   test("TABLESAMPLE via SQL is seed-deterministic") {
     table(spark, sf("sf0.01"), "documents").createOrReplaceTempView("docs_v")
     def run() = spark.sql(

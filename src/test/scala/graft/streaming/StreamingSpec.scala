@@ -677,6 +677,66 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming funnel multi-batch: stage counts reproduce the windowed batch funnel") {
+    import org.apache.spark.sql.functions._
+    // Split AT some user's qualifying-click timestamp, so that user's view
+    // lands in batch 0 and the click in batch 1 — a guaranteed
+    // cross-boundary funnel (a blind percentile split found none at
+    // sf0.001: the corpus's step gaps span hours-to-days, hence the 24 h
+    // conversion window here and in the registered query).
+    val gapUs = 24L * 3600 * 1000000
+    val base = events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = base.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val withC = base.join(v, "user_id")
+      .groupBy("user_id", "v_us")
+      .agg(min(when(col("event_type") === "click" && col("us") > col("v_us") &&
+        col("us") <= col("v_us") + gapUs, col("us"))).as("c_us"))
+      .filter(col("c_us").isNotNull)
+      .orderBy("user_id")
+    assert(withC.count() > 0, "no qualifying view→click user at sf0.001")
+    val splitNs = withC.collect().head.getAs[Long]("c_us") * 1000L
+    val d = stageSplit(splitNs, "funnel_mb")
+    val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
+    StreamingSpec.recordedStages.keys.filter(_._1 == "funnel_mb")
+      .foreach(StreamingSpec.recordedStages.remove)
+    val q = StreamingOps.funnelStream(stream)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        StreamingSpec.recordedStages.put(("funnel_mb", id), rows); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    val rec = StreamingSpec.recordedStages.toMap
+      .collect { case (("funnel_mb", id), rows) => id -> rows }
+    assert(rec.size >= 2, s"expected a multi-batch run, got batches ${rec.keySet}")
+    val all = rec.values.flatten.toSeq
+    // at most one emission per (user, stage) — the terminal/first-view
+    // guards at work
+    assert(all.groupBy(e => (e._1, e._2)).values.forall(_.size == 1),
+      "duplicate stage emission")
+    // stage counts == the batch twin's funnel columns
+    val batch = graft.ext.Analytics
+      .funnelWindowed(events(spark, dir), maxGapUs = 24L * 3600 * 1000000)
+      .collect().head
+    def stageUsers(st: String) = all.filter(_._2 == st).map(_._1).toSet
+    assert(stageUsers("view").size.toLong == batch.getAs[Long]("n_view"))
+    assert(stageUsers("click").size.toLong == batch.getAs[Long]("n_view_click"))
+    assert(stageUsers("purchase").size.toLong == batch.getAs[Long]("n_full_funnel"))
+    // cross-batch continuation: some stage completed in a later batch for
+    // a user whose view was emitted in batch 0 — only possible if the
+    // funnel state survived the batch boundary
+    val b0Views = rec(0L).filter(_._2 == "view").map(_._1).toSet
+    val laterSteps = rec.collect { case (id, rows) if id > 0 => rows }.flatten
+      .filter(e => e._2 != "view" && b0Views.contains(e._1))
+    assert(laterSteps.nonEmpty,
+      "split produced no cross-boundary funnel steps — state continuity unexercised")
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture
@@ -685,4 +745,6 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   val recorded =
     new scala.collection.concurrent.TrieMap[(String, Long), Seq[(Long, Option[Long])]]()
+  val recordedStages =
+    new scala.collection.concurrent.TrieMap[(String, Long), Seq[(Long, String, Long)]]()
 }
