@@ -1091,6 +1091,57 @@ object ExtQueries {
              |FROM p""".stripMargin),
       "conversion-window funnel (every step within 24 h of the previous)"),
 
+    // Sequence-pattern mining — the MATCH_RECOGNIZE / funnel-regex
+    // equivalent: each user's event history collapses to an ordered
+    // initial-letter string (c/e/p/s/v, all distinct here), and fixed
+    // regex patterns count matches over it. One user-keyed aggregation;
+    // per-user state is the user's OWN event count (the same bound every
+    // sequence operator here carries — production caps it with a
+    // retention window). Patterns stay in the Java∩RE2 common subset;
+    // both engines count non-overlapping matches left-to-right.
+    "events_pattern_match" -> Q(
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+        val seqs = e.groupBy("user_id").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"), col("ini")))),
+            x => x.getField("ini")), "").as("seq"))
+        // strict view-click-purchase; conversion with detours; error bursts
+        val pats = Seq("vcp", "v[ces]*p", "e{2,}")
+        val aggCols = pats.zipWithIndex.map { case (p, i) =>
+          sum(regexp_count(col("seq"), lit(p))).as(s"o$i")
+        } ++ pats.zipWithIndex.map { case (p, i) =>
+          count(when(regexp_count(col("seq"), lit(p)) > 0, 1)).as(s"u$i")
+        }
+        seqs.agg(aggCols.head, aggCols.tail: _*)
+          .select(expr(
+            s"""stack(${pats.size}, ${pats.zipWithIndex.map { case (p, i) =>
+              s"'$p', o$i, u$i" }.mkString(", ")})
+               |AS (pattern, n_matches, n_users)""".stripMargin))
+          .orderBy("pattern")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_us(ts), event_id) AS s
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT
+             |  CAST(sum(len(regexp_extract_all(s, 'vcp'))) AS BIGINT) AS o0,
+             |  CAST(sum(len(regexp_extract_all(s, 'v[ces]*p'))) AS BIGINT) AS o1,
+             |  CAST(sum(len(regexp_extract_all(s, 'e{2,}'))) AS BIGINT) AS o2,
+             |  count(CASE WHEN len(regexp_extract_all(s, 'vcp')) > 0 THEN 1 END) AS u0,
+             |  count(CASE WHEN len(regexp_extract_all(s, 'v[ces]*p')) > 0 THEN 1 END) AS u1,
+             |  count(CASE WHEN len(regexp_extract_all(s, 'e{2,}')) > 0 THEN 1 END) AS u2
+             |  FROM seq)
+             |SELECT * FROM (
+             |  SELECT 'vcp' AS pattern, o0 AS n_matches, u0 AS n_users FROM m
+             |  UNION ALL SELECT 'v[ces]*p', o1, u1 FROM m
+             |  UNION ALL SELECT 'e{2,}', o2, u2 FROM m)
+             |ORDER BY pattern""".stripMargin),
+      "sequence-pattern mining over per-user event strings (MATCH_RECOGNIZE equivalent)"),
+
     "events_cohort" -> Q(
       (s, dir) => graft.ext.Analytics.cohortRetention(events(s, dir)),
       Some("""WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

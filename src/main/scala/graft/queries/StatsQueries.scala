@@ -168,6 +168,53 @@ object StatsQueries {
              |FROM s""".stripMargin),
       "Welch t-test A/B readout from one conditional aggregate pass"),
 
+    // Count-Min frequency sketch: ONE narrow pass folds the token stream
+    // into a fixed 4×512 counter grid (typed Aggregator, map-side
+    // combinable — 16 KB of state per partition regardless of vocabulary
+    // size), then the top-20 exact tokens probe the broadcast sketch via
+    // the declared-arithmetic estimate column (codegen, no UDF). CMS is
+    // one-sided: est ≥ exact always, est ≤ exact + ε·N w.h.p. — the
+    // oracle recomputes exact counts and gates both sides (ε = 1%). The
+    // exact side exists to demonstrate the bound; the production consumer
+    // is the sketch itself, which pre-aggregates per hour/day and rolls
+    // up by counter addition like the HLL rollup.
+    "agg_cms_freq" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val keyed = table(s, dir, "documents")
+          .select(explode(graft.ext.Dedup.tokens(col("text"))).as("t"))
+          .withColumn("k",
+            conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long"))
+        // the typed Buf flattens to (n, counters); re-struct for the join
+        val sketch = keyed.select(col("k")).as[Long]
+          .select(new graft.functions.CountMin.CmsAggregator().toColumn)
+          .select(struct(col("n"), col("counters")).as("sk"))
+        val probes = keyed.groupBy("t", "k").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("t")).limit(20)
+        val scored = probes.crossJoin(broadcast(sketch))
+          .select(col("t"), col("n"),
+            graft.functions.CountMin.estimateColumn(col("sk.counters"), col("k"))
+              .as("est"))
+          .orderBy(desc("n"), asc("t"))
+        OracleAux.persist(dir, "agg_cms_freq")(scored)
+          .orderBy(desc("n"), asc("t"))
+      },
+      Some(s"""WITH out AS (
+              |  SELECT * FROM read_parquet(${OracleAux.duckGlob("agg_cms_freq")})),
+              |toks AS (
+              |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+              |  FROM documents),
+              |ex AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+              |tot AS (SELECT count(*) AS nt FROM toks)
+              |SELECT o.t,
+              |  CASE WHEN o.n = ex.n THEN o.n END AS n,
+              |  CASE WHEN o.est >= ex.n
+              |        AND o.est <= ex.n + CAST(ceil(0.01 * tot.nt) AS BIGINT)
+              |       THEN o.est END AS est
+              |FROM out o JOIN ex USING (t) CROSS JOIN tot
+              |ORDER BY o.n DESC, o.t""".stripMargin),
+      "Count-Min frequency sketch: one-pass 4×512 grid, broadcast point queries, ε·N-gated"),
+
     // Mergeable-sketch rollup: per-day HLL sketches of distinct users per
     // event type, unioned across days into the per-type total — the
     // two-level pre-aggregation every 100 TB distinct-count dashboard

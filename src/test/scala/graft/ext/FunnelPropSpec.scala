@@ -84,6 +84,28 @@ class FunnelPropSpec extends SparkSpec {
     }
   }
 
+  test("pattern match: hand-built sequences count matches exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_patfix").toString
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // u1: v c p           → vcp:1, v[ces]*p:1, e{2,}:0
+    // u2: v e e p v c p   → vcp:1, v[ces]*p:2, e{2,}:1
+    // u3: e e e           → e{2,}:1 (non-overlapping greedy = one run)
+    val rows = Seq(
+      (1L, 1L, "view", t(1000000)), (1L, 2L, "click", t(2000000)), (1L, 3L, "purchase", t(3000000)),
+      (2L, 4L, "view", t(1000000)), (2L, 5L, "error", t(2000000)), (2L, 6L, "error", t(3000000)),
+      (2L, 7L, "purchase", t(4000000)), (2L, 8L, "view", t(5000000)), (2L, 9L, "click", t(6000000)),
+      (2L, 10L, "purchase", t(7000000)),
+      (3L, 11L, "error", t(1000000)), (3L, 12L, "error", t(2000000)), (3L, 13L, "error", t(3000000)))
+    rows.toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("events_pattern_match")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("vcp") == ((2L, 2L)), s"got $got")
+    assert(got("v[ces]*p") == ((3L, 2L)), s"got $got")
+    assert(got("e{2,}") == ((2L, 2L)), s"got $got")
+  }
+
   test("windowed funnel: expired windows drop conversions the unbounded funnel keeps") {
     import spark.implicits._
     // u1: view@0 → click@10 (in window) → purchase@45 (35 past the click — out)

@@ -589,6 +589,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the event-type filter must reach the parquet scan:\n$plan")
   }
 
+  test("events_pattern_match: one user-keyed aggregation, no joins, no UDFs") {
+    val plan = explained("events_pattern_match")
+    assert(!plan.contains("Join"), plan)
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("agg_cms_freq: sketch broadcasts to the probe side; estimates stay UDF-free") {
+    val plan = explained("agg_cms_freq")
+    assert(!plan.toLowerCase.contains("udf"),
+      s"the point query must be declared arithmetic, not a UDF:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the sketch join is a broadcast 1-row stats join:\n$plan")
+  }
+
   test("agg_hll_rollup: two-level sketch agg — no joins, partial registers merge") {
     // Guard the sketch-build subtree (the registered query's output side
     // is the persisted read-back, same as the other OracleAux queries).

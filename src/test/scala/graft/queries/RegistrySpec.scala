@@ -39,10 +39,11 @@ class RegistrySpec extends AnyFunSuite {
     // module: +stats_regression, +stats_mad_outliers, +stats_abtest,
     // +agg_hll_rollup, and +multimodal_framesample → 166; then
     // +graph_link_predict, +events_funnel_windowed → 168; then
-    // +sample_negatives, +feature_hash → 170): see COVERAGE.md tally.
+    // +sample_negatives, +feature_hash → 170; +agg_cms_freq,
+    // +events_pattern_match → 172): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 170,
+    assert(graft.SparkEntry.registry.size == 172,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 

@@ -82,6 +82,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rolled - 60L) <= 2L)
   }
 
+  test("count-min: one-sided bound, column≡JVM estimates, partition-invariant") {
+    import graft.functions.CountMin
+    val keys = (1L to 500L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k * 104729L))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def build(parts: Int): CountMin.Buf =
+      keys.toDF("k").repartition(parts).as[Long]
+        .select(new CountMin.CmsAggregator().toColumn)
+        .collect().head
+    val sk = build(4)
+    // merge order cannot matter: counters identical across partitionings
+    assert(sk.counters.toSeq == build(13).counters.toSeq && sk.n == keys.size)
+    // one-sided error: never underestimates
+    exact.foreach { case (k, n) =>
+      assert(CountMin.estimate(sk, k) >= n, s"key $k underestimated")
+    }
+    // the declared-arithmetic Column form must equal the JVM point query
+    val skDf = keys.toDF("k").as[Long]
+      .select(new CountMin.CmsAggregator().toColumn)
+      .select(struct(col("n"), col("counters")).as("sk"))
+    val got = exact.keys.toSeq.toDF("k").crossJoin(broadcast(skDf))
+      .select(col("k"), CountMin.estimateColumn(col("sk.counters"), col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.keys.foreach { k =>
+      assert(got(k) == CountMin.estimate(sk, k), s"column/JVM estimate drift at $k")
+    }
+  }
+
   test("registered stats queries run non-empty at sf0.001 with sane ranges") {
     val reg = graft.SparkEntry.queries
     val regr = reg("stats_regression")(spark, sf("sf0.001")).collect()
