@@ -168,6 +168,70 @@ object StatsQueries {
              |FROM s""".stripMargin),
       "Welch t-test A/B readout from one conditional aggregate pass"),
 
+    // Population Stability Index — the drift monitor every deployed model
+    // runs: bin the CURRENT sample by the REFERENCE sample's deciles
+    // (exact percentiles, broadcast as one 9-element row — the
+    // feature_bins pattern) and compare bin shares with the standard
+    // Σ (p_cur − p_ref)·ln(p_cur/p_ref). Laplace smoothing (+1 per bin)
+    // keeps empty bins finite and is applied identically in the oracle;
+    // the ln inputs are exact integer ratios, so rounding to 6 absorbs
+    // any last-ulp libm drift. Plan: one percentile agg over the ref
+    // half, one binned groupBy over the fact scan, broadcast-only joins.
+    "stats_psi" -> Q(
+      (s, dir) => {
+        val o = table(s, dir, "orders").select(
+          col("o_totalprice").cast("double").as("v"),
+          (col("o_orderkey") % 2 === 0).as("is_ref"))
+        val cuts = o.filter(col("is_ref"))
+          .agg(expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("cuts"))
+        val bin = (1 to 9).map(i =>
+          when(col("v") > element_at(col("cuts"), i), 1).otherwise(0))
+          .reduce(_ + _)
+        val counts = o.crossJoin(broadcast(cuts))
+          .withColumn("bin", bin)
+          .groupBy("bin")
+          .agg(count(when(col("is_ref"), 1)).as("n_ref"),
+            count(when(!col("is_ref"), 1)).as("n_cur"))
+        val totals = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("p_ref",
+            (col("n_ref") + 1).cast("double") / (col("t_ref") + 10))
+          .withColumn("p_cur",
+            (col("n_cur") + 1).cast("double") / (col("t_cur") + 10))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+              .as("psi_contrib"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             |    o_orderkey % 2 = 0 AS is_ref FROM orders),
+             |cuts AS (
+             |  SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+             |  FROM o WHERE is_ref),
+             |binned AS (
+             |  SELECT is_ref,
+             |    (CASE WHEN v > c[1] THEN 1 ELSE 0 END) + (CASE WHEN v > c[2] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v > c[3] THEN 1 ELSE 0 END) + (CASE WHEN v > c[4] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v > c[5] THEN 1 ELSE 0 END) + (CASE WHEN v > c[6] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v > c[7] THEN 1 ELSE 0 END) + (CASE WHEN v > c[8] THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v > c[9] THEN 1 ELSE 0 END) AS bin
+             |  FROM o CROSS JOIN cuts),
+             |counts AS (
+             |  SELECT bin,
+             |    count(CASE WHEN is_ref THEN 1 END) AS n_ref,
+             |    count(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+             |  FROM binned GROUP BY bin),
+             |tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts)
+             |SELECT bin, n_ref, n_cur,
+             |  round((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)
+             |         - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+             |    * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))
+             |          / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))), 6) AS psi_contrib
+             |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin),
+      "Population Stability Index per decile bin (drift monitor, broadcast cutpoints)"),
+
     // Count-Min frequency sketch: ONE narrow pass folds the token stream
     // into a fixed 4×512 counter grid (typed Aggregator, map-side
     // combinable — 16 KB of state per partition regardless of vocabulary

@@ -596,6 +596,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("stats_psi: cutpoints and totals broadcast 1-row; no shuffle joins") {
+    val plan = explained("stats_psi")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"stats tables are 1-row — they must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("agg_cms_freq: sketch broadcasts to the probe side; estimates stay UDF-free") {
     val plan = explained("agg_cms_freq")
     assert(!plan.toLowerCase.contains("udf"),

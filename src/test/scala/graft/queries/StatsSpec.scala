@@ -82,6 +82,28 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rolled - 60L) <= 2L)
   }
 
+  test("stats_psi: identical halves score zero drift; a shifted half scores positive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psifix").toString
+    // even/odd orderkeys carry IDENTICAL value multisets → every bin has
+    // n_ref == n_cur → every contribution is exactly 0.0
+    val same = (1L to 200L).map(k => (k, 100.0 + (k / 2) % 50))
+    same.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val zero = graft.SparkEntry.queries("stats_psi")(spark, dir).collect()
+    assert(zero.nonEmpty)
+    assert(zero.forall(_.getAs[Double]("psi_contrib") == 0.0),
+      s"identical distributions must have zero PSI: ${zero.mkString(",")}")
+    // shift the odd (current) half up by 40: drift must register
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_psifix").toString
+    val shifted = (1L to 200L).map(k =>
+      (k, 100.0 + (k / 2) % 50 + (if (k % 2 == 1) 40.0 else 0.0)))
+    shifted.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val drift = graft.SparkEntry.queries("stats_psi")(spark, dir2).collect()
+      .map(_.getAs[Double]("psi_contrib")).sum
+    assert(drift > 0.1, s"shifted distribution must show PSI drift, got $drift")
+  }
+
   test("count-min: one-sided bound, column≡JVM estimates, partition-invariant") {
     import graft.functions.CountMin
     val keys = (1L to 500L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k * 104729L))
