@@ -153,9 +153,13 @@ object Mining {
     * 1 is <= k rows/partition and shuffle 2 is the candidate-only
     * pre-aggregate. */
   def heavyHitters(docs: DataFrame, minFrac: Double, counters: Int): DataFrame = {
-    require(counters + 1 >= 1.0 / minFrac,
+    // STRICT >: at equality the Misra-Gries slack n/(k+1) equals the
+    // support threshold, and a token with count exactly ceil(n*minFrac)
+    // is only guaranteed a candidate when its count EXCEEDS the slack —
+    // the boundary configuration can silently drop a qualifying token.
+    require(counters + 1 > 1.0 / minFrac,
       s"counters=$counters cannot guarantee recall at minFrac=$minFrac " +
-        "(need counters+1 >= 1/minFrac)")
+        "(need counters+1 > 1/minFrac)")
     val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
     val cand = mgCandidates(toks, counters).select("tok").distinct()
     val tot = toks.agg(count(lit(1)).as("n"))

@@ -83,7 +83,7 @@ object MiningQueries {
     // Heavy hitters with EXACT counts but sketch-bounded shuffles: pass 1
     // per-partition Misra-Gries (<= 64 rows/partition), pass 2 exact
     // counts for candidates only (broadcast semi-join keeps the filter
-    // map-side). k+1 >= 1/minFrac makes candidate recall exact, so the
+    // map-side). k+1 > 1/minFrac makes candidate recall exact, so the
     // output equals plain groupBy+HAVING — which is exactly what the
     // oracle runs. At web scale this replaces a vocabulary-sized shuffle
     // with an O(k*partitions) one.
@@ -289,7 +289,10 @@ object MiningQueries {
     // explode-to-pairs shuffle, whose input is d²/2× the corpus. The
     // tiny moments row is then unpacked declaratively. Fixed-point
     // (1e4-scaled longs) makes every sum order-independent and
-    // bit-reproducible in DuckDB.
+    // bit-reproducible in DuckDB. The oracle's final `+ 0.0`
+    // canonicalizes IEEE -0.0 (DuckDB's round keeps the sign of a
+    // negative value rounding to zero; Spark's BigDecimal round cannot
+    // represent -0.0).
     "stats_covariance" -> Q(
       (s, dir) => {
         val d = 64
@@ -327,7 +330,7 @@ object MiningQueries {
              |  GROUP BY 1, 2)
              |SELECT CAST(c.i - 1 AS INTEGER) AS i, CAST(c.j - 1 AS INTEGER) AS j,
              |  round(CAST(nn.n * c.sij - sa.si * sb.si AS DOUBLE)
-             |    / CAST(nn.n * nn.n AS DOUBLE) / 1e8, 6) AS cov
+             |    / CAST(nn.n * nn.n AS DOUBLE) / 1e8, 6) + 0.0 AS cov
              |FROM cr c, nn
              |JOIN sums sa ON sa.i = c.i
              |JOIN sums sb ON sb.i = c.j

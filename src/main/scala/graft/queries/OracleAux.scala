@@ -49,6 +49,15 @@ object OracleAux {
     df.sparkSession.read.parquet(path)
   }
 
-  /** DuckDB-side glob for a candidate table persisted by [[persist]]. */
-  def duckGlob(name: String): String = s"'$root/sf0.01/$name/*.parquet'"
+  /** DuckDB-side glob for a candidate table persisted by [[persist]].
+    *
+    * The sf segment defaults to sf0.01 — the driver's verify scale — but
+    * is overridable via SPARK_GRAFT_ORACLE_SF so the sf-portability sweep
+    * can run the same Verify + DuckDB compare at sf0.1 with the oracle
+    * reading THAT corpus's candidate tables. The env var is read once at
+    * JVM start (the SQL strings are built at registry init); the driver
+    * never sets it, so its gate path is byte-identical to before. */
+  private val oracleSf =
+    sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+  def duckGlob(name: String): String = s"'$root/$oracleSf/$name/*.parquet'"
 }

@@ -543,8 +543,13 @@ object ScaleQueries {
     // and cannot be degree-oriented away like triangles; hub centers are
     // the weakest RA signal anyway) — and the oracle applies the same cap.
     "graph_link_predict" -> Q(
+      // Cap 48 (not 32): at sf0.01 every sub-32-degree center's
+      // co-purchase neighborhood is a clique, so the anti-join left the
+      // oracle comparing 0 = 0 rows (vacuous). 48 yields 753 candidate
+      // non-edges at the gate scale while keeping the wedge fan-out
+      // bounded by cap^2 per center.
       (s, dir) => Graph.linkPredictRA(copurchaseEdgesCached(s, dir),
-        maxCenterDeg = 32, topK = 20),
+        maxCenterDeg = 48, topK = 20),
       Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
              |sym AS (
              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -553,13 +558,13 @@ object ScaleQueries {
              |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
              |ctr AS (
              |  SELECT e.src AS ctr, e.dst, d.outdeg FROM sym e
-             |  JOIN deg d USING (src) WHERE d.outdeg <= 32),
+             |  JOIN deg d USING (src) WHERE d.outdeg <= 48),
              |w AS (
              |  SELECT a.dst AS u, b.dst AS v, a.outdeg FROM ctr a
              |  JOIN ctr b ON a.ctr = b.ctr WHERE a.dst < b.dst),
              |sc AS (
              |  SELECT u, v, count(*) AS common_neighbors,
-             |    sum(1000000 // outdeg) AS ra_score
+             |    CAST(sum(1000000 // outdeg) AS BIGINT) AS ra_score
              |  FROM w GROUP BY u, v),
              |cand AS (
              |  SELECT sc.* FROM sc LEFT JOIN sym e ON sc.u = e.src AND sc.v = e.dst

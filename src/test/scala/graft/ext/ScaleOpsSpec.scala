@@ -455,9 +455,12 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("bucketized interval overlap equals the direct theta join") {
     val li = table(spark, sf("sf0.001"), "lineitem")
-      .select(col("l_quantity"), col("l_shipdate").cast("date").as("ship_from"))
+      // SAME transit derivation as the registered join_interval_overlap
+      // (l_orderkey-keyed, not l_quantity): the equivalence pin must
+      // exercise the exact interval distribution the shipped query joins
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship_from"))
       .withColumn("ship_to",
-        expr("date_add(ship_from, cast(l_quantity % 25 + 3 as int))"))
+        expr("date_add(ship_from, cast(l_orderkey % 25 + 3 as int))"))
       .localCheckpoint()
     val promo = li.select(trunc(col("ship_from"), "month").as("promo_from"))
       .distinct().withColumn("promo_to", date_add(col("promo_from"), 6))

@@ -611,6 +611,32 @@ class PlanShapeSpec extends SparkSpec {
       s"the sketch join is a broadcast 1-row stats join:\n$plan")
   }
 
+  test("no registered query plans an unpartitioned window (allowed set: window_running)") {
+    // An unpartitioned window moves the whole input to ONE task — the
+    // single worst silent scale failure an operator can adopt. Exactly one
+    // registered query is allowed the shape: window_running, whose input
+    // is the calendar-bounded daily pre-aggregate (~2.4k rows at any SF,
+    // with a loud never-copy-this warning at the definition). This guard
+    // sweeps EVERY registered query's physical plan so a future operator
+    // cannot silently join the set.
+    val allowed = Set("window_running")
+    graft.queries.Warmup.artifacts(spark, sf("sf0.001"))
+    val offenders = graft.SparkEntry.registry.keys.toSeq.sorted.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.sparkPlan
+      val bare = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+        case l: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if l.partitionSpec.isEmpty => l.getClass.getSimpleName
+      }
+      if (bare.nonEmpty && !allowed(name)) Some(s"$name: ${bare.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the allowed set:\n${offenders.mkString("\n")}")
+  }
+
   test("agg_hll_rollup: two-level sketch agg — no joins, partial registers merge") {
     // Guard the sketch-build subtree (the registered query's output side
     // is the persisted read-back, same as the other OracleAux queries).
