@@ -224,6 +224,36 @@ object Dedup {
       .orderBy("id_d", "id_b")
   }
 
+  /** One micro-batch of the dedup-at-ingest stream
+    * ([[graft.streaming.StreamingOps.dedupIngestStream]]): PROBE the
+    * persisted banded index for the batch's near-dup pairs (append them to
+    * `pairsOutPath`), then MERGE the batch's own signature and shingle rows
+    * into the index — so batch N+1 dedups against base ∪ batches 1..N,
+    * exactly the sequential fold a batch backfill runs. Probe-before-merge
+    * keeps the delta×base contract of [[minhashIncrementalPairs]]: a batch
+    * never pairs against itself (in-batch duplicates are the upstream
+    * batch-dedup's job, or arrive in the next batch's probe).
+    *
+    * The index merge is parquet `append` of files covering only the
+    * batch's rows — O(delta) writes, like the IVF index's bucket-scoped
+    * upsert. foreachBatch is at-least-once: a replayed batch re-appends
+    * its rows, which re-emits the same pairs (dedup downstream on
+    * (id_d,id_b)) and adds duplicate index rows that `dropDuplicates` in
+    * the probe path already tolerates; an exactly-once deployment keys the
+    * output files by batchId. */
+  def dedupIngestBatch(batch: DataFrame, indexPath: String,
+      pairsOutPath: String, threshold: Double = 0.7): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    minhashIncrementalPairs(
+      spark.read.parquet(s"$indexPath/banded"), b,
+      spark.read.parquet(s"$indexPath/shingles"), threshold)
+      .write.mode("append").parquet(pairsOutPath)
+    val sh = shingleRows(b).localCheckpoint()
+    bandedSignatures(sh).write.mode("append").parquet(s"$indexPath/banded")
+    sh.distinct().write.mode("append").parquet(s"$indexPath/shingles")
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash per doc via explode → ONE codegen'd hash-aggregation
     * with 64 per-bit vote sums, then constant-shift bit assembly. (The

@@ -277,6 +277,23 @@ object StreamingOps {
         graft.ext.Similarity.indexUpsertBatch(batch, centroids, indexPath)
       }
 
+  /** Streaming twin of the incremental near-dup dedup (`dedup_incremental`):
+    * each micro-batch of documents probes the PERSISTED banded MinHash
+    * index for near-dup pairs (appended to `pairsOutPath`), then merges
+    * its own signatures into the index — the dedup-at-ingest loop a
+    * 100 TB pipeline runs continuously. Mirrors [[indexUpsertStream]]:
+    * the index artifact is the durable state, not Spark's state store, so
+    * the stream restarts cheaply and batch backfills interleave with it.
+    * Per-batch semantics in [[graft.ext.Dedup.dedupIngestBatch]]. */
+  def dedupIngestStream(docs: DataFrame, indexPath: String,
+      pairsOutPath: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Dedup.dedupIngestBatch(batch, indexPath, pairsOutPath, threshold)
+      }
+
   final case class Change(key: Long, attr: String, ts_us: Long, tie: Long)
   final case class Scd2Open(attr: String, from_us: Long, from_tie: Long, version: Int)
   final case class Scd2Closed(key: Long, attr: String, valid_from_us: Long,

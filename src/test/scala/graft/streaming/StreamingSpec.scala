@@ -416,6 +416,64 @@ class StreamingSpec extends SparkSpec {
       "incrementally maintained index diverged from the from-scratch build")
   }
 
+  test("dedup ingest stream: per-batch index probe+merge == sequential batch fold") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Dedup
+    val docs = graft.queries.Registry.table(spark, dir, "documents")
+      .select("doc_id", "text")
+    // delta = the planted copies; batch 1 = exact copies (1M+), batch 2 =
+    // near copies (2M+). doc_ids divisible by 100 have BOTH, so batch 2
+    // must find pairs against batch-1 docs that entered the index only via
+    // the stream's own merge step — the cross-batch evidence.
+    val delta = Dedup.planted(docs).filter(col("doc_id") >= 1000000L)
+      .localCheckpoint()
+    val half1 = delta.filter(col("doc_id") < 2000000L)
+    val half2 = delta.filter(col("doc_id") >= 2000000L)
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_ingest")
+    def buildIndex(sub: String): String = {
+      val p = root.resolve(sub).toString
+      val sh = Dedup.shingleRows(docs).localCheckpoint()
+      Dedup.bandedSignatures(sh).write.mode("overwrite").parquet(s"$p/banded")
+      sh.distinct().write.mode("overwrite").parquet(s"$p/shingles")
+      p
+    }
+    val incIdx = buildIndex("inc"); val foldIdx = buildIndex("fold")
+    // sequential batch fold — the reference semantics
+    val foldPairs = root.resolve("fold_pairs").toString
+    Dedup.dedupIngestBatch(half1, foldIdx, foldPairs)
+    Dedup.dedupIngestBatch(half2, foldIdx, foldPairs)
+    // stream: two staged files, one per micro-batch
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(half1, "a.parquet", t0 - 60000)
+    writeOne(half2, "b.parquet", t0)
+    val incPairs = root.resolve("inc_pairs").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.dedupIngestStream(stream, incIdx, incPairs)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def pairSet(p: String): Set[(Long, Long, Double)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairSet(incPairs); val fold = pairSet(foldPairs)
+    assert(inc == fold, s"stream pairs diverged from the sequential fold: " +
+      s"only-stream=${(inc -- fold).take(3)} only-fold=${(fold -- inc).take(3)}")
+    assert(inc.nonEmpty, "planted delta produced no near-dup pairs")
+    assert(inc.exists { case (d, b, _) => d >= 2000000L && b >= 1000000L && b < 2000000L },
+      "no cross-batch pair: batch 2 never probed batch 1's merged signatures")
+  }
+
   test("ivf index upsert: a one-vector batch rewrites only its bucket") {
     import org.apache.spark.sql.functions._
     import graft.ext.Similarity
