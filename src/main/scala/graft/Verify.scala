@@ -16,9 +16,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS): set at build so no query ever
-      // mutates session conf at plan time (Registry.table's runtime set is
-      // then a no-op fallback for externally-built sessions)
+      // Guard for legacy TIMESTAMP(NANOS) event files: set at build so no
+      // query mutates session conf at plan time (Registry.table's runtime
+      // set is then a no-op fallback); harmless no-op for µs files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

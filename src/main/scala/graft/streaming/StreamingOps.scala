@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * real incremental planner. */
 object StreamingOps {
 
-  /** Schema of events.parquet as surfaced with nanosAsLong (ts: long). */
+  /** Schema of events.parquet when stored as TIMESTAMP(NANOS) and surfaced
+    * with nanosAsLong (ts: long). Files stored as TIMESTAMP(MICROS)
+    * surface ts as a proper TimestampType instead — see [[readEvents]]. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,16 +29,28 @@ object StreamingOps {
   /** File-stream source over a directory that accumulates event parquet
     * files (the streaming contract: new files = new data; the directory
     * must hold ONLY event files). ts is normalized to a microsecond
-    * timestamp exactly like the batch reader. */
+    * timestamp exactly like the batch reader ([[graft.queries.Registry
+    * .events]]): a streaming source needs an explicit schema, so we sniff
+    * the directory's batch schema ONCE (driver-side, footer-only — no data
+    * scan) and branch on how ts is stored — nanos-long (legacy
+    * TIMESTAMP(NANOS) files) gets `div 1000`, a native timestamp (µs
+    * files) passes through. This keeps every streaming twin correct on
+    * both encodings instead of hard-coding one storage contract. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsRawSchema)
+    val tsIsNanosLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    val schema =
+      if (tsIsNanosLong) eventsRawSchema
+      else StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+    val reader = spark.readStream.schema(schema)
     // one file per micro-batch: lets tests drive REAL multi-batch runs
     // (watermark advances between batches) instead of one catch-all batch
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(dir)
+    if (tsIsNanosLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked 1-hour tumbling counts per event type — the streaming twin

@@ -10,7 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet is TIMESTAMP(NANOS); set at build, not at plan time
+    // Harmless guard: if events.parquet is ever TIMESTAMP(NANOS) again it
+    // surfaces as a long (readers sniff and normalize); no-op for µs files.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -192,11 +192,15 @@ class StreamingSpec extends SparkSpec {
   // exercise outer-join null-padding, cross-batch session state, and the
   // incremental upsert merge.
 
-  /** Stage the sf0.001 events split at `splitNs` (raw nanos) into two
-    * files whose mtimes force (early, late) arrival order. */
-  private def stageSplit(splitNs: Long, tag: String): String = {
-    import org.apache.spark.sql.functions.col
-    val raw = graft.queries.Registry.table(spark, dir, "events")
+  /** Stage the sf0.001 events split at `splitUs` (µs since epoch) into two
+    * files whose mtimes force (early, late) arrival order. Splits on the
+    * NORMALIZED µs timestamp (Registry.events), so the helper is
+    * storage-agnostic — it works whether the harness corpus stores events
+    * as TIMESTAMP(NANOS)-as-long or TIMESTAMP(MICROS). The staged files
+    * carry the normalized timestamp schema, which readEvents sniffs. */
+  private def stageSplit(splitUs: Long, tag: String): String = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val raw = events(spark, dir)
     val d = java.nio.file.Files.createTempDirectory(s"graft_events_$tag")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
@@ -208,16 +212,16 @@ class StreamingSpec extends SparkSpec {
       assert(dst.toFile.setLastModified(mtime))
     }
     val t0 = System.currentTimeMillis()
-    writeOne(raw.filter(col("ts") < splitNs), "a.parquet", t0 - 60000)
-    writeOne(raw.filter(col("ts") >= splitNs), "b.parquet", t0)
+    writeOne(raw.filter(unix_micros(col("ts")) < splitUs), "a.parquet", t0 - 60000)
+    writeOne(raw.filter(unix_micros(col("ts")) >= splitUs), "b.parquet", t0)
     d.toString
   }
 
   test("outer interval join multi-batch: null-padding only after the watermark advances") {
     import org.apache.spark.sql.functions._
-    val raw = graft.queries.Registry.table(spark, dir, "events")
-    val splitNs = raw.agg(expr("percentile(ts, 0.7)")).collect().head.getDouble(0).toLong
-    val d = stageSplit(splitNs, "outer_mb")
+    val splitUs = events(spark, dir)
+      .agg(expr("percentile(unix_micros(ts), 0.7)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitUs, "outer_mb")
     val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
     StreamingSpec.recorded.keys.filter(_._1 == "outer_mb").foreach(StreamingSpec.recorded.remove)
     val q = StreamingOps.followUpsStreamOuter(stream)
@@ -290,7 +294,7 @@ class StreamingSpec extends SparkSpec {
       .maxBy(_.events.size)
     // split at the first event strictly later than the session start
     val splitUs = target.events.map(_._1).find(_ > target.events.head._1).get
-    val d = stageSplit(splitUs * 1000, "sess_mb")
+    val d = stageSplit(splitUs, "sess_mb")
     val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
     val q = StreamingOps.sessionizeStream(stream)
       .writeStream.outputMode("append")
@@ -322,9 +326,9 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming upsert: incremental LWW merge across batches == batch merge") {
     import org.apache.spark.sql.functions._
-    val raw = graft.queries.Registry.table(spark, dir, "events")
-    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
-    val d = stageSplit(splitNs, "upsert_mb")
+    val splitUs = events(spark, dir)
+      .agg(expr("percentile(unix_micros(ts), 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitUs, "upsert_mb")
     val target = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("target").toString
     val q = StreamingOps.upsertStream(
@@ -617,9 +621,9 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-static join multi-batch: enriched segment rollup == batch twin") {
     import org.apache.spark.sql.functions._
-    val raw = graft.queries.Registry.table(spark, dir, "events")
-    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
-    val d = stageSplit(splitNs, "enrich_mb")
+    val splitUs = events(spark, dir)
+      .agg(expr("percentile(unix_micros(ts), 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitUs, "enrich_mb")
     val dim = graft.queries.Registry.table(spark, dir, "customer")
     val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
     val q = StreamingOps.enrichedSegmentCounts(stream, dim)
@@ -692,9 +696,9 @@ class StreamingSpec extends SparkSpec {
 
   test("transitions stream: exact edge parity with batch, edges span the batch boundary") {
     import org.apache.spark.sql.functions._
-    val raw = graft.queries.Registry.table(spark, dir, "events")
-    val splitNs = raw.agg(expr("percentile(ts, 0.5)")).collect().head.getDouble(0).toLong
-    val d = stageSplit(splitNs, "trans_mb")
+    val splitUs = events(spark, dir)
+      .agg(expr("percentile(unix_micros(ts), 0.5)")).collect().head.getDouble(0).toLong
+    val d = stageSplit(splitUs, "trans_mb")
     val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
     val q = StreamingOps.transitionsStream(stream)
       .writeStream.outputMode("append")
@@ -725,7 +729,6 @@ class StreamingSpec extends SparkSpec {
         s"edge multiset drift: got ${got.length}, want ${want.length}")
       // state continuity: edges whose FROM event precedes the split and TO
       // event follows it can only emit if LastSeen survived batch 1
-      val splitUs = splitNs / 1000
       val boundary = wantFull.filter(t => t._5 < splitUs && t._4 >= splitUs)
       assert(boundary.nonEmpty, "split produced no cross-boundary edges — unusable split")
       val gotSet = got.toSet
@@ -755,8 +758,8 @@ class StreamingSpec extends SparkSpec {
       .filter(col("c_us").isNotNull)
       .orderBy("user_id")
     assert(withC.count() > 0, "no qualifying view→click user at sf0.001")
-    val splitNs = withC.collect().head.getAs[Long]("c_us") * 1000L
-    val d = stageSplit(splitNs, "funnel_mb")
+    val splitUs = withC.collect().head.getAs[Long]("c_us")
+    val d = stageSplit(splitUs, "funnel_mb")
     val stream = StreamingOps.readEvents(spark, d, maxFilesPerTrigger = Some(1))
     StreamingSpec.recordedStages.keys.filter(_._1 == "funnel_mb")
       .foreach(StreamingSpec.recordedStages.remove)
