@@ -1206,20 +1206,39 @@ object ExtQueries {
 
     // Token-budget sequence sharding — the pre-training packing step:
     // documents stream into ~budget-token shards. The running token count
-    // is per-language (pack streams are independent per language), so the
-    // window is PARTITIONED — this is the scalable form of a global
-    // cumsum; at 100 TB the language key would be (lang, range-bucket).
+    // is per-language, but a plain per-lang window caps parallelism at
+    // the language count (5 here — a 100 TB scale-killer: each language's
+    // whole corpus would serialize through one task). Instead: two-level
+    // prefix sum. (1) shard each language by doc_id range, (2) aggregate
+    // per-(lang, shard) token totals — a tiny relation (langs × shards
+    // rows) — and turn them into per-shard starting offsets with a window
+    // over THAT small frame, (3) broadcast the offsets back and run the
+    // cumsum shard-locally. Identical bins to the global running sum;
+    // parallelism is langs × shards, unbounded by corpus size.
     "pack_sequences" -> Q(
       (s, dir) => {
         val budget = 8192
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        table(s, dir, "documents")
+        val shardSize = 256L // doc_id range per shard
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = table(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
+        // per-shard starting offsets: cumsum over the aggregated partials
+        // (langs × shards rows — the window is over a minuscule frame)
+        val offsets = toks.groupBy("lang", "shard")
+          .agg(sum("toks").as("shard_toks"))
+          .withColumn("offset",
+            coalesce(sum("shard_toks").over(
+              W.partitionBy("lang").orderBy("shard")
+                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+          .drop("shard_toks")
+        val wLocal = W.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        toks.join(broadcast(offsets), Seq("lang", "shard"))
           .withColumn("bin",
-            (coalesce(sum("toks").over(w), lit(0L)) / budget).cast("long"))
+            ((col("offset") + coalesce(sum("toks").over(wLocal), lit(0L)))
+              / budget).cast("long"))
           .groupBy("lang", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
           .orderBy("lang", "bin")

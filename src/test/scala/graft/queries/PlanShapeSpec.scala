@@ -611,6 +611,27 @@ class PlanShapeSpec extends SparkSpec {
       s"the sketch join is a broadcast 1-row stats join:\n$plan")
   }
 
+  test("pack_sequences: two-level prefix sum — offsets broadcast, doc cumsum sharded") {
+    // The scale contract: the doc-level running sum must be partitioned
+    // by (lang, shard) — parallelism langs × shards — and the per-shard
+    // offsets must come back via a broadcast, never a shuffled join of
+    // the full doc relation against itself.
+    val plan = graft.SparkEntry.queries("pack_sequences")(spark, sf("sf0.001"))
+      .queryExecution.sparkPlan
+    val docWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase => w.partitionSpec.length
+    }
+    assert(docWindows.nonEmpty && docWindows.forall(_ >= 1),
+      s"every window must be partitioned:\n$plan")
+    // the doc-level cumsum runs over (lang, shard) — at least one 2-key window
+    assert(docWindows.exists(_ >= 2),
+      s"doc-level cumsum must partition by (lang, shard), not lang alone:\n$plan")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"offsets must join back via broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
   test("no registered query plans an unpartitioned window (allowed set: window_running)") {
     // An unpartitioned window moves the whole input to ONE task — the
     // single worst silent scale failure an operator can adopt. Exactly one
