@@ -194,14 +194,23 @@ object Dedup {
     * dedup. `persistCand` is the oracle seam, as in [[minhashPairs]]. */
   def minhashIncrementalPairs(baseBanded: DataFrame, deltaDocs: DataFrame,
       baseShingles: DataFrame, threshold: Double = 0.7,
-      persistCand: DataFrame => DataFrame = identity): DataFrame = {
-    val deltaSh = shingleRows(deltaDocs).localCheckpoint()
+      persistCand: DataFrame => DataFrame = identity,
+      deltaShingles: Option[DataFrame] = None): DataFrame = {
+    // caller may pass precomputed delta shingle rows (the ingest path
+    // needs them again for the index merge — shingling is the expensive
+    // step, so it must run once per batch, not once per use)
+    val deltaSh = deltaShingles.getOrElse(shingleRows(deltaDocs).localCheckpoint())
     val deltaBanded = bandedSignatures(deltaSh)
+    // id_d =!= id_b: if the probed index already contains the delta's own
+    // signatures (an at-least-once replay after the index merge landed),
+    // the band join would emit spurious exact self-pairs (d, d, 1.0) that
+    // no downstream (id_d, id_b) dedup can distinguish from real matches
     val cand = persistCand(
       deltaBanded.select(col("band"), col("bhash"), col("doc_id").as("id_d"))
         .join(baseBanded.hint("shuffle_hash")
           .select(col("band"), col("bhash"), col("doc_id").as("id_b")),
           Seq("band", "bhash"))
+        .filter(col("id_d") =!= col("id_b"))
         .select("id_d", "id_b")
         .dropDuplicates("id_d", "id_b"))
     val dShd = deltaSh.distinct()
@@ -237,19 +246,44 @@ object Dedup {
     * The index merge is parquet `append` of files covering only the
     * batch's rows — O(delta) writes, like the IVF index's bucket-scoped
     * upsert. foreachBatch is at-least-once: a replayed batch re-appends
-    * its rows, which re-emits the same pairs (dedup downstream on
-    * (id_d,id_b)) and adds duplicate index rows that `dropDuplicates` in
-    * the probe path already tolerates; an exactly-once deployment keys the
-    * output files by batchId. */
+    * its rows (duplicate index rows that `dropDuplicates` in the probe
+    * path tolerates) and re-emits its pairs — and ONLY the same pairs:
+    * the probe anti-joins the index against the batch's own doc_ids
+    * first, so a replay that crashed after the index merge landed cannot
+    * emit self-pairs or batch×batch pairs the original run never saw.
+    * Downstream dedup on (id_d, id_b) then restores exactly-once output;
+    * an exactly-once deployment keys the output files by batchId.
+    *
+    * Cold start: a missing index path is treated as an empty index, so
+    * the first batch bootstraps it (probe finds nothing, merge creates
+    * the artifact) — no pre-seeding step required. */
   def dedupIngestBatch(batch: DataFrame, indexPath: String,
       pairsOutPath: String, threshold: Double = 0.7): Unit = {
     val spark = batch.sparkSession
+    import org.apache.spark.sql.types._
+    def readOrEmpty(path: String, schema: StructType): DataFrame =
+      try spark.read.schema(schema).parquet(path)
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+    val bandedSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bhash", LongType)))
+    val shingleSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("s", StringType)))
     val b = batch.select("doc_id", "text").localCheckpoint()
-    minhashIncrementalPairs(
-      spark.read.parquet(s"$indexPath/banded"), b,
-      spark.read.parquet(s"$indexPath/shingles"), threshold)
-      .write.mode("append").parquet(pairsOutPath)
+    val ids = b.select(col("doc_id"))
+    // shingle ONCE; the probe and the merge both consume these rows
     val sh = shingleRows(b).localCheckpoint()
+    // anti-join = replay idempotence: pretend the batch's own rows are
+    // not in the index yet, which is exactly the pre-crash probe state
+    val baseBanded = readOrEmpty(s"$indexPath/banded", bandedSchema)
+      .join(ids, Seq("doc_id"), "left_anti")
+    val baseShingles = readOrEmpty(s"$indexPath/shingles", shingleSchema)
+      .join(ids, Seq("doc_id"), "left_anti")
+    minhashIncrementalPairs(baseBanded, b, baseShingles, threshold,
+      deltaShingles = Some(sh))
+      .write.mode("append").parquet(pairsOutPath)
     bandedSignatures(sh).write.mode("append").parquet(s"$indexPath/banded")
     sh.distinct().write.mode("append").parquet(s"$indexPath/shingles")
   }

@@ -137,6 +137,33 @@ class MiningSpec extends SparkSpec {
     assert(incr.nonEmpty, "planted exact copies must match their base docs")
   }
 
+  test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {
+    val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_cold")
+    val idx = root.resolve("idx").toString
+    val pairs = root.resolve("pairs").toString
+    val batch1 = docs.filter($"doc_id" < 250)
+    // delta batch: exact copies of some batch-1 docs → guaranteed pairs
+    val batch2 = Dedup.planted(docs).filter($"doc_id" >= 1000000L && $"doc_id" < 1000250L)
+    // COLD START: no index exists yet — the first batch must create it
+    Dedup.dedupIngestBatch(batch1, idx, pairs)
+    assert(new java.io.File(s"$idx/banded").exists(), "first batch must create the index")
+    def pairSet() = spark.read.parquet(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Dedup.dedupIngestBatch(batch2, idx, pairs)
+    val afterOnce = pairSet()
+    assert(afterOnce.nonEmpty, "exact copies must pair against the bootstrapped index")
+    assert(afterOnce.forall { case (d, b, _) => d != b }, "self-pairs must never be emitted")
+    // AT-LEAST-ONCE REPLAY: the crash-after-merge case — batch 2's own
+    // signatures are already in the index; the replay must emit exactly
+    // the same pair SET (dup rows ok), never (d, d) self-pairs or new
+    // batch×batch pairs
+    Dedup.dedupIngestBatch(batch2, idx, pairs)
+    val afterReplay = pairSet()
+    assert(afterReplay == afterOnce,
+      s"replay changed the pair set: extra=${(afterReplay -- afterOnce).take(3)}")
+  }
+
   test("linear attribution splits cents exactly on a hand fixture") {
     def ts(day: Int, hour: Int = 0) =
       Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")

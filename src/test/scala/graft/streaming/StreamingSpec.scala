@@ -476,6 +476,20 @@ class StreamingSpec extends SparkSpec {
     assert(inc.nonEmpty, "planted delta produced no near-dup pairs")
     assert(inc.exists { case (d, b, _) => d >= 2000000L && b >= 1000000L && b < 2000000L },
       "no cross-batch pair: batch 2 never probed batch 1's merged signatures")
+    // INDEPENDENT oracle (the fold above runs the same code under test):
+    // the one-shot batch minhashPairs over the full universe (base ∪ both
+    // deltas — planted(docs) IS that universe), restricted to the pairs an
+    // ingest in (base, half1, half2) order can see: cross-group only
+    // (in-batch pairs are by contract not emitted), reoriented to the
+    // incremental (id_d=later doc, id_b=earlier doc) layout. Group
+    // boundaries align with id magnitude, so minhashPairs' id_a < id_b
+    // means grp(lo) <= grp(hi) always.
+    val oracle = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def grp(id: Long) = if (id >= 2000000L) 2 else if (id >= 1000000L) 1 else 0
+    val want = oracle.collect { case (lo, hi, j) if grp(hi) > grp(lo) => (hi, lo, j) }
+    assert(inc == want, s"stream pairs diverged from the independent batch " +
+      s"oracle: only-stream=${(inc -- want).take(3)} only-oracle=${(want -- inc).take(3)}")
   }
 
   test("ivf index upsert: a one-vector batch rewrites only its bucket") {
