@@ -141,17 +141,26 @@ object Bench {
     // at judge time (r7: 8.5 s driver min on 1.6 s code, undiagnosable
     // from the min alone)
     val trialsByName = results.map { case (k, v, _) => k -> v }.toMap
-    def line(names: Seq[String]): String = {
+    // Trial arrays only for the SLOWEST headline queries: r8's full
+    // per-headline trials map pushed 3 queries past the stdout cap.
+    // Contended-reading exoneration only matters for expensive queries,
+    // so the slow tail carries trials and every headline keeps its min.
+    def line(names: Seq[String], nTrials: Int): String = {
       val hq = names.flatMap(n => byName.get(n).map(t => f""""$n":$t%.3f"""))
         .mkString("{", ",", "}")
-      val ht = names.flatMap(n => trialsByName.get(n).map(v =>
+      val slowest = names.flatMap(n => byName.get(n).map(n -> _))
+        .sortBy(-_._2).take(nTrials).map(_._1)
+      val ht = slowest.flatMap(n => trialsByName.get(n).map(v =>
         "\"" + n + "\":" + v.map(t => f"$t%.2f").mkString("[", ",", "]")))
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$hq,"trials":$ht,"n_queries":${results.size},"errors":$errs,"errors_sf2":$errs2,"sf":"$sfDir","total_sf2":$total2%.2f,"sf2":"$sfDir2","artifact":"$outFile"}"""
     }
+    // shrink the trials set before ever dropping a headline query
+    var nTrials = 12
+    while (line(headline, nTrials).length > 1800 && nTrials > 0) nTrials -= 1
     var keep = headline
-    while (line(keep).length > 1800 && keep.nonEmpty) keep = keep.dropRight(1)
-    println(line(keep))
+    while (line(keep, nTrials).length > 1800 && keep.nonEmpty) keep = keep.dropRight(1)
+    println(line(keep, nTrials))
     spark.stop()
   }
 }
