@@ -219,8 +219,9 @@ object EtlQueries {
 
     // S1 at-scale design: the scrape stage as a DataSource V2 TableProvider
     // whose input partitions executors read independently (SURVEY §2.1).
-    // numRows follows the sf's part count; the oracle runs at sf0.01
-    // (2000 rows) per the harness contract.
+    // numRows follows the sf's part count; the oracle SQL tracks the same
+    // scale via OracleAux.oracleScaleRows (2000 at the driver's sf0.01
+    // gate — unchanged there — 20000 under the sf0.1 portability sweep).
     "source_dsv2_scrape" -> Q(
       (s, dir) => {
         val n = Registry.table(s, dir, "part").count()
@@ -228,7 +229,8 @@ object EtlQueries {
           .option("numRows", n).option("numPartitions", 4).load()
           .orderBy("p_partkey")
       },
-      Some(graft.sources.ScrapeSource.rangeSql(2000) + " ORDER BY p_partkey"),
+      Some(graft.sources.ScrapeSource.rangeSql(
+        OracleAux.oracleScaleRows(2000)) + " ORDER BY p_partkey"),
       "custom DataSource V2 batch source (partitioned scrape generator)")
   )
 }

@@ -60,4 +60,15 @@ object OracleAux {
   private val oracleSf =
     sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01")
   def duckGlob(name: String): String = s"'$root/$oracleSf/$name/*.parquet'"
+
+  /** Oracle-side row count for SQL strings whose Spark twin scales with
+    * the corpus (e.g. the DSv2 scrape source follows `part.count()`).
+    * The synthetic corpus holds 200/2000/20000 part rows at
+    * sf0.001/0.01/0.1; the driver's gate (no env var → sf0.01) keeps the
+    * original 2000-row contract byte-identical. */
+  def oracleScaleRows(rowsAtGate: Long): Long = oracleSf match {
+    case "sf0.001" => rowsAtGate / 10
+    case "sf0.1"   => rowsAtGate * 10
+    case _         => rowsAtGate
+  }
 }
