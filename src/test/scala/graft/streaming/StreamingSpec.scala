@@ -20,6 +20,36 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  test("readEvents normalizes a legacy nanos-long ts encoding identically") {
+    // The harness corpus is TIMESTAMP(MICROS) today, but it was
+    // TIMESTAMP(NANOS)-as-long before round 8's regeneration and a
+    // non-harness deployment may hand the reader either. Re-encode the
+    // events table with ts as a raw nanos long (exactly how nanosAsLong
+    // surfaces NANOS storage) and check the stream reads it to the SAME
+    // rows as the µs-native directory.
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_events_nanos")
+    graft.queries.Registry.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val q = StreamingOps.readEvents(spark, d.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nanos_norm_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("nanos_norm_out")
+        .select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val want = graft.queries.Registry.events(spark, dir)
+        .select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == want, "nanos-long encoding must normalize to the µs rows")
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.tumblingCounts(stream)
