@@ -175,6 +175,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) over the
+    * k-shingle sets — flags doc-IN-doc SUBSET duplication (boilerplate
+    * wrappers, quote inflation, copy-with-appendix) that symmetric Jaccard
+    * dilutes: a 100-shingle doc fully contained in a 10,000-shingle doc
+    * has J ≈ 0.01 but C = 1.0. Candidates reuse the SAME banded MinHash
+    * blocking as [[minhashPairs]] — the shared-index variant a pipeline
+    * with a standing LSH index runs for cheap containment flags; the
+    * verify is the identical (pair → shingle) equi-join with a `least`
+    * denominator. Recall caveat, by design: MinHash collisions estimate
+    * JACCARD, so a tiny doc buried in a huge one may not collide — full
+    * containment recall needs prefix-filtered blocking on the smaller set
+    * (the [[graft.ext.Mining.prefixJaccardPairs]] shape) ordered by
+    * document frequency; this operator is the index-reuse screen, not
+    * that join. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    val sh = shingleRows(planted(docs)).localCheckpoint()
+    val shd = sh.distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cand = persistCand(minhashCandidates(sh))
+    val interCounts = cand
+      .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
+      .join(shd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    interCounts
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Incremental near-dup detection: a DELTA batch probed against the
     * standing corpus's persisted LSH index — the dedup-at-ingest shape a
     * 100 TB pipeline actually runs (re-signing the whole corpus per batch

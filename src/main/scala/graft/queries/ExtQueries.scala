@@ -619,6 +619,41 @@ object ExtQueries {
               |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       "MinHash(32) + LSH(8 bands × 4 rows) near-dup, exact-Jaccard verified"),
 
+    // Containment screen over the SAME banded LSH candidates (shared
+    // index): |A∩B| / min(|A|,|B|) catches doc-in-doc subset duplication
+    // that symmetric Jaccard dilutes. Oracle recomputes the containment
+    // verify over the persisted candidate pairs, like dedup_minhash.
+    "dedup_containment" -> Q(
+      (s, dir) => Dedup.containmentPairs(table(s, dir, "documents"),
+        persistCand = OracleAux.persist(dir, "dedup_containment_cand")),
+      Some(s"""WITH planted AS ($plantedSql),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_containment_cand")})),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN shd a ON a.doc_id = c.id_a
+              |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT id_a, id_b, containment FROM (
+              |  SELECT i.id_a, i.id_b,
+              |    round(CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS containment
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b)
+              |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      "shingle-set containment (doc-in-doc subset duplication) over shared LSH candidates"),
+
     "dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
         persistCand = OracleAux.persist(dir, "dedup_simhash_cand")),

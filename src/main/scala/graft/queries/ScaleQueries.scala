@@ -340,17 +340,19 @@ object ScaleQueries {
       "equi-depth histogram via broadcast decile boundaries — no global sort/ntile"),
 
     // Exact-count stratified sample: deterministic hash order per stratum
-    // (md5 of the key, salted) + row_number ≤ k. One key-shuffle; the
+    // (md5 of the key, salted) + top-k ≤ k. One key-shuffle; the
     // at-scale form of "give me exactly k docs per language" — unlike
-    // corpus_mix_sample's threshold form, the count is exact.
+    // corpus_mix_sample's threshold form, the count is exact. Runs on the
+    // custom TopKPerGroup plan node (bounded per-group heaps, O(n log k))
+    // instead of a row_number window: the window form SORTS every row of
+    // every stratum to rank it, an O(n log n) per-stratum sort that
+    // dominates at billions of rows per language when only k survive.
     "sample_stratified_exact" -> Q(
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang")
-          .orderBy(md5(concat(col("doc_id").cast("string"), lit("#strat"))), col("doc_id"))
-        table(s, dir, "documents")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 30)
+        val h = md5(concat(col("doc_id").cast("string"), lit("#strat")))
+        graft.plans.TopKPerGroup(
+            table(s, dir, "documents").withColumn("h", h),
+            30, Seq("lang"), Seq(("h", true), ("doc_id", true)), rankName = "rk")
           .select(col("lang"), col("rk"), col("doc_id"))
           .orderBy("lang", "rk")
       },

@@ -137,6 +137,24 @@ class MiningSpec extends SparkSpec {
     assert(incr.nonEmpty, "planted exact copies must match their base docs")
   }
 
+  test("containment catches doc-in-doc subset duplication that Jaccard misses") {
+    import spark.implicits._
+    // A: 22 tokens → 20 k=3 shingles; B: A plus 10 extra tokens → 30.
+    // J = 20/30 ≈ 0.667 < the 0.7 Jaccard gate, but C = 20/20 = 1.0 —
+    // the boilerplate-wrapper case the containment screen exists for.
+    // Deterministic: minhash banding is seeded, so the LSH candidate
+    // collision (or not) is a fixed property of these strings.
+    val a = (1 to 22).map(i => s"tok$i").mkString(" ")
+    val b = a + " " + (1 to 10).map(i => s"ext$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(docs).collect().isEmpty,
+      "fixture must sit below the symmetric-Jaccard gate")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.0)),
+      s"full containment must be flagged at C=1.0, got $got")
+  }
+
   test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {
     val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_cold")
