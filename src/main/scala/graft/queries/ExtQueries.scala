@@ -1292,6 +1292,36 @@ object ExtQueries {
              |FROM binned GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin),
       "token-budget sequence sharding (per-language partitioned cumsum bins)"),
 
+    // Per-source corpus audit — the data-source breakdown every curation
+    // run starts from (which sources contribute how many tokens, and how
+    // duplicate-ridden is each): docs, exact token totals, language
+    // spread, and the within-source exact-duplicate rate via fingerprint
+    // distinct-count. One scan-speed groupBy on the source key; all
+    // counters are integer-exact so the rollup is order-invariant, and
+    // the single dup_rate division is the only double (deterministic
+    // cross-engine, same contract as the stats family).
+    "corpus_source_audit" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup"))
+        .withColumn("dup_rate",
+          round(col("n_exact_dup").cast("double") / col("n_docs").cast("double"), 4))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup,
+             |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+             |        / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      "per-source corpus audit: docs, exact token/char totals, language spread, exact-dup rate"),
+
     // Deterministic corpus split — train/val/test by a stable key function
     // (never rand(): reruns and engines must agree). Narrow map + one agg.
     "corpus_split" -> Q(

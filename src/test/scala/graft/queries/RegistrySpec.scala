@@ -40,11 +40,11 @@ class RegistrySpec extends AnyFunSuite {
     // +agg_hll_rollup, and +multimodal_framesample → 166; then
     // +graph_link_predict, +events_funnel_windowed → 168; then
     // +sample_negatives, +feature_hash → 170; +agg_cms_freq,
-    // +events_pattern_match, +stats_psi → 173; +dedup_containment
-    // → 174): see COVERAGE.md tally.
+    // +events_pattern_match, +stats_psi → 173; +dedup_containment,
+    // +corpus_source_audit → 175): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 174,
+    assert(graft.SparkEntry.registry.size == 175,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
   }
 
