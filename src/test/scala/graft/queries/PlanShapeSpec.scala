@@ -150,6 +150,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
 
+  test("containment screen keeps the same pinned-join shape as the minhash verify") {
+    val plan = explainDf(Dedup.containmentPairs(table(spark, sf("sf0.001"), "documents")))
+    // shared LSH bucket self-join + two (id, shingle) verify joins — same
+    // machinery as minhashPairs, so the same pins must hold: a cartesian
+    // or auto-broadcast here means the shared-index screen went all-pairs
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_embedding: bucket + verify joins shuffle_hash; no all-pairs non-equi self-join") {
     val emb = table(spark, sf("sf0.001"), "embeddings")
     val df = Dedup.embeddingNearDupBucketed(emb, 0.3, nlist = 16)
