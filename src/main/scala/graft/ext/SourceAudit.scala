@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental per-source corpus audit — the streaming twin of the
+  * `corpus_source_audit` query, maintained at ingest.
+  *
+  * Layout is the bronze→silver split a warehouse ingest runs: each
+  * micro-batch writes its documents as NARROW fact rows (source, lang,
+  * token/char counts, content fingerprint — never the text itself) into a
+  * `batch_id=<id>` directory, and the audit is an aggregation view over
+  * the fact table. Per-batch work is O(delta) and the write is an
+  * OVERWRITE of the batch's own directory, so an at-least-once replay of
+  * a batch (crash between write and checkpoint commit) rewrites the same
+  * rows instead of double-counting — idempotence by partition overwrite,
+  * the standard foreachBatch exactly-once recipe.
+  *
+  * The additive metrics (docs, tokens, chars) could be pre-aggregated per
+  * batch, but the distinct metrics (languages, exact-duplicate
+  * fingerprints) cannot be merged from per-batch partials without the
+  * row-level fingerprints anyway — a fingerprint seen in batch 1 and
+  * batch 7 must count once. Keeping the narrow facts makes the snapshot
+  * exact at any point; at 100 TB the facts stay a tiny fixed-width
+  * fraction of the corpus and the snapshot is one scan-speed groupBy on
+  * the source key (20 groups here). */
+object SourceAudit {
+
+  /** Columns must stay in lock-step with the `corpus_source_audit`
+    * oracle: same token regex, same fingerprint function. */
+  private def facts(batch: DataFrame): DataFrame =
+    batch.select(
+      col("source"), col("lang"), col("n_chars"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("toks"),
+      md5(col("text")).as("fp"))
+
+  /** Ingest one micro-batch: write its narrow fact rows under the batch's
+    * own directory (overwrite → replay-idempotent). */
+  def auditIngestBatch(batch: DataFrame, statePath: String, batchId: Long): Unit =
+    facts(batch).write.mode("overwrite")
+      .parquet(s"$statePath/facts/batch_id=$batchId")
+
+  /** The audit table over everything ingested so far — identical schema
+    * and values to the batch `corpus_source_audit` over the same rows. */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/facts")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dup"))
+      .withColumn("dup_rate",
+        round(col("n_exact_dup").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("source")
+}

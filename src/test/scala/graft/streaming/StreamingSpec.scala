@@ -522,6 +522,50 @@ class StreamingSpec extends SparkSpec {
       s"oracle: only-stream=${(inc -- want).take(3)} only-oracle=${(want -- inc).take(3)}")
   }
 
+  test("source audit stream: multi-batch snapshot == batch audit; replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Registry.table(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_src_audit")
+    val state = root.resolve("state").toString
+    // stage two doc_id-split files, one micro-batch each
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_audit_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val mid = 250L
+    val t0 = System.currentTimeMillis()
+    writeOne(docs.filter(col("doc_id") < mid), "a.parquet", t0 - 60000)
+    writeOne(docs.filter(col("doc_id") >= mid), "b.parquet", t0)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.sourceAuditStream(stream, state)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val want = rows(graft.SparkEntry.queries("corpus_source_audit")(spark, dir))
+    val got = rows(graft.ext.SourceAudit.snapshot(spark, state))
+    assert(got == want, s"incremental audit diverged from the batch audit")
+    // cross-batch evidence: distinct metrics must span batches — a source
+    // whose langs or duplicate fps split across the two files would
+    // double-count under a per-batch-mergeable (additive) design
+    assert(want.exists(_._5 > 1), "fixture has no multi-lang source — weak split")
+    // at-least-once replay: re-land batch 1 under its own id → unchanged
+    graft.ext.SourceAudit.auditIngestBatch(
+      docs.filter(col("doc_id") < mid), state, 0L)
+    assert(rows(graft.ext.SourceAudit.snapshot(spark, state)) == want,
+      "replaying a batch must not change the audit (overwrite idempotence)")
+  }
+
   test("ivf index upsert: a one-vector batch rewrites only its bucket") {
     import org.apache.spark.sql.functions._
     import graft.ext.Similarity
