@@ -39,7 +39,17 @@ object StreamingOps {
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsNanosLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    // Empty directory (stream started before the first file lands): no
+    // footer to sniff — assume the µs-native encoding, today's corpus
+    // default. A deployment that streams legacy nanos files into a
+    // pre-created empty dir must stage one file before start (as every
+    // harness fixture does), which the sniff then honors.
+    val tsIsNanosLong =
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("Path does not exist") => false }
     val schema =
       if (tsIsNanosLong) eventsRawSchema
       else StructType(eventsRawSchema.map(f =>

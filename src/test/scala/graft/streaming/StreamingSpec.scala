@@ -50,6 +50,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEvents starts on an empty directory; files landing later stream through") {
+    // The production pattern the schema sniff must not break: the stream
+    // is constructed BEFORE the first file lands (no footer to sniff →
+    // µs-native default), then files arrive.
+    val d = java.nio.file.Files.createTempDirectory("graft_events_empty")
+    val stream = StreamingOps.readEvents(spark, d.toString) // must not throw
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("empty_start_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      assert(spark.table("empty_start_out").count() ==
+        events(spark, dir).count(), "late-landing file must stream through")
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val stream = StreamingOps.readEvents(spark, eventsDir)
     val q = StreamingOps.tumblingCounts(stream)
