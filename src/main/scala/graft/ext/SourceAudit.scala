@@ -41,9 +41,25 @@ object SourceAudit {
       .parquet(s"$statePath/facts/batch_id=$batchId")
 
   /** The audit table over everything ingested so far — identical schema
-    * and values to the batch `corpus_source_audit` over the same rows. */
-  def snapshot(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/facts")
+    * and values to the batch `corpus_source_audit` over the same rows.
+    * Before the first batch lands (no facts yet) the audit is simply
+    * empty, not an error — same cold-start contract as the dedup-ingest
+    * index. */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val factsSchema = StructType(Seq(
+      StructField("source", StringType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("toks", LongType),
+      StructField("fp", StringType)))
+    val factsDf =
+      try spark.read.parquet(s"$statePath/facts")
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("Path does not exist") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], factsSchema) }
+    factsDf
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -54,4 +70,5 @@ object SourceAudit {
       .withColumn("dup_rate",
         round(col("n_exact_dup").cast("double") / col("n_docs").cast("double"), 4))
       .orderBy("source")
+  }
 }

@@ -557,6 +557,9 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(part.toPath, dst)
       assert(dst.toFile.setLastModified(mtime))
     }
+    // cold start: the audit over a not-yet-ingested state is empty, not
+    // an error (a dashboard can query before ingest begins)
+    assert(graft.ext.SourceAudit.snapshot(spark, state).collect().isEmpty)
     val mid = 250L
     val t0 = System.currentTimeMillis()
     writeOne(docs.filter(col("doc_id") < mid), "a.parquet", t0 - 60000)
