@@ -154,24 +154,39 @@ object Dedup {
     * harness query persists the LSH candidate pairs so DuckDB can
     * recompute this exact-Jaccard verify over the same pair set. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
-      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    verifyPairs(docs, persistCand,
+      (inter, szA, szB) => inter / (szA + szB - inter), "jaccard", threshold)
+
+  /** Shared candidate-generation + exact-verify body for the two LSH
+    * screens ([[minhashPairs]], [[containmentPairs]]): shingle, size,
+    * band-bucket candidates, then the (pair → shingle) intersection
+    * equi-join scored by `score(inter, szA, szB)`.
+    *
+    * Every data-dependent relation is `shuffle_hash`-pinned — the shingle
+    * sides are corpus-sized, and the per-doc SIZE tables are too (one row
+    * per document), so none may fall back to auto-broadcast on a stats
+    * misestimate (the same pin rationale as [[minhashIncrementalPairs]]). */
+  private def verifyPairs(docs: DataFrame,
+      persistCand: DataFrame => DataFrame,
+      score: (Column, Column, Column) => Column,
+      scoreName: String, threshold: Double): DataFrame = {
     val sh = shingleRows(planted(docs)).localCheckpoint()
     val shd = sh.distinct()
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = persistCand(minhashCandidates(sh))
-    // equi-join on (id, shingle): result rows ARE the intersection entries.
-    // The shingle side is corpus-sized — pin it to shuffle joins.
+    // equi-join on (id, shingle): result rows ARE the intersection entries
     val interCounts = cand
       .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
       .join(shd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     interCounts
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .join(sizes.toDF("id_a", "sz_a").hint("shuffle_hash"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b").hint("shuffle_hash"), "id_b")
+      .withColumn(scoreName, round(score(col("inter").cast("double"),
+        col("sz_a").cast("double"), col("sz_b").cast("double")), 4))
+      .filter(col(scoreName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(scoreName))
       .orderBy("id_a", "id_b")
   }
 
@@ -190,24 +205,9 @@ object Dedup {
     * document frequency; this operator is the index-reuse screen, not
     * that join. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-      persistCand: DataFrame => DataFrame = identity): DataFrame = {
-    val sh = shingleRows(planted(docs)).localCheckpoint()
-    val shd = sh.distinct()
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cand = persistCand(minhashCandidates(sh))
-    val interCounts = cand
-      .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
-      .join(shd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    interCounts
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .withColumn("containment", round(col("inter").cast("double") /
-        least(col("sz_a"), col("sz_b")).cast("double"), 4))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
-      .orderBy("id_a", "id_b")
-  }
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    verifyPairs(docs, persistCand,
+      (inter, szA, szB) => inter / least(szA, szB), "containment", threshold)
 
   /** Incremental near-dup detection: a DELTA batch probed against the
     * standing corpus's persisted LSH index — the dedup-at-ingest shape a

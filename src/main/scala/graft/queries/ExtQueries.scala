@@ -1253,12 +1253,28 @@ object ExtQueries {
     "pack_sequences" -> Q(
       (s, dir) => {
         val budget = 8192
-        val shardSize = 256L // doc_id range per shard
+        // Shard count is FIXED (not shard size): the offsets relation is
+        // then bounded at langs × 1024 rows at ANY corpus size, so the
+        // broadcast and the per-lang offsets cumsum stay tiny forever. A
+        // fixed shard SIZE would grow the offsets relation linearly with
+        // the corpus and re-create the serialization the rewrite removes.
+        // Bins are invariant to the shard boundaries (the two-level sum
+        // reconstructs the same global cumsum), so the oracle is
+        // unaffected by the sizing rule. The max-id probe is a
+        // footer-stats scan, not a data pass.
+        val numShards = 1024L
+        val maxId = table(s, dir, "documents")
+          .agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val shardSize = math.max(1L, (maxId + numShards) / numShards)
         val W = org.apache.spark.sql.expressions.Window
+        // localCheckpoint: toks feeds BOTH the offsets aggregate and the
+        // cumsum join below; without it the scan + per-doc tokenization
+        // (the dominant cost) runs twice
         val toks = table(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
           .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
+          .localCheckpoint()
         // per-shard starting offsets: cumsum over the aggregated partials
         // (langs × shards rows — the window is over a minuscule frame)
         val offsets = toks.groupBy("lang", "shard")

@@ -68,7 +68,12 @@ object OracleAux {
     * original 2000-row contract byte-identical. */
   def oracleScaleRows(rowsAtGate: Long): Long = oracleSf match {
     case "sf0.001" => rowsAtGate / 10
+    case "sf0.01"  => rowsAtGate
     case "sf0.1"   => rowsAtGate * 10
-    case _         => rowsAtGate
+    // fail LOUDLY: a silent gate-count fallback at an unknown sf would
+    // surface as a phantom row-count diff in the Spark-side source
+    case other => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_ORACLE_SF=$other has no known row scale " +
+        "(known: sf0.001, sf0.01, sf0.1) — add its multiplier here")
   }
 }

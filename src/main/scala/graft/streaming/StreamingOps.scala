@@ -309,6 +309,15 @@ object StreamingOps {
     * the index artifact is the durable state, not Spark's state store, so
     * the stream restarts cheaply and batch backfills interleave with it.
     * Per-batch semantics in [[graft.ext.Dedup.dedupIngestBatch]]. */
+  def dedupIngestStream(docs: DataFrame, indexPath: String,
+      pairsOutPath: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Dedup.dedupIngestBatch(batch, indexPath, pairsOutPath, threshold)
+      }
+
   /** Incremental per-source corpus audit at ingest — foreachBatch wiring
     * for [[graft.ext.SourceAudit]]: each micro-batch lands its narrow
     * fact rows under `batch_id=<id>` (overwrite → replay-idempotent; the
@@ -320,15 +329,6 @@ object StreamingOps {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.SourceAudit.auditIngestBatch(batch, statePath, batchId)
-      }
-
-  def dedupIngestStream(docs: DataFrame, indexPath: String,
-      pairsOutPath: String, threshold: Double = 0.7)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Dedup.dedupIngestBatch(batch, indexPath, pairsOutPath, threshold)
       }
 
   final case class Change(key: Long, attr: String, ts_us: Long, tie: Long)
