@@ -132,9 +132,15 @@ object Dedup {
     * first (at cluster scale: persist the signature table to parquet for
     * reuse across dedup runs). */
   def minhashCandidates(shingleRowsDf: DataFrame, numPerms: Int = 32,
-      numBands: Int = 8, seed: Long = 42L): DataFrame = {
-    val banded = bandedSignatures(shingleRowsDf, numPerms, numBands, seed)
-      .localCheckpoint()
+      numBands: Int = 8, seed: Long = 42L): DataFrame =
+    candidatesFromBanded(
+      bandedSignatures(shingleRowsDf, numPerms, numBands, seed).localCheckpoint())
+
+  /** The LSH bucket self-join over already-banded signature rows — the
+    * candidate generator shared by the inline path ([[minhashCandidates]])
+    * and the `*_indexed` queries that read a persisted [[BandedSchema]]
+    * artifact instead of re-signing the corpus. */
+  def candidatesFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band"), col("bhash"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("doc_id").as("id_b"))
     // shuffle_hash pinned: both sides are data-dependent in size (duplicate-
@@ -172,9 +178,17 @@ object Dedup {
       score: (Column, Column, Column) => Column,
       scoreName: String, threshold: Double): DataFrame = {
     val sh = shingleRows(planted(docs)).localCheckpoint()
-    val shd = sh.distinct()
+    verifyPairsOver(sh.distinct(), persistCand(minhashCandidates(sh)),
+      score, scoreName, threshold)
+  }
+
+  /** The exact-verify tail of [[verifyPairs]] over PRE-COMPUTED inputs:
+    * distinct shingle rows `shd` and candidate pairs `cand` — the seam
+    * the `*_indexed` queries enter through with artifact-fed inputs. */
+  private def verifyPairsOver(shd: DataFrame, cand: DataFrame,
+      score: (Column, Column, Column) => Column,
+      scoreName: String, threshold: Double): DataFrame = {
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cand = persistCand(minhashCandidates(sh))
     // equi-join on (id, shingle): result rows ARE the intersection entries
     val interCounts = cand
       .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
@@ -207,6 +221,33 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
       persistCand: DataFrame => DataFrame = identity): DataFrame =
     verifyPairs(docs, persistCand,
+      (inter, szA, szB) => inter / least(szA, szB), "containment", threshold)
+
+  /** [[minhashPairs]] served from a PERSISTED signature artifact —
+    * `banded` is a [[BandedSchema]] table ([[bandedSignatures]] written to
+    * parquet), `shinglesDistinct` a [[ShingleSchema]] table — instead of
+    * re-shingling and re-signing the corpus. Output-identical to the
+    * inline form over the same corpus; this is the shape a standing
+    * pipeline runs, where the index is built once and every dedup screen
+    * reads it. At 100 TB the saving is the whole signature pass: the
+    * tokenize→shingle→hash→64-way-min aggregation dominates the inline
+    * query's cost and is a pure function of the corpus, so recomputing it
+    * per screen is waste the artifact removes. */
+  def minhashPairsIndexed(banded: DataFrame, shinglesDistinct: DataFrame,
+      threshold: Double = 0.7,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    verifyPairsOver(shinglesDistinct, persistCand(candidatesFromBanded(banded)),
+      (inter, szA, szB) => inter / (szA + szB - inter), "jaccard", threshold)
+
+  /** [[containmentPairs]] served from the SAME persisted artifact as
+    * [[minhashPairsIndexed]] — the two screens sharing one signature
+    * index is the point of persisting it. Same recall caveat as the
+    * inline form: candidates are Jaccard-tuned LSH collisions, so a tiny
+    * doc buried in a huge one may never collide. */
+  def containmentPairsIndexed(banded: DataFrame, shinglesDistinct: DataFrame,
+      threshold: Double = 0.8,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    verifyPairsOver(shinglesDistinct, persistCand(candidatesFromBanded(banded)),
       (inter, szA, szB) => inter / least(szA, szB), "containment", threshold)
 
   /** Incremental near-dup detection: a DELTA batch probed against the
@@ -267,6 +308,21 @@ object Dedup {
       .orderBy("id_d", "id_b")
   }
 
+  /** On-disk schemas of the persisted LSH index artifact: the banded
+    * signature rows ([[bandedSignatures]] output) and the distinct
+    * shingle rows ([[shingleRows]] output). Shared by the ingest path and
+    * the `*_indexed` registry queries that read the artifact back. */
+  val BandedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bhash", LongType)))
+  }
+  val ShingleSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("s", StringType)))
+  }
+
   /** One micro-batch of the dedup-at-ingest stream
     * ([[graft.streaming.StreamingOps.dedupIngestStream]]): PROBE the
     * persisted banded index for the batch's near-dup pairs (append them to
@@ -279,45 +335,39 @@ object Dedup {
     *
     * The index merge is parquet `append` of files covering only the
     * batch's rows — O(delta) writes, like the IVF index's bucket-scoped
-    * upsert. foreachBatch is at-least-once: a replayed batch re-appends
-    * its rows (duplicate index rows that `dropDuplicates` in the probe
-    * path tolerates) and re-emits its pairs — and ONLY the same pairs:
-    * the probe anti-joins the index against the batch's own doc_ids
-    * first, so a replay that crashed after the index merge landed cannot
-    * emit self-pairs or batch×batch pairs the original run never saw.
-    * Downstream dedup on (id_d, id_b) then restores exactly-once output;
-    * an exactly-once deployment keys the output files by batchId.
+    * upsert. foreachBatch is at-least-once; output is EXACTLY-ONCE by
+    * construction: the batch's pairs land under their own
+    * `pairsOutPath/batch_id=<id>` directory with mode overwrite (the
+    * same partition-overwrite recipe as [[SourceAudit.auditIngestBatch]]),
+    * so a replayed batch REWRITES its pair files instead of re-appending
+    * them. The replay also emits exactly the same pair SET: the probe
+    * anti-joins the index against the batch's own doc_ids first, so a
+    * replay that crashed after the index merge landed cannot emit
+    * self-pairs or batch×batch pairs the original run never saw. The
+    * index merge itself stays append (duplicate index rows from a replay
+    * are tolerated by `dropDuplicates` in the probe path).
     *
     * Cold start: a missing index path is treated as an empty index, so
     * the first batch bootstraps it (probe finds nothing, merge creates
     * the artifact) — no pre-seeding step required. */
   def dedupIngestBatch(batch: DataFrame, indexPath: String,
-      pairsOutPath: String, threshold: Double = 0.7): Unit = {
+      pairsOutPath: String, batchId: Long, threshold: Double = 0.7): Unit = {
     val spark = batch.sparkSession
-    import org.apache.spark.sql.types._
-    def readOrEmpty(path: String, schema: StructType): DataFrame =
-      try spark.read.schema(schema).parquet(path)
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-             e.getMessage.contains("Path does not exist") =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
-    val bandedSchema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("band", IntegerType), StructField("bhash", LongType)))
-    val shingleSchema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("s", StringType)))
+    def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType) =
+      ParquetIO.readOrEmpty(spark, path, schema)
     val b = batch.select("doc_id", "text").localCheckpoint()
     val ids = b.select(col("doc_id"))
     // shingle ONCE; the probe and the merge both consume these rows
     val sh = shingleRows(b).localCheckpoint()
     // anti-join = replay idempotence: pretend the batch's own rows are
     // not in the index yet, which is exactly the pre-crash probe state
-    val baseBanded = readOrEmpty(s"$indexPath/banded", bandedSchema)
+    val baseBanded = readOrEmpty(s"$indexPath/banded", BandedSchema)
       .join(ids, Seq("doc_id"), "left_anti")
-    val baseShingles = readOrEmpty(s"$indexPath/shingles", shingleSchema)
+    val baseShingles = readOrEmpty(s"$indexPath/shingles", ShingleSchema)
       .join(ids, Seq("doc_id"), "left_anti")
     minhashIncrementalPairs(baseBanded, b, baseShingles, threshold,
       deltaShingles = Some(sh))
-      .write.mode("append").parquet(pairsOutPath)
+      .write.mode("overwrite").parquet(s"$pairsOutPath/batch_id=$batchId")
     bandedSignatures(sh).write.mode("append").parquet(s"$indexPath/banded")
     sh.distinct().write.mode("append").parquet(s"$indexPath/shingles")
   }

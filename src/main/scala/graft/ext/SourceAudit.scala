@@ -51,15 +51,7 @@ object SourceAudit {
       StructField("source", StringType), StructField("lang", StringType),
       StructField("n_chars", LongType), StructField("toks", LongType),
       StructField("fp", StringType)))
-    val factsDf =
-      try spark.read.parquet(s"$statePath/facts")
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-             e.getMessage.contains("Path does not exist") =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], factsSchema) }
-    factsDf
+    ParquetIO.readOrEmpty(spark, s"$statePath/facts", factsSchema)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -85,6 +85,62 @@ object ExtQueries {
       |UNION ALL SELECT doc_id + 2000000, regexp_replace(text, '^\S+', 'REPLACED')
       |  FROM documents WHERE doc_id % 25 = 0""".stripMargin
 
+  /** DuckDB twin of the exact-verify tail the LSH screens share
+    * ([[Dedup.verifyPairs]]): recompute 3-shingle sets of the planted
+    * corpus, intersect over the PERSISTED candidate pairs, score with
+    * `scoreSql` (over `inter`, `sa.sz`, `sb.sz`). Candidate generation is
+    * seeded-hash math DuckDB can't reproduce; the verify is pure SQL. */
+  private def lshVerifySql(candName: String, scoreSql: String,
+      scoreName: String, threshold: Double): String =
+    s"""WITH planted AS ($plantedSql),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+       |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+       |  FROM planted),
+       |sh AS (
+       |  SELECT doc_id,
+       |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+       |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob(candName)})),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shd a ON a.doc_id = c.id_a
+       |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, $scoreName FROM (
+       |  SELECT i.id_a, i.id_b,
+       |    round($scoreSql, 4) AS $scoreName
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.id_a
+       |  JOIN sizes sb ON sb.doc_id = i.id_b)
+       |WHERE $scoreName >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  private val jaccardScoreSql =
+    "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+  private val containmentScoreSql =
+    "CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)"
+
+  /** Banded-signature + distinct-shingle artifact of the PLANTED corpus,
+    * materialized once per process — the standing LSH index the two
+    * `dedup_*_indexed` screens share instead of each re-shingling and
+    * re-signing the corpus ([[graft.ext.Dedup.minhashPairsIndexed]]).
+    * `MiningQueries.minhashIndexPath` is the same artifact over the
+    * UNplanted base corpus (the incremental-probe base); this one covers
+    * planted(documents) so the screens are output-identical to their
+    * inline forms. */
+  private[queries] def plantedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Artifacts.cached("graft_planted_idx", dir) { p =>
+      val sh = Dedup.shingleRows(Dedup.planted(
+        table(s, dir, "documents").select("doc_id", "text"))).localCheckpoint()
+      Dedup.bandedSignatures(sh).write.mode("overwrite").parquet(s"$p/banded")
+      sh.distinct().write.mode("overwrite").parquet(s"$p/shingles")
+    }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokens" -> Q(
@@ -591,33 +647,25 @@ object ExtQueries {
     "dedup_minhash" -> Q(
       (s, dir) => Dedup.minhashPairs(table(s, dir, "documents"),
         persistCand = OracleAux.persist(dir, "dedup_minhash_cand")),
-      Some(s"""WITH planted AS ($plantedSql),
-              |toks AS (
-              |  SELECT doc_id,
-              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
-              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
-              |  FROM planted),
-              |sh AS (
-              |  SELECT doc_id,
-              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
-              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-              |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_minhash_cand")})),
-              |inter AS (
-              |  SELECT c.id_a, c.id_b, count(*) AS inter
-              |  FROM cand c
-              |  JOIN shd a ON a.doc_id = c.id_a
-              |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
-              |  GROUP BY c.id_a, c.id_b)
-              |SELECT id_a, id_b, jaccard FROM (
-              |  SELECT i.id_a, i.id_b,
-              |    round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
-              |  FROM inter i
-              |  JOIN sizes sa ON sa.doc_id = i.id_a
-              |  JOIN sizes sb ON sb.doc_id = i.id_b)
-              |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      Some(lshVerifySql("dedup_minhash_cand", jaccardScoreSql, "jaccard", 0.7)),
       "MinHash(32) + LSH(8 bands × 4 rows) near-dup, exact-Jaccard verified"),
+
+    // The SAME screen served from the persisted planted-corpus signature
+    // artifact (plantedIndexPath): candidate generation reads the banded
+    // index table instead of re-tokenizing, re-shingling and re-signing
+    // the corpus — the standing-pipeline shape, where the signature pass
+    // (the dominant cost) runs once per corpus snapshot and every dedup
+    // screen reads it. Output-identical to dedup_minhash by construction.
+    "dedup_minhash_indexed" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        Dedup.minhashPairsIndexed(
+          s.read.schema(Dedup.BandedSchema).parquet(s"$p/banded"),
+          s.read.schema(Dedup.ShingleSchema).parquet(s"$p/shingles"),
+          persistCand = OracleAux.persist(dir, "dedup_minhash_idx_cand"))
+      },
+      Some(lshVerifySql("dedup_minhash_idx_cand", jaccardScoreSql, "jaccard", 0.7)),
+      "MinHash near-dup served from the persisted LSH signature artifact (no re-signing)"),
 
     // Containment screen over the SAME banded LSH candidates (shared
     // index): |A∩B| / min(|A|,|B|) catches doc-in-doc subset duplication
@@ -626,33 +674,25 @@ object ExtQueries {
     "dedup_containment" -> Q(
       (s, dir) => Dedup.containmentPairs(table(s, dir, "documents"),
         persistCand = OracleAux.persist(dir, "dedup_containment_cand")),
-      Some(s"""WITH planted AS ($plantedSql),
-              |toks AS (
-              |  SELECT doc_id,
-              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
-              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
-              |  FROM planted),
-              |sh AS (
-              |  SELECT doc_id,
-              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
-              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-              |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_containment_cand")})),
-              |inter AS (
-              |  SELECT c.id_a, c.id_b, count(*) AS inter
-              |  FROM cand c
-              |  JOIN shd a ON a.doc_id = c.id_a
-              |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
-              |  GROUP BY c.id_a, c.id_b)
-              |SELECT id_a, id_b, containment FROM (
-              |  SELECT i.id_a, i.id_b,
-              |    round(CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS containment
-              |  FROM inter i
-              |  JOIN sizes sa ON sa.doc_id = i.id_a
-              |  JOIN sizes sb ON sb.doc_id = i.id_b)
-              |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin),
-      "shingle-set containment (doc-in-doc subset duplication) over shared LSH candidates"),
+      Some(lshVerifySql("dedup_containment_cand", containmentScoreSql,
+        "containment", 0.8)),
+      "shingle-set containment (doc-in-doc subset dup) over shared LSH candidates; " +
+        "recall bounded by Jaccard-tuned banding (tiny-doc-in-huge-doc may not collide)"),
+
+    // Containment screen from the SAME persisted artifact as
+    // dedup_minhash_indexed — two screens, one signature pass: sharing
+    // the standing index across screens is the reason to persist it.
+    "dedup_containment_indexed" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        Dedup.containmentPairsIndexed(
+          s.read.schema(Dedup.BandedSchema).parquet(s"$p/banded"),
+          s.read.schema(Dedup.ShingleSchema).parquet(s"$p/shingles"),
+          persistCand = OracleAux.persist(dir, "dedup_containment_idx_cand"))
+      },
+      Some(lshVerifySql("dedup_containment_idx_cand", containmentScoreSql,
+        "containment", 0.8)),
+      "containment screen from the shared signature artifact; same banding recall caveat"),
 
     "dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
@@ -1260,11 +1300,14 @@ object ExtQueries {
         // the corpus and re-create the serialization the rewrite removes.
         // Bins are invariant to the shard boundaries (the two-level sum
         // reconstructs the same global cumsum), so the oracle is
-        // unaffected by the sizing rule. The max-id probe is a
-        // footer-stats scan, not a data pass.
+        // unaffected by the sizing rule. The max-id probe is a single
+        // pruned-to-one-column scan (parquet aggregate pushdown would make
+        // it footer-only, but Spark ships it off by default); null max =
+        // empty corpus, which packs to an empty result via shardSize 1.
         val numShards = 1024L
-        val maxId = table(s, dir, "documents")
-          .agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val maxId = Option(table(s, dir, "documents")
+          .agg(max(col("doc_id"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val shardSize = math.max(1L, (maxId + numShards) / numShards)
         val W = org.apache.spark.sql.expressions.Window
         // localCheckpoint: toks feeds BOTH the offsets aggregate and the

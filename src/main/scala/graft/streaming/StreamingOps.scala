@@ -26,30 +26,53 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** How `ts` is stored in the event parquet files. The driver's corpus
+    * has shipped both: TIMESTAMP(NANOS) (surfaced as a nanos long under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (a native timestamp). */
+  sealed abstract class TsEncoding(private[streaming] val isNanosLong: Boolean)
+  object TsEncoding {
+    /** Legacy TIMESTAMP(NANOS) storage: ts reads as a nanos `long`. */
+    case object NanosLong extends TsEncoding(true)
+    /** TIMESTAMP(MICROS) storage: ts reads as a native timestamp. */
+    case object Micros extends TsEncoding(false)
+  }
+
   /** File-stream source over a directory that accumulates event parquet
     * files (the streaming contract: new files = new data; the directory
     * must hold ONLY event files). ts is normalized to a microsecond
     * timestamp exactly like the batch reader ([[graft.queries.Registry
-    * .events]]): a streaming source needs an explicit schema, so we sniff
-    * the directory's batch schema ONCE (driver-side, footer-only — no data
-    * scan) and branch on how ts is stored — nanos-long (legacy
-    * TIMESTAMP(NANOS) files) gets `div 1000`, a native timestamp (µs
-    * files) passes through. This keeps every streaming twin correct on
-    * both encodings instead of hard-coding one storage contract. */
+    * .events]]): a streaming source needs an explicit schema, so the ts
+    * storage encoding is either passed by the caller (`tsEncoding`) or
+    * sniffed ONCE from the directory's parquet footers (driver-side,
+    * footer-only — no data scan) — nanos-long (legacy TIMESTAMP(NANOS)
+    * files) gets `div 1000`, a native timestamp (µs files) passes
+    * through.
+    *
+    * THE ENCODING IS LATCHED AT STREAM CONSTRUCTION. Every file the
+    * stream ever reads must use the same ts storage type: a file with
+    * the other encoding landing mid-stream is read against the latched
+    * schema and fails the batch (or, worse, silently misreads) — Spark
+    * file streams cannot re-infer schema per file. Starting on an EMPTY
+    * directory therefore requires an explicit `tsEncoding`: there is no
+    * footer to sniff, and guessing would silently corrupt a stream whose
+    * first real file used the other encoding, so this throws instead. */
   def readEvents(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      tsEncoding: Option[TsEncoding] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Empty directory (stream started before the first file lands): no
-    // footer to sniff — assume the µs-native encoding, today's corpus
-    // default. A deployment that streams legacy nanos files into a
-    // pre-created empty dir must stage one file before start (as every
-    // harness fixture does), which the sniff then honors.
-    val tsIsNanosLong =
-      try spark.read.parquet(dir).schema("ts").dataType == LongType
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-             e.getMessage.contains("PATH_NOT_FOUND") ||
-             e.getMessage.contains("Path does not exist") => false }
+    val tsIsNanosLong = tsEncoding match {
+      case Some(enc) => enc.isNanosLong
+      case None =>
+        graft.ext.ParquetIO.sniffSchema(spark, dir) match {
+          case Some(s) => s("ts").dataType == LongType
+          case None => throw new IllegalStateException(
+            s"readEvents($dir): no parquet footer to sniff the ts encoding " +
+              "from (missing or empty directory). Pass tsEncoding " +
+              "explicitly (TsEncoding.Micros for TIMESTAMP(MICROS) files, " +
+              "TsEncoding.NanosLong for legacy TIMESTAMP(NANOS)) or stage " +
+              "one representative file before starting the stream.")
+        }
+    }
     val schema =
       if (tsIsNanosLong) eventsRawSchema
       else StructType(eventsRawSchema.map(f =>
@@ -314,8 +337,11 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.Dedup.dedupIngestBatch(batch, indexPath, pairsOutPath, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the REAL foreachBatch batchId keys the pairs output directory —
+        // a replayed batch rewrites batch_id=<id> instead of re-appending
+        graft.ext.Dedup.dedupIngestBatch(batch, indexPath, pairsOutPath,
+          batchId, threshold)
       }
 
   /** Incremental per-source corpus audit at ingest — foreachBatch wiring

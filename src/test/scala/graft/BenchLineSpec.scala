@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Length contract of Bench's stdout headline line. The harness keeps
+  * only a ~2000-char tail of stdout, so Bench shrinks the line first by
+  * dropping trial arrays (nTrials → 0) and only then by dropping
+  * headline queries off the tail — silently. This spec pins the floor:
+  * the FULL pinned headline set at nTrials=0 must fit the 1800-char
+  * budget with worst-case-width numbers, so a future query rename or
+  * headline addition can't push real queries out of the driver's bench
+  * artifact without failing a test. */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("headline names are registered queries") {
+    val missing = Bench.headline.filterNot(SparkEntry.registry.contains)
+    assert(missing.isEmpty, s"headline names not in the registry: $missing")
+  }
+
+  test("full headline line fits the stdout budget at the nTrials=0 floor") {
+    // worst realistic widths: per-query seconds up to 9999.999 (a query
+    // that slow would fail the bench on wall-clock long before the line
+    // width matters), a couple of errored queries per SF, a /tmp artifact
+    // path of the width main actually passes
+    val worstByName = Bench.headline.map(_ -> 9999.999).toMap
+    val worstTrials = Bench.headline.map(_ -> Seq.fill(5)(9999.99)).toMap
+    val errs = Bench.headline.take(2).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = Bench.stdoutLine(
+      Bench.headline, nTrials = 0, total = 99999.99,
+      byName = worstByName, trialsByName = worstTrials,
+      nQueries = 999, errs = errs, errs2 = errs,
+      sfDir = "/root/testdata/sf0.1", total2 = 99999.99,
+      sfDir2 = "/root/testdata/sf0.01",
+      outFile = "/tmp/graft_bench_artifact_r99.json")
+    assert(line.length <= 1800,
+      s"headline line is ${line.length} chars at nTrials=0 — the shrink " +
+        "loop would start dropping headline queries; trim the set or names")
+  }
+
+  test("trial arrays attach to the slowest queries first") {
+    val byName = Map("fast" -> 1.0, "slow" -> 50.0, "mid" -> 10.0)
+    val trials = byName.map { case (k, v) => k -> Seq(v, v) }
+    val line = Bench.stdoutLine(Seq("fast", "slow", "mid"), nTrials = 1,
+      total = 61.0, byName = byName, trialsByName = trials,
+      nQueries = 3, errs = "[]", errs2 = "[]", sfDir = "x", total2 = 0.0,
+      sfDir2 = "y", outFile = "z")
+    assert(line.contains("\"slow\":[50.00,50.00]"),
+      s"slowest query must carry its trial array: $line")
+    assert(!line.contains("\"fast\":[") && !line.contains("\"mid\":["),
+      s"only the slowest nTrials queries may carry trials: $line")
+  }
+}

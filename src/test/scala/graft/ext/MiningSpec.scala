@@ -155,6 +155,22 @@ class MiningSpec extends SparkSpec {
       s"full containment must be flagged at C=1.0, got $got")
   }
 
+  test("indexed dedup screens are output-identical to the inline forms") {
+    // The *_indexed registry queries read the shared persisted signature
+    // artifact instead of re-signing the corpus; same corpus + same
+    // banding seed ⇒ the SAME pairs to the last rounded digit, for both
+    // the Jaccard and the containment screen.
+    val d = sf("sf0.001")
+    def rows(name: String): Seq[Seq[Any]] =
+      graft.SparkEntry.queries(name)(spark, d).collect().toSeq.map(_.toSeq)
+    val inline = rows("dedup_minhash")
+    assert(inline.nonEmpty, "planted corpus must produce near-dup pairs")
+    assert(rows("dedup_minhash_indexed") == inline,
+      "artifact-served Jaccard screen diverged from the inline form")
+    assert(rows("dedup_containment_indexed") == rows("dedup_containment"),
+      "artifact-served containment screen diverged from the inline form")
+  }
+
   test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {
     val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_cold")
@@ -164,22 +180,35 @@ class MiningSpec extends SparkSpec {
     // delta batch: exact copies of some batch-1 docs → guaranteed pairs
     val batch2 = Dedup.planted(docs).filter($"doc_id" >= 1000000L && $"doc_id" < 1000250L)
     // COLD START: no index exists yet — the first batch must create it
-    Dedup.dedupIngestBatch(batch1, idx, pairs)
+    Dedup.dedupIngestBatch(batch1, idx, pairs, batchId = 0L)
     assert(new java.io.File(s"$idx/banded").exists(), "first batch must create the index")
-    def pairSet() = spark.read.parquet(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    Dedup.dedupIngestBatch(batch2, idx, pairs)
-    val afterOnce = pairSet()
+    def pairRows() = spark.read.parquet(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    Dedup.dedupIngestBatch(batch2, idx, pairs, batchId = 1L)
+    val afterOnce = pairRows()
     assert(afterOnce.nonEmpty, "exact copies must pair against the bootstrapped index")
     assert(afterOnce.forall { case (d, b, _) => d != b }, "self-pairs must never be emitted")
+    // data-file sizes under the output tree: replays must leave the
+    // CONTENT byte-stable (file names carry fresh write UUIDs, so sizes +
+    // row multiset are the stable identity)
+    def dataFileSizes() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(pairs))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sorted
+    }
+    val sizesOnce = dataFileSizes()
     // AT-LEAST-ONCE REPLAY: the crash-after-merge case — batch 2's own
-    // signatures are already in the index; the replay must emit exactly
-    // the same pair SET (dup rows ok), never (d, d) self-pairs or new
-    // batch×batch pairs
-    Dedup.dedupIngestBatch(batch2, idx, pairs)
-    val afterReplay = pairSet()
+    // signatures are already in the index. Exactly-once output: the
+    // replay OVERWRITES batch_id=1, so the pairs table is unchanged as a
+    // row MULTISET (the old append path left duplicate rows behind), and
+    // the rewritten files are byte-for-byte the same size.
+    Dedup.dedupIngestBatch(batch2, idx, pairs, batchId = 1L)
+    val afterReplay = pairRows()
     assert(afterReplay == afterOnce,
-      s"replay changed the pair set: extra=${(afterReplay -- afterOnce).take(3)}")
+      s"replay changed the pair multiset: got ${afterReplay.size} rows vs ${afterOnce.size}")
+    assert(dataFileSizes() == sizesOnce,
+      "replay must rewrite batch_id=1 in place, not append new files")
   }
 
   test("linear attribution splits cents exactly on a hand fixture") {

@@ -41,11 +41,15 @@ class RegistrySpec extends AnyFunSuite {
     // +graph_link_predict, +events_funnel_windowed → 168; then
     // +sample_negatives, +feature_hash → 170; +agg_cms_freq,
     // +events_pattern_match, +stats_psi → 173; +dedup_containment,
-    // +corpus_source_audit → 175): see COVERAGE.md tally.
+    // +corpus_source_audit → 175; +dedup_minhash_indexed,
+    // +dedup_containment_indexed → 177): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 175,
+    assert(graft.SparkEntry.registry.size == 177,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
+    assert(graft.SparkEntry.registry.contains("dedup_minhash_indexed") &&
+      graft.SparkEntry.registry.contains("dedup_containment_indexed"),
+      "the artifact-served dedup screens must stay registered")
   }
 
   test("every query carries a doc line; every oracle is non-empty ANSI text") {

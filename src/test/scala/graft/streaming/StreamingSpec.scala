@@ -51,11 +51,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("readEvents starts on an empty directory; files landing later stream through") {
-    // The production pattern the schema sniff must not break: the stream
-    // is constructed BEFORE the first file lands (no footer to sniff →
-    // µs-native default), then files arrive.
+    // The production pattern: the stream is constructed BEFORE the first
+    // file lands. No footer to sniff, so the caller must say how ts is
+    // stored — guessing here used to silently misread a nanos deployment.
     val d = java.nio.file.Files.createTempDirectory("graft_events_empty")
-    val stream = StreamingOps.readEvents(spark, d.toString) // must not throw
+    val stream = StreamingOps.readEvents(spark, d.toString,
+      tsEncoding = Some(StreamingOps.TsEncoding.Micros))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
     val q = stream.writeStream.outputMode("append")
@@ -66,6 +67,48 @@ class StreamingSpec extends SparkSpec {
       assert(q.awaitTermination(300000), "stream did not finish in 5 min")
       assert(spark.table("empty_start_out").count() ==
         events(spark, dir).count(), "late-landing file must stream through")
+    } finally q.stop()
+  }
+
+  test("readEvents on an empty directory refuses to guess the ts encoding") {
+    // Pre-round-10 behavior was a silent µs default — a nanos file landing
+    // later would be read against a TimestampType schema (error at best,
+    // corrupt timestamps at worst). Now it must fail LOUDLY at
+    // construction unless the caller states the encoding.
+    val d = java.nio.file.Files.createTempDirectory("graft_events_noguess")
+    val e = intercept[IllegalStateException] {
+      StreamingOps.readEvents(spark, d.toString)
+    }
+    assert(e.getMessage.contains("tsEncoding"),
+      s"error must point the caller at the explicit parameter: ${e.getMessage}")
+  }
+
+  test("readEvents nanos stream on a pre-created empty dir reads correctly") {
+    // The case the old silent default misread: a legacy-nanos deployment
+    // starting its stream on an empty directory. With the encoding stated
+    // up front the late-landing nanos file normalizes to the same rows as
+    // the µs corpus.
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_events_nanos_empty")
+    val stream = StreamingOps.readEvents(spark, d.toString,
+      tsEncoding = Some(StreamingOps.TsEncoding.NanosLong))
+    graft.queries.Registry.events(spark, dir)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("nanos_empty_start_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+      val got = spark.table("nanos_empty_start_out")
+        .select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val want = graft.queries.Registry.events(spark, dir)
+        .select("event_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == want, "explicit nanos encoding must normalize identically")
     } finally q.stop()
   }
 
@@ -493,8 +536,8 @@ class StreamingSpec extends SparkSpec {
     val incIdx = buildIndex("inc"); val foldIdx = buildIndex("fold")
     // sequential batch fold — the reference semantics
     val foldPairs = root.resolve("fold_pairs").toString
-    Dedup.dedupIngestBatch(half1, foldIdx, foldPairs)
-    Dedup.dedupIngestBatch(half2, foldIdx, foldPairs)
+    Dedup.dedupIngestBatch(half1, foldIdx, foldPairs, batchId = 0L)
+    Dedup.dedupIngestBatch(half2, foldIdx, foldPairs, batchId = 1L)
     // stream: two staged files, one per micro-batch
     val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
@@ -586,6 +629,15 @@ class StreamingSpec extends SparkSpec {
       docs.filter(col("doc_id") < mid), state, 0L)
     assert(rows(graft.ext.SourceAudit.snapshot(spark, state)) == want,
       "replaying a batch must not change the audit (overwrite idempotence)")
+    // restart-shaped replay: the SAME batch arrives with a different
+    // physical layout (row order and partitioning are not stable across a
+    // crash-recovered re-execution) — the partition overwrite must land
+    // the same facts and the snapshot must not move
+    graft.ext.SourceAudit.auditIngestBatch(
+      docs.filter(col("doc_id") < mid).orderBy(col("doc_id").desc).repartition(7),
+      state, 0L)
+    assert(rows(graft.ext.SourceAudit.snapshot(spark, state)) == want,
+      "a perturbed-layout replay of the same batchId must leave the audit unchanged")
   }
 
   test("ivf index upsert: a one-vector batch rewrites only its bucket") {
