@@ -525,6 +525,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate removal — the frequency-threshold
+    * complement of [[lineDedup]] (CCNet/C4 shape): a chunk appearing in
+    * `minDocs`+ DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, license headers) and is stripped from EVERY document —
+    * including its first occurrence, which [[lineDedup]] would keep.
+    * Chunking is the same 10-token rule, so the two layers compose on one
+    * chunk relation in a standing pipeline.
+    *
+    * Scale shape: chunk assembly is one doc-keyed aggregation; the
+    * document-frequency table is |distinct chunks| rows — corpus-sized,
+    * NEVER broadcastable — so the join back is chunk-keyed and
+    * `shuffle_hash`-pinned (sort-merge would sort the full chunk relation
+    * for a single lookup). No window: `PARTITION BY chunk` would buffer
+    * every instance of a hot boilerplate chunk (by definition the most
+    * frequent keys in the corpus) in one task. At 100 TB the join key
+    * would be `xxhash64(chunk)` to keep shuffle rows narrow. */
+  def boilerplateStrip(docs: DataFrame, chunkTokens: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    val tok = planted(docs).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val orderedTokens = concat_ws(" ", transform(
+      array_sort(collect_list(struct(col("pos"), col("t")))),
+      x => x.getField("t")))
+    val chunks = tok
+      .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(orderedTokens.as("chunk"))
+    val freq = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+    // collect_list skips nulls, so the when() collects exactly the keepers
+    val keptOrdered = concat_ws(" ", transform(
+      array_sort(collect_list(when(col("nd") < minDocs,
+        struct(col("chunk_id"), col("chunk"))))),
+      x => x.getField("chunk")))
+    chunks.join(freq.hint("shuffle_hash"), "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        md5(keptOrdered.cast("binary")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- contamination
   /** Benchmark-contamination check — the eval-set hygiene step of a
     * training-data pipeline: for every corpus document, how many DISTINCT

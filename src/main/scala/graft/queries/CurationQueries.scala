@@ -249,6 +249,85 @@ object CurationQueries {
              |ORDER BY score DESC, doc_id LIMIT 300""".stripMargin),
       "DSIR-shaped importance resampling: hashed-unigram fixed-point ratio score, top-300"),
 
+    // Pipeline observability: the per-stage attrition funnel every
+    // curation run reports — stage k's input is stage k-1's survivors, so
+    // a gate change's blast radius is visible per stage, not only
+    // end-to-end (which curation_pipeline's output shows). Stages:
+    // fingerprint dedup (keep min doc_id), token-length gate, quality
+    // gate, language-known gate — the same primitives curation_pipeline /
+    // text_langid register, asserted here as a funnel. Plan: one fp-keyed
+    // window for the dedup flag (duplicate groups are tiny — bounded by
+    // copies-per-document, never corpus-sized), then ONE global
+    // map-side-combinable aggregate of cascaded booleans, exploded into 4
+    // stage rows on the 1-row result. The corpus is scanned once.
+    "curation_attrition" -> Q(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        import graft.ext.{Dedup, TextStats}
+        val langKnown = TextStats.langScores(col("text")).map(_._2)
+          .reduce((a, b) => greatest(a, b)) > 0
+        val flags = Dedup.planted(table(s, dir, "documents"))
+          .withColumn("fp", TextStats.fingerprint(col("text")))
+          .withColumn("s1",
+            col("doc_id") === min("doc_id").over(W.partitionBy("fp")))
+          .withColumn("s2", col("s1") && TextStats.wsTokenCount(col("text")) >= 20)
+          .withColumn("s3", col("s2") && TextStats.qualityScore(col("text")) >= 0.3)
+          .withColumn("s4", col("s3") && langKnown)
+        def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(c)
+        val t = flags.agg(count(lit(1)).as("n0"),
+          cnt("s1"), cnt("s2"), cnt("s3"), cnt("s4"))
+        def st(i: Int, name: String, nin: String, nout: String) =
+          struct(lit(i).as("stage"), lit(name).as("stage_name"),
+            col(nin).as("n_in"), col(nout).as("n_out"))
+        t.select(explode(array(
+            st(1, "fingerprint_dedup", "n0", "s1"),
+            st(2, "min_tokens", "s1", "s2"),
+            st(3, "quality_gate", "s2", "s3"),
+            st(4, "lang_known", "s3", "s4"))).as("r"))
+          .select(col("r.stage").as("stage"),
+            col("r.stage_name").as("stage_name"),
+            col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+            (col("r.n_in") - col("r.n_out")).as("n_dropped"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH planted AS (${ExtQueries.plantedSql}),
+              |f AS (
+              |  SELECT doc_id, text,
+              |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              |  FROM planted),
+              |flags AS (
+              |  SELECT doc_id,
+              |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS s1,
+              |    len(regexp_split_to_array(trim(text), '\\s+')) >= 20 AS len_ok,
+              |    round(0.4 * least(length(text) / 500.0, 1.0)
+              |        + 0.4 * least(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+              |                      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0)
+              |        + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+              |                      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0)), 6) >= 0.3 AS q_ok,
+              |    greatest(
+              |      len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that|it|for|with)\\b')),
+              |      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\\b')),
+              |      len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|y|que|de|un|una|por)\\b')),
+              |      len(regexp_extract_all(lower(text), '\\b(le|la|les|est|et|que|des|une|pour|dans)\\b')),
+              |      len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]'))) > 0 AS lang_ok
+              |  FROM f),
+              |t AS (
+              |  SELECT count(*) AS n0,
+              |    sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+              |    sum(CASE WHEN s1 AND len_ok THEN 1 ELSE 0 END) AS n2,
+              |    sum(CASE WHEN s1 AND len_ok AND q_ok THEN 1 ELSE 0 END) AS n3,
+              |    sum(CASE WHEN s1 AND len_ok AND q_ok AND lang_ok THEN 1 ELSE 0 END) AS n4
+              |  FROM flags),
+              |x AS (
+              |  SELECT CAST(1 AS INTEGER) AS stage, 'fingerprint_dedup' AS stage_name,
+              |         CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out FROM t
+              |  UNION ALL SELECT 2, 'min_tokens', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM t
+              |  UNION ALL SELECT 3, 'quality_gate', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM t
+              |  UNION ALL SELECT 4, 'lang_known', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM t)
+              |SELECT stage, stage_name, n_in, n_out, n_in - n_out AS n_dropped
+              |FROM x ORDER BY stage""".stripMargin),
+      "curation funnel: per-stage survivor/attrition counts (dedup → length → quality → lang)"),
+
     // First step of BPE tokenizer training: the most frequent adjacent
     // character pairs, weighted by word frequency. The scale trick is the
     // one production BPE trainers use: aggregate to the DISTINCT-word

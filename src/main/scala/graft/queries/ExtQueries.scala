@@ -586,6 +586,34 @@ object ExtQueries {
               |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "line-level exact dedup: first occurrence wins per 10-token chunk"),
 
+    // Corpus-frequency boilerplate stripping (CCNet/C4): a chunk occurring
+    // in >= 3 DISTINCT docs is removed from EVERY doc — the
+    // frequency-threshold complement of dedup_lines' first-occurrence
+    // rule (nav bars / cookie banners / license headers have no canonical
+    // first document). Plan: doc-keyed chunk assembly → |chunks|-row
+    // document-frequency table → chunk-keyed shuffle_hash join back →
+    // doc rollup. Deliberately windowless: PARTITION BY chunk would
+    // buffer every instance of a hot boilerplate chunk in one task.
+    "text_boilerplate" -> Q(
+      (s, dir) => Dedup.boilerplateStrip(table(s, dir, "documents")),
+      Some(s"""WITH planted AS ($plantedSql),
+              |tok AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) - 1 AS pos
+              |  FROM planted),
+              |chunks AS (
+              |  SELECT doc_id, CAST(floor(pos / 10) AS BIGINT) AS chunk_id,
+              |    string_agg(t, ' ' ORDER BY pos) AS chunk
+              |  FROM tok GROUP BY doc_id, chunk_id),
+              |freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+              |SELECT c.doc_id, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |  md5(coalesce(string_agg(CASE WHEN f.nd < 3 THEN c.chunk END, ' ' ORDER BY c.chunk_id), '')) AS kept_fp
+              |FROM chunks c JOIN freq f USING (chunk)
+              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+      "corpus-frequency boilerplate chunk removal (>=3 docs): per-doc survival + kept fingerprint"),
+
     // The REMOVAL step dedup exists for: compact the corpus to one
     // representative (the min-id member) per near-dup cluster. Survivors =
     // corpus MINUS non-representative cluster members, via a broadcast
@@ -1593,6 +1621,50 @@ object ExtQueries {
              |       WHEN lang = 'de' THEN 2500 ELSE 1000 END
              |ORDER BY doc_id""".stripMargin),
       "deterministic per-language mixture sampling via stable hash threshold"),
+
+    // Temperature-scaled source mixing — the multilingual-LM sampling rule
+    // p_s ∝ (n_s/N)^(1/τ) with τ=2 (so the weight is sqrt(n_s)): small
+    // sources are upsampled relative to their share, large ones capped.
+    // Unlike corpus_mix_sample's FIXED rate table, the per-source rates
+    // are DERIVED from corpus counts. The weights are held in fixed-point
+    // integers (sqrt scaled to 1e6, then pure BIGINT arithmetic) so the
+    // oracle is bit-identical — a double sum over sources would be
+    // partition-order-dependent. Plan: one tiny source-count aggregate →
+    // 1-row normalizer cross-broadcast → ~|sources|-row rate table
+    // broadcast back onto the scan; the corpus is read ONCE with no
+    // fact-side shuffle. At 100 TB the fixed-point scale moves to
+    // DECIMAL(38,0) to keep the products in range.
+    "sample_temperature" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("s6",
+            floor(sqrt(col("n").cast("double")) * lit(1000000.0)).cast("long"))
+        val z = counts.agg(sum("s6").as("z6"), sum("n").as("ntot"))
+        val rates = counts.crossJoin(broadcast(z))
+          .withColumn("rate10k",
+            least(lit(10000L), expr("(s6 * (ntot div 4) * 10000) div (z6 * n)")))
+          .select(col("source"), col("rate10k"))
+        val u = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000007L)), lit(10000L))
+        docs.join(broadcast(rates), "source")
+          .filter(u < col("rate10k"))
+          .select(col("doc_id"), col("source"), col("rate10k"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |c6 AS (SELECT source, n,
+             |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s6
+             |       FROM counts),
+             |z AS (SELECT sum(s6) AS z6, sum(n) AS ntot FROM c6),
+             |rates AS (SELECT source,
+             |            least(10000, (s6 * (ntot // 4) * 10000) // (z6 * n)) AS rate10k
+             |          FROM c6 CROSS JOIN z)
+             |SELECT d.doc_id, d.source, CAST(r.rate10k AS BIGINT) AS rate10k
+             |FROM documents d JOIN rates r USING (source)
+             |WHERE (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 10000 < r.rate10k
+             |ORDER BY d.doc_id""".stripMargin),
+      "temperature-scaled (τ=2) source mixing: fixed-point sqrt weights, hash-threshold sample"),
 
     // --------------------------------------------------------- multimodal
     // The batched decode (mapPartitions, one codec init per task) runs the

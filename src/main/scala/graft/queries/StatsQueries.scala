@@ -313,5 +313,74 @@ object StatsQueries {
               |       THEN a.approx_users END AS approx_users
               |FROM approx a JOIN exact x ON a.event_type = x.event_type
               |ORDER BY a.event_type""".stripMargin),
-      "two-level mergeable HLL rollup (daily sketches → per-type union)"))
+      "two-level mergeable HLL rollup (daily sketches → per-type union)"),
+
+    // Two-sample Kolmogorov–Smirnov: D = max_v |ECDF_en(v) − ECDF_rest(v)|
+    // over document length — the distribution-shift test run when a new
+    // crawl snapshot lands (does source X's length profile match the
+    // corpus?). The cumulative sums use the pack_sequences two-level
+    // prefix-sum so NO window is unpartitioned: distinct values collapse
+    // into 1024 fixed range buckets; per-bucket totals (≤1024 rows) turn
+    // into starting offsets via a broadcast theta-join prefix sum
+    // (window-free at the top level); the intra-bucket cumsum runs under
+    // a bucket-PARTITIONED window. All counts stay BIGINT until the final
+    // two divisions, so the gap doubles are bit-identical across engines.
+    // The max-id probe is the same single pruned-column scan
+    // pack_sequences documents.
+    "stats_kstest" -> Q(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+        val byV = docs
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("a"))
+          .groupBy("v").agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
+        val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val width = math.max(1L, (maxV + 1024L) / 1024L)
+        val bk = byV.withColumn("bucket", (col("v") / width).cast("long"))
+        val totals = bk.groupBy("bucket")
+          .agg(sum("ca").as("tca"), sum("cb").as("tcb"))
+        val offsets = totals.as("x")
+          .join(broadcast(totals.as("y")),
+            col("y.bucket") < col("x.bucket"), "left")
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(coalesce(sum(col("y.tca")), lit(0L)).as("oa"),
+            coalesce(sum(col("y.tcb")), lit(0L)).as("ob"))
+        val w = W.partitionBy("bucket").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val nn = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val gaps = bk.join(broadcast(offsets), "bucket")
+          .withColumn("cuma", col("oa") + sum("ca").over(w))
+          .withColumn("cumb", col("ob") + sum("cb").over(w))
+          .crossJoin(broadcast(nn))
+          .withColumn("gap",
+            abs(col("cuma").cast("double") / col("na")
+              - col("cumb").cast("double") / col("nb")))
+        gaps
+          .agg(max(struct(col("gap").as("gap"), (-col("v")).as("nv"))).as("m"),
+            max("na").as("na"), max("nb").as("nb"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            round(col("m.gap"), 6).as("d_stat"),
+            (-col("m.nv")).as("d_at_v"))
+      },
+      Some("""WITH d AS (
+             |  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+             |  FROM documents),
+             |byv AS (
+             |  SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+             |  FROM d GROUP BY v),
+             |nn AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM byv),
+             |cum AS (
+             |  SELECT v,
+             |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+             |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+             |  FROM byv),
+             |gaps AS (
+             |  SELECT v, na, nb,
+             |    abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS gap
+             |  FROM cum CROSS JOIN nn)
+             |SELECT na AS n_a, nb AS n_b, round(gap, 6) AS d_stat, v AS d_at_v
+             |FROM gaps ORDER BY gap DESC, v LIMIT 1""".stripMargin),
+      "two-sample Kolmogorov–Smirnov over doc length (en vs rest), two-level prefix-sum CDFs"))
 }

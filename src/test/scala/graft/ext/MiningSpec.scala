@@ -234,4 +234,37 @@ class MiningSpec extends SparkSpec {
       ("click", 1L, 1L, 500L),
       ("view", 2L, 2L, 500L + 999L)), s"got ${got.toSeq}")
   }
+
+  test("boilerplateStrip: >=3-doc chunks stripped EVERYWHERE, unlike lineDedup") {
+    import spark.implicits._
+    // ids coprime to the planting rules (doc_id % 20, % 25) so planted()
+    // is the identity; <10-token docs → exactly one chunk each
+    val shared = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared),
+      (7L, "unique seven words of content here ok")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    // the shared chunk is boilerplate (3 distinct docs): stripped from
+    // ALL THREE, including the first occurrence
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id) == ((1L, 1L, emptyMd5)), s"doc $id: ${out(id)}")
+    }
+    // the unique chunk (1 doc < 3) survives with a real fingerprint
+    assert(out(7L)._1 == 1L && out(7L)._2 == 0L && out(7L)._3 != emptyMd5)
+    // contrast: lineDedup's first-occurrence rule KEEPS doc 1's copy
+    val ld = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ld(1L) == 1L && ld(2L) == 0L && ld(3L) == 0L)
+  }
+
+  test("boilerplateStrip: below-threshold repeats (2 docs) are NOT boilerplate") {
+    import spark.implicits._
+    val docs = Seq((1L, "twice repeated chunk"), (2L, "twice repeated chunk"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(docs).collect()
+    assert(out.forall(_.getLong(2) == 0L), "2 < minDocs=3 must keep the chunk")
+  }
 }

@@ -686,4 +686,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_hll_sketch_agg") || plan.contains("partial_"),
       s"day sketches must build map-side:\n$plan")
   }
+
+  test("text_boilerplate: chunk-frequency join keeps its shuffle_hash pin; windowless") {
+    val plan = explained("text_boilerplate")
+    // the document-frequency table is corpus-sized — never broadcast,
+    // never sort-merged for one equi-lookup
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    // a PARTITION BY chunk window would serialize hot boilerplate chunks
+    assert(!plan.contains("Window"), s"boilerplate screen must stay windowless:\n$plan")
+  }
+
+  test("sample_temperature: rate table broadcasts onto the scan; no fact-side shuffle") {
+    val plan = explained("sample_temperature")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("stats_kstest: offsets/normalizer broadcast; no sort-merge or cartesian") {
+    val plan = explained("stats_kstest")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=1024-row offsets table must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // the global unpartitioned-window sweep separately guarantees both
+    // cumsum windows here are bucket-partitioned
+  }
+
+  test("curation_attrition: union-only corpus pass — no joins anywhere") {
+    val plan = explained("curation_attrition")
+    assert(!plan.contains("Join"),
+      s"the funnel is one windowed pass + one global agg, never a join:\n$plan")
+  }
 }

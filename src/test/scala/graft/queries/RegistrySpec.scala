@@ -42,10 +42,12 @@ class RegistrySpec extends AnyFunSuite {
     // +sample_negatives, +feature_hash → 170; +agg_cms_freq,
     // +events_pattern_match, +stats_psi → 173; +dedup_containment,
     // +corpus_source_audit → 175; +dedup_minhash_indexed,
-    // +dedup_containment_indexed → 177): see COVERAGE.md tally.
+    // +dedup_containment_indexed → 177; +text_boilerplate,
+    // +sample_temperature, +curation_attrition, +stats_kstest → 181):
+    // see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 177,
+    assert(graft.SparkEntry.registry.size == 181,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
     assert(graft.SparkEntry.registry.contains("dedup_minhash_indexed") &&
       graft.SparkEntry.registry.contains("dedup_containment_indexed"),

@@ -88,4 +88,33 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(run() == run())
   }
+
+  test("sample_temperature: τ=2 upsamples the small source past its share; deterministic") {
+    // skewed fixture corpus: 90 "big" docs vs 10 "small" docs. With τ=2
+    // the sampling weight is sqrt(n): small's rate must land ABOVE the
+    // uniform 25% budget (upsampled) and big's below it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_temp_sample").toString
+    spark.range(100).select(
+        col("id").as("doc_id"),
+        concat(lit("doc "), col("id")).as("text"),
+        lit("en").as("lang"),
+        when(col("id") < 90, "big").otherwise("small").as("source"),
+        lit(10L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = graft.SparkEntry.queries("sample_temperature")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = run()
+    assert(out.nonEmpty)
+    assert(out.toSeq == run().toSeq, "hash-threshold sampling must be deterministic")
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates.contains("big") && rates.contains("small"),
+      s"both sources must appear in the sample: $rates")
+    assert(rates("small") > 2500L && rates("big") < 2500L,
+      s"τ=2 must upsample small (got ${rates("small")}) and downsample big (${rates("big")})")
+    // rates match the fixed-point formula exactly
+    def s6(n: Long) = math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    val (z6, ntot) = (s6(90) + s6(10), 100L)
+    def rate(n: Long) = math.min(10000L, s6(n) * (ntot / 4) * 10000L / (z6 * n))
+    assert(rates("big") == rate(90) && rates("small") == rate(10), s"$rates")
+  }
 }

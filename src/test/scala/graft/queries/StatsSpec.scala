@@ -152,4 +152,47 @@ class StatsSpec extends SparkSpec {
     assert(hll.nonEmpty)
     assert(hll.forall(_.getAs[Long]("approx_users") > 0))
   }
+
+  test("stats_kstest: matches the brute-force ECDF computation at sf0.001") {
+    val dir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("stats_kstest")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val rows = Registry.table(spark, dir, "documents")
+      .select(col("n_chars"), col("lang")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val a = rows.filter(_._2 == "en").map(_._1)
+    val b = rows.filter(_._2 != "en").map(_._1)
+    def ecdf(xs: Array[Long], v: Long) = xs.count(_ <= v).toDouble / xs.length
+    val vs = rows.map(_._1).distinct.sorted
+    val gaps = vs.map(v => (math.abs(ecdf(a, v) - ecdf(b, v)), v))
+    val maxGap = gaps.map(_._1).max
+    val atV = gaps.filter(_._1 == maxGap).map(_._2).min
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    assert(math.abs(r.getAs[Double]("d_stat") - maxGap) < 1e-6,
+      s"d_stat ${r.getAs[Double]("d_stat")} vs brute $maxGap")
+    assert(r.getAs[Long]("d_at_v") == atV,
+      s"argmax v ${r.getAs[Long]("d_at_v")} vs brute $atV")
+  }
+
+  test("curation_attrition: stage chain is a consistent funnel at sf0.001") {
+    val dir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("curation_attrition")(spark, dir).collect()
+    assert(out.length == 4)
+    val byStage = out.sortBy(_.getAs[Int]("stage"))
+    byStage.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    byStage.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("n_in") == w(0).getAs[Long]("n_out"),
+        "stage k input must be stage k-1 survivors")
+    }
+    val docs = Registry.table(spark, dir, "documents")
+    assert(byStage.head.getAs[Long]("n_in") == graft.ext.Dedup.planted(docs).count())
+    // fingerprint dedup drops at least the planted exact copies
+    val exactCopies = docs.filter(col("doc_id") % 20 === 0).count()
+    assert(byStage.head.getAs[Long]("n_dropped") >= exactCopies)
+  }
 }
