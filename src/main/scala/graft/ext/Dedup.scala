@@ -543,17 +543,33 @@ object Dedup {
     * would be `xxhash64(chunk)` to keep shuffle rows narrow. */
   def boilerplateStrip(docs: DataFrame, chunkTokens: Int = 10,
       minDocs: Int = 3): DataFrame = {
-    val tok = planted(docs).select(col("doc_id"),
+    val chunks = chunkRows(planted(docs), chunkTokens)
+    val freq = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+    boilerplateStats(chunks, freq, minDocs)
+  }
+
+  /** (doc_id, chunk_id, chunk) rows for any (doc_id, text) frame — the
+    * 10-token chunking [[lineDedup]] and the boilerplate screens share. */
+  private[graft] def chunkRows(docs: DataFrame,
+      chunkTokens: Int = 10): DataFrame = {
+    val tok = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val orderedTokens = concat_ws(" ", transform(
       array_sort(collect_list(struct(col("pos"), col("t")))),
       x => x.getField("t")))
-    val chunks = tok
+    tok
       .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
       .groupBy("doc_id", "chunk_id")
       .agg(orderedTokens.as("chunk"))
-    val freq = chunks.groupBy("chunk")
-      .agg(countDistinct("doc_id").as("nd"))
+  }
+
+  /** Per-doc boilerplate rollup given chunk rows and a (chunk, nd)
+    * document-frequency table — the shared tail of the inline, indexed,
+    * and at-ingest screens. The frequency table is corpus-sized, so the
+    * join is chunk-keyed and `shuffle_hash`-pinned. */
+  private def boilerplateStats(chunks: DataFrame, freq: DataFrame,
+      minDocs: Int): DataFrame = {
     // collect_list skips nulls, so the when() collects exactly the keepers
     val keptOrdered = concat_ws(" ", transform(
       array_sort(collect_list(when(col("nd") < minDocs,
@@ -565,6 +581,73 @@ object Dedup {
         sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
         md5(keptOrdered.cast("binary")).as("kept_fp"))
       .orderBy("doc_id")
+  }
+
+  /** Schema of the standing chunk index ([[boilerplateIngestBatch]],
+    * `text_boilerplate_indexed`): one row per (doc, chunk position). The
+    * ingest index is at-least-once under replay (a replayed batch may
+    * re-append its rows), so consumers must aggregate with
+    * `countDistinct` — never `count` — over it; the once-built artifact
+    * form is exact and supports the full per-doc rollup. */
+  val ChunkSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("chunk_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("chunk",
+        org.apache.spark.sql.types.StringType)))
+
+  /** The boilerplate screen served from a PERSISTED chunk artifact
+    * instead of re-tokenizing and re-chunking the corpus — the standing-
+    * pipeline form (the chunk pass runs once per corpus snapshot; every
+    * screen reads it). Output-identical to [[boilerplateStrip]] over the
+    * same corpus by construction. */
+  def boilerplateFromIndex(chunks: DataFrame, minDocs: Int = 3): DataFrame = {
+    val freq = chunks.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+    boilerplateStats(chunks, freq, minDocs)
+  }
+
+  /** Boilerplate screening AT INGEST — the foreachBatch body of a
+    * streaming corpus build, same idempotence recipe as
+    * [[dedupIngestBatch]]: each micro-batch's docs are screened against
+    * the chunk document-frequency AS OF this batch (standing index plus
+    * the batch itself), per-batch decisions land under their own
+    * `batch_id=<id>` partition with overwrite (an at-least-once replay
+    * rewrites the same files), and the batch's chunks are appended to the
+    * standing index. The anti-join makes a replay probe see the exact
+    * pre-crash index state; re-appended index rows are harmless because
+    * frequency is `countDistinct(doc_id)` — duplicate (doc, chunk) rows
+    * can never change a count.
+    *
+    * Late-arriving copies are by-design NOT retroactive: a chunk that
+    * crosses the threshold in batch k flags batch-k docs, not the docs
+    * that shipped it in batches < k — re-screening history is a compact
+    * job over the index (`boilerplateFromIndex`), not an ingest concern.
+    *
+    * Scale: every join is chunk- or doc-keyed (`shuffle_hash` where
+    * corpus-sized); the index restriction to the batch's chunk set keeps
+    * the frequency aggregate batch-proportional, not index-proportional. */
+  def boilerplateIngestBatch(batch: DataFrame, indexPath: String,
+      outPath: String, batchId: Long, minDocs: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    val ids = b.select(col("doc_id"))
+    // chunk ONCE; the screen and the index append both consume these rows
+    val ch = chunkRows(b).localCheckpoint()
+    val base = ParquetIO.readOrEmpty(spark, s"$indexPath/chunks", ChunkSchema)
+      .join(ids, Seq("doc_id"), "left_anti")
+    // only index chunks that also occur in this batch can change a
+    // batch doc's verdict: restrict BEFORE the frequency aggregate
+    val relevant = base
+      .join(ch.select("chunk").distinct().hint("shuffle_hash"),
+        Seq("chunk"), "left_semi")
+    val freq = relevant.select("doc_id", "chunk")
+      .unionByName(ch.select("doc_id", "chunk"))
+      .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+    boilerplateStats(ch, freq, minDocs)
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    ch.write.mode("append").parquet(s"$indexPath/chunks")
   }
 
   // ------------------------------------------------------- contamination

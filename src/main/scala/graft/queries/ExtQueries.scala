@@ -141,6 +141,19 @@ object ExtQueries {
       sh.distinct().write.mode("overwrite").parquet(s"$p/shingles")
     }
 
+  /** Chunk-row artifact of the PLANTED corpus, materialized once per
+    * process — the standing chunk pass the indexed boilerplate screen
+    * reads instead of re-tokenizing and re-chunking
+    * ([[graft.ext.Dedup.boilerplateFromIndex]]); the exact-form twin of
+    * the LSH signature artifact above. */
+  private[queries] def plantedChunksPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Artifacts.cached("graft_planted_chunks", dir) { p =>
+      Dedup.chunkRows(Dedup.planted(
+        table(s, dir, "documents").select("doc_id", "text")))
+        .write.mode("overwrite").parquet(s"$p/chunks")
+    }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokens" -> Q(
@@ -613,6 +626,35 @@ object ExtQueries {
               |FROM chunks c JOIN freq f USING (chunk)
               |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
       "corpus-frequency boilerplate chunk removal (>=3 docs): per-doc survival + kept fingerprint"),
+
+    // The SAME screen served from the persisted chunk artifact
+    // (plantedChunksPath): the tokenize+chunk pass — the dominant cost —
+    // runs once per corpus snapshot; the screen is frequency-agg + join
+    // only. Output-identical to text_boilerplate by construction, so it
+    // shares the oracle. Mirrors dedup_minhash_indexed's artifact split.
+    "text_boilerplate_indexed" -> Q(
+      (s, dir) => {
+        val p = plantedChunksPath(s, dir)
+        Dedup.boilerplateFromIndex(
+          s.read.schema(Dedup.ChunkSchema).parquet(s"$p/chunks"))
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |tok AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) - 1 AS pos
+              |  FROM planted),
+              |chunks AS (
+              |  SELECT doc_id, CAST(floor(pos / 10) AS BIGINT) AS chunk_id,
+              |    string_agg(t, ' ' ORDER BY pos) AS chunk
+              |  FROM tok GROUP BY doc_id, chunk_id),
+              |freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+              |SELECT c.doc_id, count(*) AS n_chunks,
+              |  CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |  md5(coalesce(string_agg(CASE WHEN f.nd < 3 THEN c.chunk END, ' ' ORDER BY c.chunk_id), '')) AS kept_fp
+              |FROM chunks c JOIN freq f USING (chunk)
+              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+      "boilerplate screen served from the persisted chunk artifact (no re-chunking)"),
 
     // The REMOVAL step dedup exists for: compact the corpus to one
     // representative (the min-id member) per near-dup cluster. Survivors =

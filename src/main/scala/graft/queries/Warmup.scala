@@ -16,6 +16,7 @@ object Warmup {
   def artifacts(s: SparkSession, dir: String): Unit = {
     ExtQueries.ivfIndexPath(s, dir)
     ExtQueries.plantedIndexPath(s, dir)
+    ExtQueries.plantedChunksPath(s, dir)
     ExtQueries.simhashPairsCached(s, dir)
     ScaleQueries.copurchaseEdgesCached(s, dir)
     ScaleQueries.triAdjCached(s, dir)

@@ -169,6 +169,8 @@ class MiningSpec extends SparkSpec {
       "artifact-served Jaccard screen diverged from the inline form")
     assert(rows("dedup_containment_indexed") == rows("dedup_containment"),
       "artifact-served containment screen diverged from the inline form")
+    assert(rows("text_boilerplate_indexed") == rows("text_boilerplate"),
+      "artifact-served boilerplate screen diverged from the inline form")
   }
 
   test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {
@@ -209,6 +211,51 @@ class MiningSpec extends SparkSpec {
       s"replay changed the pair multiset: got ${afterReplay.size} rows vs ${afterOnce.size}")
     assert(dataFileSizes() == sizesOnce,
       "replay must rewrite batch_id=1 in place, not append new files")
+  }
+
+  test("boilerplate ingest: as-of-batch == batch recompute; not retroactive; replay idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_boiler_ingest")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    val shared = "alpha beta gamma delta"
+    val b1 = Seq((1L, shared), (2L, shared), (11L, "batch one unique text"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, shared), (12L, "batch two unique text"))
+      .toDF("doc_id", "text")
+    // COLD START: no index yet — the first batch must create it
+    Dedup.boilerplateIngestBatch(b1, idx, out, batchId = 0L)
+    assert(new java.io.File(s"$idx/chunks").exists(), "first batch must create the index")
+    Dedup.boilerplateIngestBatch(b2, idx, out, batchId = 1L)
+    def outRows() = spark.read.parquet(out)
+      .selectExpr("cast(batch_id as long) AS bid", "doc_id", "n_chunks",
+        "n_boiler", "kept_fp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val rows = outRows()
+    // at batch 1 the shared chunk sat in 2 docs (< 3): no boiler flags,
+    // and batch 2's arrival must NOT rewrite that decision (by design —
+    // retro re-screening is a compact over the index, not ingest work)
+    assert(rows.filter(r => r._1 == 0L).forall(_._4 == 0L),
+      s"batch-0 decisions must stay as-of their batch: $rows")
+    // at batch 2 the chunk reaches 3 distinct docs: doc 3 flagged AT INGEST
+    assert(rows.find(r => r._2 == 3L).get._4 == 1L, s"doc 3 must be flagged: $rows")
+    assert(rows.find(r => r._2 == 12L).get._4 == 0L)
+    // as-of equivalence: the batch-2 screen must equal a full batch
+    // recompute over every doc seen so far, restricted to batch-2 ids
+    val recompute = Dedup.boilerplateFromIndex(
+        Dedup.chunkRows(b1.unionByName(b2)))
+      .filter($"doc_id".isin(3L, 12L)).collect()
+      .map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._2)
+    assert(rows.filter(_._1 == 1L) == recompute,
+      "ingest screen diverged from the as-of batch recompute")
+    // AT-LEAST-ONCE REPLAY: batch 2's chunks are already in the index;
+    // the anti-join restores the pre-crash probe state and the overwrite
+    // rewrites batch_id=1 in place
+    Dedup.boilerplateIngestBatch(b2, idx, out, batchId = 1L)
+    assert(outRows() == rows, "replay must leave the screened output unchanged")
   }
 
   test("linear attribution splits cents exactly on a hand fixture") {
