@@ -382,5 +382,50 @@ object StatsQueries {
              |  FROM cum CROSS JOIN nn)
              |SELECT na AS n_a, nb AS n_b, round(gap, 6) AS d_stat, v AS d_at_v
              |FROM gaps ORDER BY gap DESC, v LIMIT 1""".stripMargin),
-      "two-sample Kolmogorov–Smirnov over doc length (en vs rest), two-level prefix-sum CDFs"))
+      "two-sample Kolmogorov–Smirnov over doc length (en vs rest), two-level prefix-sum CDFs"),
+
+    // Chi-squared test of independence, lang × source — the categorical
+    // drift check beside stats_kstest's continuous one (is a source's
+    // language mix what the corpus predicts?). ONE corpus aggregate to
+    // the contingency cells; margins, total, and the full grid (including
+    // empty cells — the test is over the whole table) all derive from
+    // that tiny frame via broadcast joins. Per-cell output, no global
+    // double sum: expected counts are exact fixed-point BIGINT
+    // ((r·c·10^6) div N) and each contribution (o−e)²/e is ONE double
+    // expression over exact integer inputs — deterministic across
+    // engines, PSI-style. At harness scales every intermediate fits
+    // BIGINT and r·c·N < 2^53 (doubles exact); at 10^12 docs the products
+    // move to DECIMAL(38,0).
+    "stats_chisq" -> Q(
+      (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val r = counts.groupBy("lang").agg(sum("o").as("r"))
+        val c = counts.groupBy("source").agg(sum("o").as("c"))
+        val n = counts.agg(sum("o").as("n"))
+        val grid = r.crossJoin(broadcast(c)).crossJoin(broadcast(n))
+          .join(broadcast(counts), Seq("lang", "source"), "left")
+          .withColumn("obs", coalesce(col("o"), lit(0L)))
+        val d = (col("obs") * col("n") - col("r") * col("c")).cast("double")
+        grid.select(col("lang"), col("source"), col("obs"),
+            expr("(r * c * 1000000) div n").as("exp6"),
+            round(d * d / (col("r") * col("c") * col("n")).cast("double"), 6)
+              .as("contrib"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+             |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM counts GROUP BY lang),
+             |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM counts GROUP BY source),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM counts),
+             |grid AS (
+             |  SELECT r.lang, c.source, coalesce(k.o, 0) AS obs, r.r, c.c, n.n
+             |  FROM r CROSS JOIN c CROSS JOIN n
+             |  LEFT JOIN counts k ON k.lang = r.lang AND k.source = c.source)
+             |SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+             |  CAST((r * c * 1000000) // n AS BIGINT) AS exp6,
+             |  round(CAST(obs*n - r*c AS DOUBLE) * CAST(obs*n - r*c AS DOUBLE)
+             |        / CAST(r*c*n AS DOUBLE), 6) AS contrib
+             |FROM grid ORDER BY lang, source""".stripMargin),
+      "chi-squared independence cells (lang × source): exact fixed-point expected, per-cell contribution"))
 }

@@ -714,6 +714,13 @@ class PlanShapeSpec extends SparkSpec {
     // cumsum windows here are bucket-partitioned
   }
 
+  test("stats_chisq: one corpus aggregate, then broadcast-only grid joins") {
+    val plan = explained("stats_chisq")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"margins/total/cells are tiny derived frames — they must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("curation_attrition: union-only corpus pass — no joins anywhere") {
     val plan = explained("curation_attrition")
     assert(!plan.contains("Join"),

@@ -175,6 +175,39 @@ class StatsSpec extends SparkSpec {
       s"argmax v ${r.getAs[Long]("d_at_v")} vs brute $atV")
   }
 
+  test("stats_chisq: hand 2×2 table matches the textbook statistic; empty cells present") {
+    // fixture: lang en/de × source a/b with obs [[30,10],[10,30]] plus a
+    // source c seen only for en — the grid must still emit (de, c) with
+    // obs 0. Textbook chi2 for the 2×2 block: margins 40/40, N=80 →
+    // e=20 each, contrib (10)^2/20 = 5 per cell.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chisq").toString
+    val rows = Seq.fill(30)(("en", "a")) ++ Seq.fill(10)(("en", "b")) ++
+      Seq.fill(10)(("de", "a")) ++ Seq.fill(30)(("de", "b"))
+    rows.zipWithIndex.map { case ((l, src), i) => (i.toLong, s"t $i", l, src, 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("stats_chisq")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 4)
+    assert(out(("en", "a")) == ((30L, 20000000L, 5.0)))
+    assert(out(("de", "b")) == ((30L, 20000000L, 5.0)))
+    assert(out(("en", "b"))._3 == 5.0 && out(("de", "a"))._3 == 5.0)
+    // chi2 total = 20, dwarfing the 3.84 critical value — dependence found
+    assert(math.abs(out.values.map(_._3).sum - 20.0) < 1e-9)
+
+    // empty-cell coverage: add one (en, c) doc — the (de, c) cell must
+    // appear with obs 0 and a positive expected count
+    (rows :+ (("en", "c"))).zipWithIndex
+      .map { case ((l, src), i) => (i.toLong, s"t $i", l, src, 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out2 = graft.SparkEntry.queries("stats_chisq")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out2.size == 6, s"full grid must include empty cells: ${out2.keys}")
+    assert(out2(("de", "c")) == 0L)
+  }
+
   test("curation_attrition: stage chain is a consistent funnel at sf0.001") {
     val dir = sf("sf0.001")
     val out = graft.SparkEntry.queries("curation_attrition")(spark, dir).collect()
