@@ -75,6 +75,63 @@ object Mining {
       .orderBy("id_a", "id_b")
   }
 
+  /** ALL pairs of docs with shingle-set CONTAINMENT
+    * |A∩B| / min(|A|,|B|) >= `theta` — EXACT, closing the recall caveat
+    * the LSH containment screen ([[Dedup.containmentPairs]]) documents:
+    * Jaccard-tuned banding can miss a tiny doc inside a huge one, because
+    * high containment does not imply high Jaccard. Prefix filtering still
+    * applies on the SMALLER side: overlap >= ceil(theta·|x|) for the
+    * smaller set x, so x's first `|x| - ceil(theta·|x|) + 1` rare-first
+    * tokens must hit the intersection (pigeonhole). The larger side,
+    * however, cannot be length- or prefix-pruned (containment admits any
+    * size ratio — that IS the operator), so candidates join the smaller
+    * set's prefix against the FULL posting list of every other doc,
+    * oriented by (size, id) so each unordered pair is generated once,
+    * from its smaller member.
+    *
+    * Scale: the probe keys are each doc's RAREST tokens, so posting-list
+    * matches stay short exactly where a naive token join explodes; hot
+    * boilerplate tokens occur only on the (never-matching) posting side.
+    * All data-dependent joins `shuffle_hash`-pinned like
+    * [[prefixJaccardPairs]]; same `theta - 1e-4` guard for the rounded
+    * output contract. */
+  def prefixContainmentPairs(shingled: DataFrame, theta: Double): DataFrame = {
+    val thetaEff = theta - 1e-4
+    val toks = shingled.select(col("doc_id"), col("s")).distinct()
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val docs = toks.join(dfreq.hint("shuffle_hash"), "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), x => x.getField("s")).as("toks"),
+        size(col("st")).as("sz"))
+    val pref = docs.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - ceil(col("sz") * thetaEff) + 1).cast("int"))).as("p"))
+    val post = docs.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("p"))
+    val a = pref.select(col("p"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val b = post.select(col("p"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b.hint("shuffle_hash"), "p")
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val da = docs.select(col("doc_id").as("id_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val db = docs.select(col("doc_id").as("id_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    cand.join(da.hint("shuffle_hash"), "id_a")
+      .join(db.hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"), 4))
+      .filter(col("containment") >= theta)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------- linear multi-touch attribution
   /** Linear multi-touch attribution over an event log (event_id, ts,
     * user_id, event_type, value): each purchase's value in cents is split

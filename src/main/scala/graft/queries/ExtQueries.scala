@@ -747,7 +747,8 @@ object ExtQueries {
       Some(lshVerifySql("dedup_containment_cand", containmentScoreSql,
         "containment", 0.8)),
       "shingle-set containment (doc-in-doc subset dup) over shared LSH candidates; " +
-        "recall bounded by Jaccard-tuned banding (tiny-doc-in-huge-doc may not collide)"),
+        "recall bounded by Jaccard-tuned banding (tiny-doc-in-huge-doc may not collide — " +
+        "join_containment_prefix is the full-recall exact form)"),
 
     // Containment screen from the SAME persisted artifact as
     // dedup_minhash_indexed — two screens, one signature pass: sharing
@@ -762,7 +763,8 @@ object ExtQueries {
       },
       Some(lshVerifySql("dedup_containment_idx_cand", containmentScoreSql,
         "containment", 0.8)),
-      "containment screen from the shared signature artifact; same banding recall caveat"),
+      "containment screen from the shared signature artifact; same banding recall caveat " +
+        "(join_containment_prefix is the full-recall exact form)"),
 
     "dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),

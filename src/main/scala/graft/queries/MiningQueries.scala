@@ -80,6 +80,40 @@ object MiningQueries {
               |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       "exact set-similarity self-join (prefix filtering, AllPairs/PPJoin family)"),
 
+    // EXACT all-pairs CONTAINMENT join — the full-recall form of
+    // dedup_containment, closing its documented caveat: the LSH screen's
+    // Jaccard-tuned banding can miss a tiny doc inside a huge one, while
+    // prefix filtering on the SMALLER set's rare tokens is recall-exact
+    // by pigeonhole at any size ratio. Same shingles, same theta=0.8
+    // rounded-containment contract as the LSH screen.
+    "join_containment_prefix" -> Q(
+      (s, dir) => Mining.prefixContainmentPairs(
+        Dedup.shingleRows(Dedup.planted(table(s, dir, "documents"))), 0.8),
+      Some(s"""WITH planted AS (${ExtQueries.plantedSql}),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, containment FROM (
+              |  SELECT i.id_a, i.id_b,
+              |    round(CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS containment
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b)
+              |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      "exact containment self-join (smaller-side prefix vs full postings, 100% recall)"),
+
     // Heavy hitters with EXACT counts but sketch-bounded shuffles: pass 1
     // per-partition Misra-Gries (<= 64 rows/partition), pass 2 exact
     // counts for candidates only (broadcast semi-join keeps the filter

@@ -36,6 +36,42 @@ class MiningSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must actually produce near-dup pairs")
   }
 
+  test("containment prefix join equals brute-force all-pairs containment") {
+    val shd = Dedup.shingleRows(planted).distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = shd.as("a")
+      .join(shd.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sz_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("containment", round($"inter".cast("double") /
+        least($"sz_a", $"sz_b").cast("double"), 4))
+      .filter($"containment" >= 0.8)
+      .select("id_a", "id_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Mining.prefixContainmentPairs(Dedup.shingleRows(planted), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"containment join must be exact: missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty, "fixture must actually produce containment pairs")
+  }
+
+  test("exact containment catches the tiny-in-huge pair the LSH screen misses") {
+    // THE caveat case the LSH containment screen documents: C = 1.0 with
+    // tiny Jaccard. Deterministic — the banding is seeded.
+    val small = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val huge = small + " " + (1 to 400).map(i => s"ext$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, huge)).toDF("doc_id", "text")
+    val lsh = Dedup.containmentPairs(docs).collect()
+    assert(lsh.isEmpty,
+      s"fixture must demonstrate the banding miss, got ${lsh.toSeq}")
+    val exact = Mining.prefixContainmentPairs(Dedup.shingleRows(Dedup.planted(docs)), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact == Seq((1L, 2L, 1.0)),
+      s"prefix containment is recall-exact by pigeonhole, got $exact")
+  }
+
   test("prefix join recall is a superset of the MinHash LSH approximation") {
     val lsh = Dedup.minhashPairs(table(spark, sf("sf0.001"), "documents"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -456,6 +456,15 @@ class PlanShapeSpec extends SparkSpec {
       s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
   }
 
+  test("join_containment_prefix: prefix/posting/verify joins all shuffle_hash; no cartesian") {
+    val plan = explained("join_containment_prefix")
+    // shingle-df join + prefix-vs-postings candidate join + two verify joins
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
+  }
+
   test("agg_heavy_hitters: candidate filter is a broadcast semi-join; stats join is 1-row") {
     val plan = explained("agg_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),

@@ -44,11 +44,11 @@ class RegistrySpec extends AnyFunSuite {
     // +corpus_source_audit → 175; +dedup_minhash_indexed,
     // +dedup_containment_indexed → 177; +text_boilerplate,
     // +sample_temperature, +curation_attrition, +stats_kstest → 181;
-    // +text_boilerplate_indexed, +stats_chisq → 183): see COVERAGE.md
-    // tally.
+    // +text_boilerplate_indexed, +stats_chisq,
+    // +join_containment_prefix → 184): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 183,
+    assert(graft.SparkEntry.registry.size == 184,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
     assert(graft.SparkEntry.registry.contains("dedup_minhash_indexed") &&
       graft.SparkEntry.registry.contains("dedup_containment_indexed"),
