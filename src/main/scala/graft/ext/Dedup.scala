@@ -749,6 +749,54 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then inside each cluster drop every
+    * vector whose cosine to a SMALLER-id cluster-mate reaches `threshold`
+    * — a deterministic keep-lowest-id exemplar rule standing in for the
+    * paper's keep-one-per-group (no RNG, so reruns and engines agree).
+    * Returns the DROPPED rows with their keep witness: (vec_id, c_id,
+    * witness, cos), witness = the highest-cosine smaller-id cluster-mate
+    * (ties → lowest witness id).
+    *
+    * Scale shape: single-probe centroid assignment (broadcast centroids,
+    * narrow per-row scoring) + ONE within-cluster equi-join. With
+    * `nlist` ∝ √n both the bucket count and the expected bucket size are
+    * √n, so the within-cluster quadratic term stays O(n) total pairs —
+    * the same sizing law as [[embeddingNearDupBucketed]]. Single-probe is
+    * deliberate, not a recall shortcut: SemDeDup's semantics ARE
+    * per-cluster (cross-boundary near-dups are the paper's accepted
+    * loss), and the exemplar rule needs each vector in exactly one
+    * cluster. `persistCand` is the oracle seam — DuckDB re-scores the
+    * persisted (c_id, id_a, id_b) set and re-applies the drop rule. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    val assigned = Similarity.assignClusters(embeddings, nlist)
+      .select(col("vec_id"), col("c_id"))
+    val a = assigned.select(col("c_id"), col("vec_id").as("id_a"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("id_b"))
+    // within-cluster pairs: both sides data-sized → shuffle_hash, like
+    // every other dedup bucket join
+    val cand = persistCand(
+      a.join(b.hint("shuffle_hash"), "c_id")
+        .filter(col("id_a") < col("id_b"))
+        .select("c_id", "id_a", "id_b"))
+    val ea = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val scored = cand
+      .join(ea.hint("shuffle_hash"), "id_a")
+      .join(eb.hint("shuffle_hash"), "id_b")
+      .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+    // keyed on the dropped id — co-partitions with the pair shuffle above
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_b").orderBy(desc("cos"), asc("id_a"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id_b").as("vec_id"), col("c_id"),
+        col("id_a").as("witness"), col("cos"))
+      .orderBy("vec_id")
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed once per vector (not per pair); pair scoring is one
     // native VectorDot per pair inside codegen

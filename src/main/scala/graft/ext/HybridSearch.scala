@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Hybrid retrieval: a lexical (BM25) leg and a dense (embedding-cosine)
+  * leg fused by Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009:
+  * score(d) = Σ_legs 1/(rrfK + rank_leg(d))) — the standard curation /
+  * RAG retrieval shape where neither signal alone is trusted: BM25 finds
+  * exact-term matches dense embeddings smear, embeddings find paraphrases
+  * BM25 misses, and RRF needs no score calibration between the two.
+  *
+  * Scale shape: each leg reduces the corpus to its top-k with a
+  * TakeOrdered (per-partition heaps then one k-row merge — never a global
+  * sort), so the fusion stage only ever sees 2·k rows. Ranks over those
+  * k-row sets come from a broadcast rank-join (1 + count of rows strictly
+  * ahead), NOT a row_number window: an unpartitioned window is a
+  * single-partition sort of whatever it touches, and the registry-wide
+  * plan sweep bans it. The full-outer fuse join is k-vs-k — negligible at
+  * any corpus size.
+  */
+object HybridSearch {
+
+  /** rank = 1 + |rows strictly ahead on (score desc, id asc)| over a
+    * k-row relation — window-free, broadcast, exactly row_number's
+    * semantics (both orderings are total, so ranks are 1..k). */
+  private def rankOf(df: DataFrame, idCol: String, scoreCol: String,
+      rkName: String): DataFrame = {
+    val a = df.select(col(idCol).as("rid"), col(scoreCol).as("rsc"))
+    val b = df.select(col(idCol).as("oid"), col(scoreCol).as("osc"))
+    a.join(broadcast(b),
+        col("osc") > col("rsc") ||
+          (col("osc") === col("rsc") && col("oid") < col("rid")),
+        "left")
+      .groupBy("rid")
+      .agg((count(col("oid")) + 1).cast("int").as(rkName))
+      .select(col("rid").as(idCol), col(rkName))
+  }
+
+  /** Top-`topN` fused results: (doc_id, rrf, lex_rk, dense_rk); a doc
+    * missing from one leg's top-k contributes 0 from that leg and keeps
+    * a null rank (the standard RRF treatment of truncated lists). The
+    * dense query is the embedding of `qId` (the corpus pairs doc text
+    * and embedding 1:1 on id), excluded from its own result list. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      qId: Long = 0L, k: Int = 30, topN: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex0 = TextStats.bm25(docs, terms, k)
+    val q = embeddings.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q_emb"))
+    val den0 = embeddings.filter(col("vec_id") =!= qId)
+      .join(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(k)
+    val lex = rankOf(lex0, "doc_id", "bm25", "lex_rk")
+    val den = rankOf(den0, "doc_id", "cos", "dense_rk")
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rk")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf"), col("lex_rk"), col("dense_rk"))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(topN)
+  }
+
+  /** DuckDB twin of [[hybridRrf]] — the legs are each a full subquery
+    * (DuckDB allows WITH inside a derived table), ranks via row_number
+    * (rank-join and row_number agree on total orderings), same
+    * double-typed RRF arithmetic. */
+  def hybridRrfSql(terms: Seq[String], qId: Long = 0L, k: Int = 30,
+      topN: Int = 20, rrfK: Int = 60): String =
+    s"""WITH lex0 AS (SELECT * FROM (${TextStats.bm25Sql(terms, k)})),
+       |den0 AS (SELECT * FROM (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                 CAST(q.qv AS DOUBLE[])), 6) AS cos
+       |  FROM embeddings e,
+       |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qId) q
+       |  WHERE e.vec_id <> $qId
+       |  ORDER BY cos DESC, e.vec_id LIMIT $k)),
+       |lex AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rk
+       |  FROM lex0),
+       |den AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rk
+       |  FROM den0)
+       |SELECT doc_id, rrf, lex_rk, dense_rk FROM (
+       |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    round(coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + l.lex_rk), 0)
+       |        + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + d.dense_rk), 0), 6) AS rrf,
+       |    l.lex_rk, d.dense_rk
+       |  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT $topN""".stripMargin
+}

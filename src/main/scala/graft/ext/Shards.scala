@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + training-shard assignment — the last
+  * step of a training-data pipeline: the curated corpus is shuffled ONCE
+  * (so sequential shard reads are i.i.d. draws) and written as N shards a
+  * data loader streams without further randomization.
+  *
+  * The shuffle key is content-independent, seed-salted md5 of the doc id
+  * — never `rand()`: reruns, engines, and restarted jobs must all agree
+  * on where every document lands (the same stable-key discipline as
+  * `corpus_split`, which handles train/val/test; this handles WITHIN-split
+  * ordering and sharding). Shard id comes from the first two hex digits
+  * of the key (uniform over 0..255, folded mod `nShards`), mapped with
+  * `instr` arithmetic that both Spark and DuckDB evaluate identically —
+  * no hex→int cast, which the two engines don't share.
+  *
+  * Scale shape: assignment is a narrow map (one md5 + string math per
+  * row); the audit is one groupBy on `nShards` keys with map-side partial
+  * aggregation; the writer is one repartition-by-shard, the shuffle a
+  * 100 TB corpus pays exactly once. Per-shard checksums are bounded-state
+  * SUMs (a 16-bit fold of each doc's content hash), never a string_agg
+  * of the shard — driver- and executor-memory stay O(nShards).
+  */
+object Shards {
+
+  /** 1-based hex-digit position → 0..15 value, portable across engines. */
+  private def hexVal(h: Column, i: Int): Column =
+    expr(s"instr('0123456789abcdef', substring(${h.toString}, $i, 1)) - 1")
+
+  /** Shuffle key + shard assignment. Adds `h` (the global shuffle key),
+    * `ht` (content hash, for the checksum) and `shard`. */
+  def assignShards(docs: DataFrame, nShards: Int, seed: String = "#shard42"): DataFrame = {
+    val withKeys = docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(seed))))
+      .withColumn("ht", md5(col("text")))
+    withKeys.withColumn("shard",
+      ((hexVal(col("h"), 1) * 16 + hexVal(col("h"), 2)) % nShards).cast("int"))
+  }
+
+  /** Per-shard audit: sizes, token mass, key range, and an
+    * order-independent 16-bit content-hash checksum — the record a
+    * loader checks before trusting a shard set (balance: max/min doc
+    * counts should be ~1 under the uniform key; drift: checksum changes
+    * iff any document's content or membership changed). */
+  def shardStats(docs: DataFrame, nShards: Int): DataFrame =
+    assignShards(docs, nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.wsTokenCount(col("text")).cast("long")).as("total_tokens"),
+        min("h").as("key_lo"),
+        max("h").as("key_hi"),
+        sum(hexVal(col("ht"), 1) * 4096 + hexVal(col("ht"), 2) * 256 +
+          hexVal(col("ht"), 3) * 16 + hexVal(col("ht"), 4)).as("checksum16"))
+      .orderBy("shard")
+
+  /** DuckDB twin of [[shardStats]] — same md5 keys, same instr hex
+    * arithmetic, same fold. */
+  def shardStatsSql(nShards: Int, seed: String = "#shard42"): String =
+    s"""WITH k AS (
+       |  SELECT doc_id, text,
+       |    md5(CAST(doc_id AS VARCHAR) || '$seed') AS h,
+       |    md5(text) AS ht
+       |  FROM documents),
+       |s AS (
+       |  SELECT *,
+       |    CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       |         + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % $nShards AS INTEGER) AS shard
+       |  FROM k)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       |  min(h) AS key_lo, max(h) AS key_hi,
+       |  CAST(sum((instr('0123456789abcdef', substring(ht, 1, 1)) - 1) * 4096
+       |         + (instr('0123456789abcdef', substring(ht, 2, 1)) - 1) * 256
+       |         + (instr('0123456789abcdef', substring(ht, 3, 1)) - 1) * 16
+       |         + (instr('0123456789abcdef', substring(ht, 4, 1)) - 1)) AS BIGINT) AS checksum16
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Materialize the shard layout: repartition ON the shard id (the one
+    * full shuffle), order within each partition by the shuffle key (so a
+    * shard file streams in its final, shuffled-once order), write
+    * shard-partitioned parquet. Deterministic end to end — two writes of
+    * the same corpus produce identical shard contents in identical order. */
+  def writeShards(docs: DataFrame, nShards: Int, path: String,
+      seed: String = "#shard42"): Unit =
+    assignShards(docs, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "h")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

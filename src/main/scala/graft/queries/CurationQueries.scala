@@ -335,6 +335,19 @@ object CurationQueries {
     // then explode pairs over vocab entries weighted by freq — the
     // char-level explosion never touches the full token stream. Both
     // aggregates are map-side combinable; top-20 is a TakeOrdered.
+    // Deterministic global shuffle + shard audit (graft.ext.Shards): the
+    // pipeline's LAST mile — shuffle once on a seed-salted stable key,
+    // shard uniformly, and emit the per-shard manifest (sizes, token
+    // mass, key ranges, order-independent content checksum) a loader
+    // verifies before training. The registered form is the audit (pure
+    // groupBy on nShards keys); Shards.writeShards materializes the same
+    // layout as shard-partitioned parquet (ShardsSpec pins write/read
+    // round-trip determinism + audit agreement).
+    "shards_shuffle" -> Q(
+      (s, dir) => graft.ext.Shards.shardStats(table(s, dir, "documents"), 10),
+      Some(graft.ext.Shards.shardStatsSql(10)),
+      "deterministic global shuffle into 10 training shards with per-shard manifest"),
+
     "text_bpe_pairs" -> Q(
       (s, dir) => {
         val words = table(s, dir, "documents")

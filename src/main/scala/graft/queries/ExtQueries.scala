@@ -793,6 +793,34 @@ object ExtQueries {
               |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin),
       "embedding-cosine near-dup pairs (IVF-blocked candidates + exact verify)"),
 
+    // SemDeDup (cluster-then-prune-within-cluster): the semantic-level
+    // dedup pass a curation pipeline runs AFTER lexical dedup — same
+    // meaning, different words defeats MinHash but not embedding cosine.
+    // Candidate generation (centroid assignment) is seeded-iteration math
+    // DuckDB can't reproduce, so the (c_id, id_a, id_b) pair set persists
+    // via OracleAux and DuckDB re-scores + re-applies the keep rule over
+    // exactly that set. τ=0.35 sits at the p99 of the within-cluster
+    // cosine distribution of the synthetic corpus (probed at sf0.01) —
+    // a real prune set (55 drops) without degenerating to "drop all".
+    "dedup_semantic" -> Q(
+      (s, dir) => Dedup.semanticDedup(table(s, dir, "embeddings"), 0.35,
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "dedup_semantic_cand")),
+      Some(s"""WITH cand AS (SELECT c_id, id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_semantic_cand")})),
+              |scored AS (
+              |  SELECT c.c_id, c.id_a, c.id_b,
+              |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM cand c
+              |  JOIN embeddings a ON a.vec_id = c.id_a
+              |  JOIN embeddings b ON b.vec_id = c.id_b)
+              |SELECT vec_id, c_id, witness, cos FROM (
+              |  SELECT id_b AS vec_id, c_id, id_a AS witness, cos,
+              |    row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) AS rk
+              |  FROM scored WHERE cos >= 0.35)
+              |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+      "SemDeDup semantic dedup: within-cluster cosine prune, keep-lowest-id exemplar"),
+
     // --------------------------------------------------------- similarity
     // Symmetric int8 scalar quantization of the embedding column — the 4×
     // memory cut that lets an ANN index serve from RAM at corpus scale.

@@ -224,6 +224,19 @@ object MiningQueries {
               |ORDER BY doc_id""".stripMargin),
       "positional phrase search: per-term posting fetch + adjacency join"),
 
+    // Hybrid retrieval (graft.ext.HybridSearch): BM25 leg + dense-cosine
+    // leg, Reciprocal Rank Fusion — the retrieval shape behind RAG and
+    // semantic decontamination lookups. The same 5-term seed query as
+    // text_bm25 paired with its doc-0 embedding; each leg is a TakeOrdered
+    // top-30, fusion sees 60 rows total at any corpus size.
+    "search_hybrid_rrf" -> Q(
+      (s, dir) => graft.ext.HybridSearch.hybridRrf(
+        table(s, dir, "documents"), table(s, dir, "embeddings"),
+        Seq("hash", "join", "scan", "vector", "stream")),
+      Some(graft.ext.HybridSearch.hybridRrfSql(
+        Seq("hash", "join", "scan", "vector", "stream"))),
+      "hybrid BM25 + dense-cosine retrieval fused by reciprocal-rank fusion"),
+
     // Small-file compaction planner (the OPTIMIZE/bin-packing step of a
     // lakehouse layout job): per-day "files" (row count * est. row width)
     // packed contiguously into 32 KiB target bins within each month

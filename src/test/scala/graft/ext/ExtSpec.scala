@@ -112,6 +112,82 @@ class ExtSpec extends SparkSpec {
       s"missed planted duplicates: ${expected -- pairs}")
   }
 
+  test("semantic dedup: exact match of the brute-force SemDeDup rule") {
+    val nlist = 8
+    val tau = 0.1
+    val out = Dedup.semanticDedup(embs, tau, nlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent brute-force: collected assignment + Scala cosines with
+    // Spark's exact HALF_UP 6-dp rounding, then the keep-lowest-id rule
+    val cluster = Similarity.assignClusters(embs, nlist)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = for {
+      b <- ids
+      mates = ids.filter(a => a < b && cluster(a) == cluster(b))
+        .map(a => (a, cos(vecs(a), vecs(b)))).filter(_._2 >= tau)
+      if mates.nonEmpty
+      (wit, c) = mates.minBy { case (a, s) => (-s, a) }
+    } yield (b, cluster(b), wit, c)
+    assert(out.toSet == expected.toSet,
+      s"drop set mismatch: spark-only=${out.toSet -- expected.toSet} " +
+        s"brute-only=${expected.toSet -- out.toSet}")
+    assert(out.nonEmpty, "fixture degenerated: no drops at tau=0.1")
+    // exemplar safety: the lowest-id member of a cluster is never dropped
+    val minPerCluster = cluster.groupBy(_._2).map { case (_, m) => m.keys.min }.toSet
+    assert(out.forall(d => !minPerCluster.contains(d._1)),
+      "a cluster's lowest-id exemplar was dropped")
+  }
+
+  test("hybrid RRF: exact match of a collected-leg recompute; single-leg docs keep null rank") {
+    val terms = Seq("hash", "join", "scan", "vector", "stream")
+    val k = 10; val rrfK = 60
+    val out = HybridSearch.hybridRrf(docs, embs, terms, k = k, topN = 15, rrfK = rrfK)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    // independent fuse: rank each leg's collected top-k by (score desc,
+    // id asc), RRF in plain Scala, same 6-dp rounding
+    val lex = TextStats.bm25(docs, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val r = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val den = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => (id, cos(vecs(0L), vecs(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ den.keySet).toSeq.map { id =>
+      val r = lex.get(id).map(x => 1.0 / (rrfK + x)).getOrElse(0.0) +
+        den.get(id).map(x => 1.0 / (rrfK + x)).getOrElse(0.0)
+      (id, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        lex.get(id), den.get(id))
+    }.sortBy { case (id, r, _, _) => (-r, id) }.take(15)
+    assert(out.toSeq == expected,
+      s"fusion mismatch:\n spark=${out.toSeq}\n brute=$expected")
+    // both legs contribute: at least one fused doc must be single-leg
+    // (null in one rank) and at least one in both, else the fixture is
+    // degenerate and the outer-join path untested
+    assert(out.exists(r => r._3.isEmpty || r._4.isEmpty))
+    assert(out.exists(r => r._3.nonEmpty && r._4.nonEmpty) ||
+      (lex.keySet & den.keySet).isEmpty)
+  }
+
   test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
     import org.apache.spark.sql.functions.avg
     def sse(centroids: org.apache.spark.sql.DataFrame): Double =

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry.table
+
+/** Pins the deterministic-shuffle shard writer: partition-complete
+  * (every doc in exactly one shard), balanced under the uniform key,
+  * write→read round-trip equals the in-memory assignment, byte-for-byte
+  * deterministic across independent writes, and within-shard order is
+  * the shuffle-key order the loader streams. */
+class ShardsSpec extends SparkSpec {
+
+  private def docs = table(spark, sf("sf0.001"), "documents")
+
+  test("shard assignment: total, disjoint, uniform-ish, stats agree") {
+    val n = 10
+    val assigned = Shards.assignShards(docs, n).cache()
+    try {
+      val total = docs.count()
+      assert(assigned.count() == total, "assignment dropped or duplicated docs")
+      val perShard = assigned.groupBy("shard").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perShard.keys.forall(s => s >= 0 && s < n), "shard id out of range")
+      assert(perShard.values.sum == total)
+      // 50 docs over 10 shards: uniform md5 keys won't put >40% in one shard
+      assert(perShard.values.max <= math.max(10, total * 2 / n),
+        s"badly skewed shards: $perShard")
+      // the audit's n_docs column is the same partition of the corpus
+      val stats = Shards.shardStats(docs, n).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(stats == perShard)
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("writeShards: round-trip matches assignment; independent writes identical") {
+    val n = 4
+    val root = java.nio.file.Files.createTempDirectory("graft_shards")
+    val p1 = s"$root/w1"; val p2 = s"$root/w2"
+    Shards.writeShards(docs, n, p1)
+    Shards.writeShards(docs, n, p2)
+    val r1 = spark.read.parquet(p1)
+    val r2 = spark.read.parquet(p2)
+    // every doc exactly once, shard column survives the partitioned write
+    val expected = Shards.assignShards(docs, n)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def readSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("shard").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(readSet(r1) == expected, "round-trip lost or moved documents")
+    assert(readSet(r2) == expected)
+    // determinism: same corpus, two writes, identical per-shard content
+    // in identical within-file order (read file-by-file, compare rows)
+    def shardOrder(path: String, s: Int) = spark.read.parquet(s"$path/shard=$s")
+      .select("h", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (0 until n).foreach { s =>
+      val o1 = shardOrder(p1, s); val o2 = shardOrder(p2, s)
+      assert(o1 == o2, s"shard $s differs between two writes of the same corpus")
+      // loader contract: a shard streams in ascending shuffle-key order.
+      // One written file per shard here (4 input partitions → ≤1 file per
+      // shard after the shard repartition), so read order IS file order.
+      assert(o1.map(_._1) == o1.map(_._1).sorted,
+        s"shard $s not in shuffle-key order")
+    }
+  }
+}
