@@ -769,9 +769,30 @@ object Dedup {
     * cluster. `persistCand` is the oracle seam — DuckDB re-scores the
     * persisted (c_id, id_a, id_b) set and re-applies the drop rule. */
   def semanticDedup(embeddings: DataFrame, threshold: Double, nlist: Int,
-      persistCand: DataFrame => DataFrame = identity): DataFrame = {
-    val assigned = Similarity.assignClusters(embeddings, nlist)
-      .select(col("vec_id"), col("c_id"))
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    semanticDedupFromAssigned(
+      Similarity.assignClusters(embeddings, nlist).select(col("vec_id"), col("c_id")),
+      embeddings, threshold, persistCand)
+
+  /** [[semanticDedup]] served from a standing cluster-partitioned
+    * assignment index ([[Similarity.buildIvfIndex]]'s layout: vec_id,
+    * embedding, c_id) — the at-scale form: the one-off assignment pass
+    * (broadcast-centroid scoring over the whole corpus) is already paid,
+    * so the screen is just the within-cluster joins. Vectors are fetched
+    * back from the index itself (it carries them), so the whole screen
+    * reads ONLY the artifact. Output-identical to the inline form when
+    * the index was built with the same nlist. */
+  def semanticDedupFromIndex(index: DataFrame, threshold: Double,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    semanticDedupFromAssigned(
+      index.select(col("vec_id"), col("c_id")),
+      index.select(col("vec_id"), col("embedding")), threshold, persistCand)
+
+  /** Shared screen body: within-cluster candidate pairs from `assigned`
+    * (vec_id, c_id), exact-cosine verify against `vectors` (vec_id,
+    * embedding), then the keep-lowest-id drop rule. */
+  private def semanticDedupFromAssigned(assigned: DataFrame, vectors: DataFrame,
+      threshold: Double, persistCand: DataFrame => DataFrame): DataFrame = {
     val a = assigned.select(col("c_id"), col("vec_id").as("id_a"))
     val b = assigned.select(col("c_id"), col("vec_id").as("id_b"))
     // within-cluster pairs: both sides data-sized → shuffle_hash, like
@@ -780,21 +801,82 @@ object Dedup {
       a.join(b.hint("shuffle_hash"), "c_id")
         .filter(col("id_a") < col("id_b"))
         .select("c_id", "id_a", "id_b"))
-    val ea = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val eb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val ea = vectors.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = vectors.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val scored = cand
       .join(ea.hint("shuffle_hash"), "id_a")
       .join(eb.hint("shuffle_hash"), "id_b")
       .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= threshold)
-    // keyed on the dropped id — co-partitions with the pair shuffle above
+    semanticDropRule(scored).orderBy("vec_id")
+  }
+
+  /** The SemDeDup drop rule over scored same-cluster pairs (c_id, id_a <
+    * id_b, cos ≥ τ): id_b is dropped, witnessed by its highest-cosine
+    * smaller-id mate. Keyed on the dropped id — co-partitions with the
+    * pair shuffle that feeds it. */
+  private def semanticDropRule(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_b").orderBy(desc("cos"), asc("id_a"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("id_b").as("vec_id"), col("c_id"),
         col("id_a").as("witness"), col("cos"))
-      .orderBy("vec_id")
+  }
+
+  /** One micro-batch of semantic dedup at ingest: PROBE the standing
+    * cluster-partitioned assignment index for the batch's semantic
+    * duplicates (each new vector vs the standing vectors of ITS cluster
+    * — first-arrival-wins, the witness is the highest-cosine standing
+    * mate regardless of id order), write the batch's drops under
+    * `dropsOutPath/batch_id=<id>` with overwrite, then MERGE the batch's
+    * assigned rows into the index (partitioned append — files land only
+    * in the batch's bucket footprint, O(delta) like the IVF upsert).
+    *
+    * Centroids are passed FROZEN ([[Similarity.assignToCentroids]]): the
+    * quantizer must not drift across batches or the world re-buckets.
+    * In-batch pairs are deliberately not probed — the delta×base contract
+    * of [[dedupIngestBatch]] (in-batch duplicates are the upstream batch
+    * dedup's job, or surface on the next batch's probe).
+    *
+    * foreachBatch is at-least-once; output is exactly-once by the same
+    * construction as [[dedupIngestBatch]]: per-batch partition overwrite
+    * for the drops, and an anti-join of the index against the batch's
+    * own vec_ids so a replay that crashed after the merge landed probes
+    * the same pre-crash base (duplicate index rows a replay appends are
+    * collapsed by the drop rule's rank — identical rows rank as one).
+    * Cold start: a missing index path is an empty index; the first batch
+    * bootstraps the artifact. */
+  def semanticIngestBatch(batch: DataFrame, centroids: DataFrame,
+      indexPath: String, dropsOutPath: String, batchId: Long,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val assigned = Similarity.assignToCentroids(
+      batch.select("vec_id", "embedding"), centroids).localCheckpoint()
+    val ids = assigned.select(col("vec_id"))
+    val base = ParquetIO.readOrEmpty(spark, indexPath, SemanticIndexSchema)
+      .join(ids, Seq("vec_id"), "left_anti")
+    val scored = base
+      .select(col("c_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(assigned
+        .select(col("c_id"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+        .hint("shuffle_hash"), "c_id")
+      .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+    semanticDropRule(scored)
+      .write.mode("overwrite").parquet(s"$dropsOutPath/batch_id=$batchId")
+    assigned.select("vec_id", "embedding", "c_id")
+      .write.mode("append").partitionBy("c_id").parquet(indexPath)
+  }
+
+  /** Read-back schema of the semantic assignment index (the
+    * [[Similarity.buildIvfIndex]] layout, typed for [[ParquetIO.readOrEmpty]]'s
+    * cold-start path). */
+  val SemanticIndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("c_id", LongType)))
   }
 
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -821,6 +821,32 @@ object ExtQueries {
               |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
       "SemDeDup semantic dedup: within-cluster cosine prune, keep-lowest-id exemplar"),
 
+    // The artifact-served form: assignment AND vectors come from the
+    // standing cluster-partitioned IVF index (the same one the ANN probe
+    // serves from), so the screen never re-scores the corpus against
+    // centroids — the standing-pipeline split of dedup_minhash_indexed /
+    // text_boilerplate_indexed applied to the semantic screen. Output
+    // hash-identical to dedup_semantic (same nlist builds the index).
+    "dedup_semantic_indexed" -> Q(
+      (s, dir) => Dedup.semanticDedupFromIndex(
+        s.read.schema(Similarity.IvfIndexSchema).parquet(ivfIndexPath(s, dir)),
+        0.35,
+        persistCand = OracleAux.persist(dir, "dedup_semantic_idx_cand")),
+      Some(s"""WITH cand AS (SELECT c_id, id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_semantic_idx_cand")})),
+              |scored AS (
+              |  SELECT c.c_id, c.id_a, c.id_b,
+              |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |                                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM cand c
+              |  JOIN embeddings a ON a.vec_id = c.id_a
+              |  JOIN embeddings b ON b.vec_id = c.id_b)
+              |SELECT vec_id, c_id, witness, cos FROM (
+              |  SELECT id_b AS vec_id, c_id, id_a AS witness, cos,
+              |    row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) AS rk
+              |  FROM scored WHERE cos >= 0.35)
+              |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+      "SemDeDup screen served from the standing cluster-partitioned IVF index"),
+
     // --------------------------------------------------------- similarity
     // Symmetric int8 scalar quantization of the embedding column — the 4×
     // memory cut that lets an ANN index serve from RAM at corpus scale.

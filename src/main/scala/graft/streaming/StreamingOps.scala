@@ -344,6 +344,22 @@ object StreamingOps {
           batchId, threshold)
       }
 
+  /** Semantic dedup at ingest — foreachBatch wiring for
+    * [[graft.ext.Dedup.semanticIngestBatch]]: each embedding micro-batch
+    * is probed against the standing cluster-partitioned assignment index
+    * (frozen centroids — the incremental-quantizer contract), its drops
+    * land under `batch_id=<id>` with overwrite (replay-idempotent), and
+    * its assigned rows merge into the index's bucket footprint. */
+  def semanticIngestStream(vectors: DataFrame, centroids: DataFrame,
+      indexPath: String, dropsOutPath: String, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Dedup.semanticIngestBatch(batch, centroids, indexPath,
+          dropsOutPath, batchId, threshold)
+      }
+
   /** Incremental per-source corpus audit at ingest — foreachBatch wiring
     * for [[graft.ext.SourceAudit]]: each micro-batch lands its narrow
     * fact rows under `batch_id=<id>` (overwrite → replay-idempotent; the

@@ -207,6 +207,71 @@ class MiningSpec extends SparkSpec {
       "artifact-served containment screen diverged from the inline form")
     assert(rows("text_boilerplate_indexed") == rows("text_boilerplate"),
       "artifact-served boilerplate screen diverged from the inline form")
+    assert(rows("dedup_semantic_indexed") == rows("dedup_semantic"),
+      "artifact-served semantic screen diverged from the inline form")
+  }
+
+  test("semantic ingest: multi-batch fold == first-arrival truth; cold start; replay idempotent") {
+    val embs = table(spark, sf("sf0.001"), "embeddings")
+    val centroids = Similarity.seedCentroids(embs, 8)
+    val tau = 0.1
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_ingest")
+    val idx = root.resolve("idx").toString
+    val drops = root.resolve("drops").toString
+    val batches = Seq(
+      embs.filter($"vec_id" < 20),
+      embs.filter($"vec_id" >= 20 && $"vec_id" < 35),
+      embs.filter($"vec_id" >= 35))
+    // COLD START: first batch runs against a missing index
+    Dedup.semanticIngestBatch(batches(0), centroids, idx, drops, 0L, tau)
+    assert(new java.io.File(idx).exists(), "first batch must create the index")
+    def dropRows() = spark.read.parquet(drops).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    assert(dropRows().isEmpty, "nothing stands before batch 0 — no drops possible")
+    Dedup.semanticIngestBatch(batches(1), centroids, idx, drops, 1L, tau)
+    Dedup.semanticIngestBatch(batches(2), centroids, idx, drops, 2L, tau)
+    val afterAll = dropRows()
+    // FIRST-ARRIVAL TRUTH, brute-forced: vector v (arriving in batch k)
+    // is dropped iff some EARLIER-batch vector in v's cluster reaches
+    // tau; witness = highest cosine, tie lowest id — regardless of
+    // id order (unlike the batch screen's lowest-id exemplar)
+    val cluster = Similarity.assignToCentroids(embs, centroids)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def batchOf(id: Long) = if (id < 20) 0 else if (id < 35) 1 else 2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val r = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      v <- vecs.keys.toSeq
+      standing = vecs.keys.toSeq
+        .filter(u => batchOf(u) < batchOf(v) && cluster(u) == cluster(v))
+        .map(u => (u, cos(vecs(u), vecs(v)))).filter(_._2 >= tau)
+      if standing.nonEmpty
+      (wit, c) = standing.minBy { case (u, s) => (-s, u) }
+    } yield (v, cluster(v), wit, c)).sorted
+    assert(afterAll == expected,
+      s"ingest fold diverged from first-arrival truth:\n got=$afterAll\n exp=$expected")
+    assert(afterAll.nonEmpty, "fixture degenerated: no cross-batch drops at tau=0.1")
+    // AT-LEAST-ONCE REPLAY of the latest batch (crash-after-merge state:
+    // its rows are already in the index — the recipe's replay contract,
+    // same as dedupIngestBatch): drops must be unchanged as a multiset
+    // and rewritten in place, not appended
+    def dataFileSizes() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(drops))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sorted
+    }
+    val sizesOnce = dataFileSizes()
+    Dedup.semanticIngestBatch(batches(2), centroids, idx, drops, 2L, tau)
+    assert(dropRows() == afterAll,
+      "replaying the latest batch changed the drop multiset")
+    assert(dataFileSizes() == sizesOnce,
+      "replay must rewrite batch_id=2 in place, not append new files")
   }
 
   test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {

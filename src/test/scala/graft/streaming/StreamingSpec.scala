@@ -584,6 +584,54 @@ class StreamingSpec extends SparkSpec {
       s"oracle: only-stream=${(inc -- want).take(3)} only-oracle=${(want -- inc).take(3)}")
   }
 
+  test("semantic ingest stream: micro-batched drops == sequential batch fold") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.queries.Registry.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    // frozen quantizer, shared by fold and stream — the contract
+    val centroids = graft.ext.Similarity.seedCentroids(embs, 8)
+    val tau = 0.1
+    val half1 = embs.filter(col("vec_id") < 25)
+    val half2 = embs.filter(col("vec_id") >= 25)
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_stream")
+    // sequential batch fold — the reference semantics (cold start both)
+    val foldIdx = root.resolve("fold_idx").toString
+    val foldDrops = root.resolve("fold_drops").toString
+    graft.ext.Dedup.semanticIngestBatch(half1, centroids, foldIdx, foldDrops, 0L, tau)
+    graft.ext.Dedup.semanticIngestBatch(half2, centroids, foldIdx, foldDrops, 1L, tau)
+    // stream: two staged files, one per micro-batch, same order
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sem_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stage.resolve(name))
+      assert(stage.resolve(name).toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(half1, "a.parquet", t0 - 60000)
+    writeOne(half2, "b.parquet", t0)
+    val incIdx = root.resolve("inc_idx").toString
+    val incDrops = root.resolve("inc_drops").toString
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.semanticIngestStream(stream, centroids, incIdx, incDrops, tau)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def dropSet(p: String): Set[(Long, Long, Long, Double)] =
+      spark.read.parquet(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inc = dropSet(incDrops); val fold = dropSet(foldDrops)
+    assert(inc == fold, s"stream drops diverged from the sequential fold: " +
+      s"only-stream=${(inc -- fold).take(3)} only-fold=${(fold -- inc).take(3)}")
+    assert(inc.nonEmpty, "no cross-batch semantic drops at tau=0.1 — degenerate fixture")
+    // every drop is a batch-2 vector witnessed by a batch-1 vector
+    assert(inc.forall { case (v, _, w, _) => v >= 25 && w < 25 },
+      "drop/witness orientation broken: standing must witness, newcomer must drop")
+  }
+
   test("source audit stream: multi-batch snapshot == batch audit; replay is idempotent") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Registry.table(spark, dir, "documents")
