@@ -348,6 +348,17 @@ object CurationQueries {
       Some(graft.ext.Shards.shardStatsSql(10)),
       "deterministic global shuffle into 10 training shards with per-shard manifest"),
 
+    // Exact weighted sampling without replacement (graft.ext.Sampling,
+    // Efraimidis–Spirakis A-ES keys): the quality-weighted subset pick a
+    // mixture or eval slice needs, deterministic via seed-salted md5
+    // uniforms — complements sample_stratified_exact (uniform per-group)
+    // and sample_temperature (rate-thresholded) with the
+    // probability-∝-weight form. One narrow map + a TakeOrdered top-k.
+    "sample_weighted" -> Q(
+      (s, dir) => graft.ext.Sampling.weightedSample(table(s, dir, "documents"), 40),
+      Some(graft.ext.Sampling.weightedSampleSql(40)),
+      "quality-weighted k-sample without replacement via deterministic A-ES keys"),
+
     "text_bpe_pairs" -> Q(
       (s, dir) => {
         val words = table(s, dir, "documents")

@@ -992,6 +992,63 @@ object ExtQueries {
               |ORDER BY vec_id""".stripMargin),
       "incremental IVF index maintenance (bucket-footprint merge ≡ rebuild)"),
 
+    // Ops-grade health audit of the SERVED ANN index — the check a
+    // vector-serving deployment runs after every maintenance window:
+    // per-cluster population and residual-cosine stats (a cluster whose
+    // members sit far from its centroid is mis-assigned or stale; an
+    // empty cluster wastes a probe). Cosines are folded in exact MICRO
+    // units (×1e6 integers) so every aggregate is order-independent —
+    // no IEEE partial-sum drift between engines or partitionings. The
+    // assignment and the centroid list persist via OracleAux; DuckDB
+    // recomputes the same stats over the same relations.
+    "index_health_audit" -> Q(
+      (s, dir) => {
+        val idx = s.read.schema(Similarity.IvfIndexSchema).parquet(ivfIndexPath(s, dir))
+        val assign = OracleAux.persist(dir, "index_health_assign")(
+          idx.select("vec_id", "c_id"))
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < ivfNlist(s, dir))
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val centIds = OracleAux.persist(dir, "index_health_cents")(
+          cents.select("c_id"))
+        val cosMicro = round(graft.functions.VectorOps.cosine(col("c_emb"), col("embedding")) * 1e6)
+          .cast("long")
+        val stats = assign
+          .join(e.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id")
+          .join(broadcast(cents), "c_id")
+          .withColumn("cos_micro", cosMicro)
+          .groupBy("c_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("cos_micro").as("sum_micro"),
+            min("cos_micro").as("min_cos_micro"))
+          .withColumn("mean_cos_micro",
+            round(col("sum_micro").cast("double") / col("n_vecs")).cast("long"))
+        centIds.join(stats, Seq("c_id"), "left")
+          .select(col("c_id"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            col("mean_cos_micro"), col("min_cos_micro"))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH assign AS (SELECT vec_id, c_id FROM read_parquet(${OracleAux.duckGlob("index_health_assign")})),
+              |cents AS (SELECT c_id FROM read_parquet(${OracleAux.duckGlob("index_health_cents")})),
+              |scored AS (
+              |  SELECT a.c_id,
+              |    CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+              |                                      CAST(e.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS cos_micro
+              |  FROM assign a
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |  JOIN embeddings c ON c.vec_id = a.c_id),
+              |stats AS (
+              |  SELECT c_id, count(*) AS n_vecs,
+              |    CAST(round(CAST(sum(cos_micro) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_micro,
+              |    min(cos_micro) AS min_cos_micro
+              |  FROM scored GROUP BY c_id)
+              |SELECT ct.c_id, coalesce(s.n_vecs, 0) AS n_vecs,
+              |  s.mean_cos_micro, s.min_cos_micro
+              |FROM cents ct LEFT JOIN stats s USING (c_id)
+              |ORDER BY ct.c_id""".stripMargin),
+      "per-cluster population + residual-cosine health audit of the served ANN index"),
+
     // Global contiguous row numbering done the scale-safe way (sort-then-
     // offset via zipWithIndex, Indexing scaladoc) — vs the naive
     // Window.orderBy form that sorts the world in ONE task. The training-

@@ -188,6 +188,74 @@ class ExtSpec extends SparkSpec {
       (lex.keySet & den.keySet).isEmpty)
   }
 
+  test("weighted sample: exact match of the brute-force A-ES selection") {
+    val k = 12
+    val out = Sampling.weightedSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // brute force: same quality + md5-uniform + key arithmetic in Scala
+    val base = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextStats.qualityScore(org.apache.spark.sql.functions.col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = base.map { case (id, q) =>
+      val h = md5hex(s"$id#wrs42")
+      val uval = h.take(6).foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+      val u = (uval + 0.5) / 16777216.0
+      val key = BigDecimal(-math.log(u) / (q + 0.05))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, q, key)
+    }.sortBy { case (id, _, key) => (key, id) }.take(k).toSeq
+    assert(out.toSeq == expected,
+      s"A-ES selection diverged:\n got=${out.toSeq}\n exp=$expected")
+    // all keys finite (the +0.05 weight floor) and the pick is a strict
+    // subset ordered by key
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted)
+  }
+
+  test("index health audit: brute recompute over the served index; full centroid grid") {
+    val d = sf("sf0.001")
+    val out = graft.SparkEntry.queries("index_health_audit")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val n = embs.count()
+    val nlist = math.max(16, math.sqrt(n.toDouble).ceil.toInt)
+    assert(out.length == nlist, s"audit must emit every centroid row (got ${out.length})")
+    assert(out.map(_._2).sum == n, "per-cluster populations must partition the corpus")
+    // empty clusters carry null stats; populated ones satisfy min <= mean
+    out.foreach { case (c, nv, mean, mn) =>
+      if (nv == 0) assert(mean.isEmpty && mn.isEmpty, s"cluster $c: empty but has stats")
+      else {
+        assert(mean.nonEmpty && mn.nonEmpty, s"cluster $c: populated but missing stats")
+        assert(mn.get <= mean.get, s"cluster $c: min residual above mean")
+      }
+    }
+    // brute: recompute the per-cluster micro stats from the assignment
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cluster = Similarity.assignClusters(embs, nlist)
+      .select("vec_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      val c = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = (0L until nlist.toLong).map { c =>
+      val members = cluster.collect { case (v, cc) if cc == c => v }.toSeq
+      if (members.isEmpty) (c, 0L, None, None)
+      else {
+        val ms = members.map(v => cosMicro(vecs(c), vecs(v)))
+        val mean = BigDecimal(ms.sum.toDouble / ms.size)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (c, members.size.toLong, Some(mean), Some(ms.min))
+      }
+    }
+    assert(out.toSeq == expected,
+      s"health audit diverged from brute recompute:\n got=${out.toSeq}\n exp=$expected")
+  }
+
   test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
     import org.apache.spark.sql.functions.avg
     def sse(centroids: org.apache.spark.sql.DataFrame): Double =
