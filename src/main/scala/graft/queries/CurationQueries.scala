@@ -114,6 +114,40 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The substring-dedup rewrite over any (doc_id, text) frame — exposed
+    * for the planted-span spec. A token is dropped iff covered by any
+    * start position whose 8-gram appears in ≥2 documents; output is the
+    * audit row (counts + fingerprint of the rewritten text). */
+  private[graft] def dedupSpansRewrite(docs: DataFrame, n: Int = N): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val grams = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= n,
+            transform(sequence(lit(1), size(col("t")) - (n - 1)),
+              i => struct(i.as("pos"),
+                concat_ws(" ", slice(col("t"), i, lit(n))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val freq = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+    val starts = grams.join(freq.hint("shuffle_hash"), "gram")
+      .filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(collect_set("pos").as("starts"))
+    val kept = filter(sequence(lit(1), size(col("t"))),
+      i => !exists(col("starts"), x => i - x >= 0 && i - x <= n - 1))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(col("kept"), i => element_at(col("t"), i))).cast("binary"))
+          .as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test assignment — the same hash rule `corpus_split` uses,
     * so the leakage audit grades the exact splits that query ships. */
   private def splitCol = when(col("doc_id") % 100 < 90, "train")
@@ -347,6 +381,40 @@ object CurationQueries {
       (s, dir) => graft.ext.Shards.shardStats(table(s, dir, "documents"), 10),
       Some(graft.ext.Shards.shardStatsSql(10)),
       "deterministic global shuffle into 10 training shards with per-shard manifest"),
+
+    // The REMOVAL step of substring dedup (Lee et al. 2022) — where
+    // text_ngram_dupspans only measures cross-document duplicated-span
+    // mass, this rewrites each document with those spans excised: a token
+    // is dropped iff it is covered by any 8-gram whose gram appears in
+    // ≥2 documents. Plan: the same combinable (doc,gram) pre-agg +
+    // |grams|-row document-frequency join as dupspans, dup start
+    // positions folded per doc (collect_set — order-free, used only
+    // inside exists()), then ONE narrow pass rebuilds each doc from its
+    // uncovered tokens (per-row HOFs over arrays bounded by doc length;
+    // O(len·|dup starts|) per doc — an interval-merge pre-pass is the
+    // optimization if boilerplate-saturated docs ever dominate). Output
+    // is the audit row: token counts before/after + a fingerprint of the
+    // rewritten text (hash-comparable without shipping full rewrites).
+    "text_dedup_spans" -> Q(
+      (s, dir) => dedupSpansRewrite(table(s, dir, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+              |grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${N - 1}], ' ') AS gram
+              |          FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-${N - 2}, 1))) AS pos FROM t)),
+              |df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+              |st AS (SELECT g.doc_id, list(DISTINCT g.pos) AS starts
+              |       FROM grams g JOIN df USING (gram) WHERE df.nd >= 2 GROUP BY g.doc_id),
+              |k AS (SELECT t.doc_id, t.t, coalesce(s.starts, []) AS starts
+              |      FROM t LEFT JOIN st s USING (doc_id)),
+              |r AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              |        list_filter(range(1, len(t)+1),
+              |          i -> len(list_filter(starts, x -> i - x >= 0 AND i - x <= ${N - 1})) = 0) AS kept,
+              |        t
+              |      FROM k)
+              |SELECT doc_id, n_tokens,
+              |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+              |  md5(coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '')) AS clean_fp
+              |FROM r ORDER BY doc_id""".stripMargin),
+      "substring-dedup REWRITE: excise cross-doc duplicated 8-gram spans, audit + fingerprint"),
 
     // Exact weighted sampling without replacement (graft.ext.Sampling,
     // Efraimidis–Spirakis A-ES keys): the quality-weighted subset pick a

@@ -166,6 +166,56 @@ object MiningQueries {
              |ORDER BY decayed_score DESC, user_id""".stripMargin),
       "half-life time-decayed engagement score per user (fixed-point weights)"),
 
+    // Feature-store snapshot materialization — the training-side bridge
+    // from the events stream: one row per user with trailing-window
+    // behavioral features as of a FIXED anchor date (the events_decay
+    // anchor; a production run parameterizes it per snapshot). All
+    // features are exact integers (counts, fixed-point cents, day ages),
+    // so the table is engine- and partitioning-stable. ONE user-keyed
+    // combinable aggregation over one scan — the cheapest possible shape;
+    // at 100 TB this co-partitions with every other user_id shuffle and
+    // writes straight into a feature store's offline table.
+    "events_feature_snapshot" -> Q(
+      (s, dir) => {
+        val e = events(s, dir)
+          .withColumn("age_d", datediff(lit("2024-01-31").cast("date"),
+            col("ts").cast("date")))
+          .filter(col("age_d") >= 0)
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        val in7 = col("age_d") <= 6
+        def cnt7(t: String) =
+          sum(when(in7 && col("event_type") === t, 1L).otherwise(0L))
+        e.groupBy("user_id").agg(
+            cnt7("view").as("n_view_7d"),
+            cnt7("click").as("n_click_7d"),
+            cnt7("purchase").as("n_purchase_7d"),
+            sum(when(in7 && col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)).as("purchase_cents_7d"),
+            count(lit(1)).as("n_total"),
+            min("age_d").cast("long").as("last_seen_age_d"),
+            max("age_d").cast("long").as("first_seen_age_d"),
+            countDistinct(col("ts").cast("date")).as("active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             |    date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age_d,
+             |    CAST(ts AS DATE) AS d
+             |  FROM events
+             |  WHERE CAST(ts AS DATE) <= DATE '2024-01-31')
+             |SELECT user_id,
+             |  CAST(sum(CASE WHEN age_d <= 6 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view_7d,
+             |  CAST(sum(CASE WHEN age_d <= 6 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click_7d,
+             |  CAST(sum(CASE WHEN age_d <= 6 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_7d,
+             |  CAST(sum(CASE WHEN age_d <= 6 AND event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS purchase_cents_7d,
+             |  count(*) AS n_total,
+             |  CAST(min(age_d) AS BIGINT) AS last_seen_age_d,
+             |  CAST(max(age_d) AS BIGINT) AS first_seen_age_d,
+             |  CAST(count(DISTINCT d) AS BIGINT) AS active_days
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "per-user trailing-window feature snapshot (feature-store offline table)"),
+
     // Linear multi-touch attribution: each purchase's value (in cents)
     // split equally across the user's view/click touches in the 3 days
     // before it. One user-keyed equi-join (shuffle_hash: both sides are

@@ -189,6 +189,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(1L)._1 === 8L && out(2L)._1 === 8L)
   }
 
+  test("dedup-spans rewrite: planted span excised exactly; unique and short docs untouched") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta"), // span at pos 1-8
+      (2L, s"pre1 pre2 pre3 pre4 pre5 pre6 pre7 $span"),      // span at pos 8-15
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),                 // unique
+      (4L, "short doc")                                        // < 8 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.dedupSpansRewrite(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: the one duplicated gram starts at pos 1 → tokens 1..8 go
+    assert(out(1L) === ((15L, 8L,
+      fp("alpha beta gamma delta epsilon zeta eta"))), s"doc1: ${out(1L)}")
+    // doc 2: start pos 8 → tokens 8..15 go
+    assert(out(2L) === ((15L, 8L,
+      fp("pre1 pre2 pre3 pre4 pre5 pre6 pre7"))), s"doc2: ${out(2L)}")
+    // unique doc: rewrite is the identity
+    assert(out(3L) === ((10L, 0L, fp("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))),
+      s"doc3: ${out(3L)}")
+    // sub-n doc: no grams, nothing removable, still emitted (every doc
+    // must survive the rewrite pass)
+    assert(out(4L) === ((2L, 0L, fp("short doc"))), s"doc4: ${out(4L)}")
+  }
+
   // ---------------------------------------------------------------- cdc
   test("cdc chunks: boundaries survive a prefix insertion (shift-robustness)") {
     // THE property content-defined chunking buys over fixed-size

@@ -48,10 +48,11 @@ class RegistrySpec extends AnyFunSuite {
     // +join_containment_prefix → 184; +dedup_semantic,
     // +shards_shuffle, +search_hybrid_rrf → 187;
     // +dedup_semantic_indexed → 188; +sample_weighted,
-    // +index_health_audit → 190): see COVERAGE.md tally.
+    // +index_health_audit → 190; +text_dedup_spans,
+    // +events_feature_snapshot → 192): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 190,
+    assert(graft.SparkEntry.registry.size == 192,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
     assert(graft.SparkEntry.registry.contains("dedup_minhash_indexed") &&
       graft.SparkEntry.registry.contains("dedup_containment_indexed"),
