@@ -908,6 +908,53 @@ object ExtQueries {
              |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
       "exact cosine top-k (broadcast queries, per-query window)"),
 
+    // FILTERED vector search — the production ANN variant every serving
+    // stack ships (Qdrant/Vespa/pgvector "filtered search"): top-k among
+    // only the vectors whose DOCUMENT metadata passes a predicate. The
+    // filter joins BEFORE scoring and ranking (pre-filtering) — the
+    // correct semantics; post-filtering a plain top-k under-fills k
+    // whenever the predicate is selective. The metadata join is keyed on
+    // the shared id (shuffle_hash: both sides corpus-sized); at scale the
+    // predicate pushes into a metadata-partitioned index so the probe
+    // reads only matching buckets — the same pruning story as
+    // sim_topk_ivf_indexed, composed with a filter.
+    "sim_topk_filtered" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val meta = table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cands = e.join(meta.hint("shuffle_hash"), "vec_id")
+          .filter(col("lang") === "en")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        cands.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             |cand AS (
+             |  SELECT e.vec_id, e.embedding
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+             |  WHERE d.lang = 'en'),
+             |scored AS (
+             |  SELECT q_id, vec_id,
+             |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q JOIN cand ON vec_id <> q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
+             |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "metadata-filtered vector search: pre-filter join, then exact top-k per query"),
+
     // Centroid probing / seeded hyperplanes aren't ANSI-expressible, but the
     // exact-cosine scoring + top-k IS: both queries persist their (q_id,
     // vec_id) candidates and DuckDB re-scores + re-ranks the same set.

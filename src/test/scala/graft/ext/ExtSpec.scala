@@ -256,6 +256,36 @@ class ExtSpec extends SparkSpec {
       s"health audit diverged from brute recompute:\n got=${out.toSeq}\n exp=$expected")
   }
 
+  test("filtered vector search: exact top-k over only the matching-metadata set") {
+    val d = sf("sf0.001")
+    val out = graft.SparkEntry.queries("sim_topk_filtered")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val en = graft.queries.Registry.table(spark, d, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => en.contains(r._3)),
+      "a neighbor outside the metadata filter leaked into the result")
+    val vecs = embs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val r = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (0L until 8L).flatMap { q =>
+      en.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).zipWithIndex
+        .map { case ((v, c), i) => (q, i + 1, v, c) }
+    }
+    assert(out.toSeq == expected,
+      s"filtered top-k diverged from brute recompute:\n got=${out.toSeq}\n exp=$expected")
+    // pre-filter semantics: k is FILLED from the filtered set (not a
+    // post-filtered under-full list) — the fixture has ≫5 en docs
+    assert(en.size > 6, "fixture degenerated: too few matching docs to fill k")
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("k-means iteration via VectorMean Aggregator: SSE non-increasing") {
     import org.apache.spark.sql.functions.avg
     def sse(centroids: org.apache.spark.sql.DataFrame): Double =

@@ -49,10 +49,10 @@ class RegistrySpec extends AnyFunSuite {
     // +shards_shuffle, +search_hybrid_rrf → 187;
     // +dedup_semantic_indexed → 188; +sample_weighted,
     // +index_health_audit → 190; +text_dedup_spans,
-    // +events_feature_snapshot → 192): see COVERAGE.md tally.
+    // +events_feature_snapshot → 192; +sim_topk_filtered → 193): see COVERAGE.md tally.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    assert(graft.SparkEntry.registry.size == 192,
+    assert(graft.SparkEntry.registry.size == 193,
       s"registry has ${graft.SparkEntry.registry.size} queries; update this pin AND COVERAGE.md")
     assert(graft.SparkEntry.registry.contains("dedup_minhash_indexed") &&
       graft.SparkEntry.registry.contains("dedup_containment_indexed"),
