@@ -869,15 +869,12 @@ object Dedup {
       .write.mode("append").partitionBy("c_id").parquet(indexPath)
   }
 
-  /** Read-back schema of the semantic assignment index (the
-    * [[Similarity.buildIvfIndex]] layout, typed for [[ParquetIO.readOrEmpty]]'s
-    * cold-start path). */
-  val SemanticIndexSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("c_id", LongType)))
-  }
+  /** Read-back schema of the semantic assignment index — parsed from
+    * [[Similarity.IvfIndexSchema]] (the ONE definition of the on-disk
+    * layout) so the two can never drift; typed StructType because
+    * [[ParquetIO.readOrEmpty]]'s cold-start path needs one. */
+  val SemanticIndexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(Similarity.IvfIndexSchema)
 
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed once per vector (not per pair); pair scoring is one

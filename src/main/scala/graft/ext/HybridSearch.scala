@@ -46,7 +46,17 @@ object HybridSearch {
     * and embedding 1:1 on id), excluded from its own result list. */
   def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
       qId: Long = 0L, k: Int = 30, topN: Int = 20, rrfK: Int = 60): DataFrame = {
+    // the query document is excluded from BOTH legs (not only the dense
+    // one — its own text likely contains the query terms, and a fused
+    // list that returns the query itself is useless to the consumer).
+    // Lexical exclusion is a POST-filter of the ranked list: the query
+    // doc stays in the collection statistics (standard IR semantics) but
+    // never in the results. Each leg is CHECKPOINTED before the rank
+    // self-join, else the corpus-scale scan behind it would run once per
+    // join branch (the k-row result is the only thing worth keeping).
     val lex0 = TextStats.bm25(docs, terms, k)
+      .filter(col("doc_id") =!= qId)
+      .localCheckpoint()
     val q = embeddings.filter(col("vec_id") === qId)
       .select(col("embedding").as("q_emb"))
     val den0 = embeddings.filter(col("vec_id") =!= qId)
@@ -54,6 +64,7 @@ object HybridSearch {
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
       .orderBy(desc("cos"), asc("doc_id")).limit(k)
+      .localCheckpoint()
     val lex = rankOf(lex0, "doc_id", "bm25", "lex_rk")
     val den = rankOf(den0, "doc_id", "cos", "dense_rk")
     lex.join(den, Seq("doc_id"), "full_outer")
@@ -70,7 +81,7 @@ object HybridSearch {
     * double-typed RRF arithmetic. */
   def hybridRrfSql(terms: Seq[String], qId: Long = 0L, k: Int = 30,
       topN: Int = 20, rrfK: Int = 60): String =
-    s"""WITH lex0 AS (SELECT * FROM (${TextStats.bm25Sql(terms, k)})),
+    s"""WITH lex0 AS (SELECT * FROM (${TextStats.bm25Sql(terms, k)}) WHERE doc_id <> $qId),
        |den0 AS (SELECT * FROM (
        |  SELECT e.vec_id AS doc_id,
        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -36,6 +36,10 @@ object Sampling {
     * by selection key. */
   def weightedSample(docs: DataFrame, k: Int, seed: String = "#wrs42"): DataFrame =
     docs
+      // a null text has no quality weight and must not ride a null sort
+      // key into the sample (Spark sorts nulls first, DuckDB last — the
+      // filter removes the divergence along with the meaningless row)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(seed))))
       .withColumn("wkey", round(-log(hexU) / (col("quality") + lit(0.05)), 6))
@@ -57,7 +61,7 @@ object Sampling {
        |        + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
        |                      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0)), 6) AS quality,
        |    md5(CAST(doc_id AS VARCHAR) || '$seed') AS h
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |s AS (
        |  SELECT doc_id, quality,
        |    (($uTerms) + 0.5) / 16777216.0 AS u

@@ -31,13 +31,20 @@ object Shards {
     expr(s"instr('0123456789abcdef', substring(${h.toString}, $i, 1)) - 1")
 
   /** Shuffle key + shard assignment. Adds `h` (the global shuffle key),
-    * `ht` (content hash, for the checksum) and `shard`. */
+    * `ht` (content hash, for the checksum) and `shard`. The shard id
+    * folds the first FOUR hex digits (16 bits, uniform over 0..65535) mod
+    * `nShards`, so balance skew from the mod bias is ≤ nShards/65536
+    * (0.02% at 16 shards) and `nShards` up to the enforced 4096 bound
+    * leaves no shard structurally empty. */
   def assignShards(docs: DataFrame, nShards: Int, seed: String = "#shard42"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096] (16-bit key fold): $nShards")
     val withKeys = docs
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(seed))))
       .withColumn("ht", md5(col("text")))
     withKeys.withColumn("shard",
-      ((hexVal(col("h"), 1) * 16 + hexVal(col("h"), 2)) % nShards).cast("int"))
+      ((hexVal(col("h"), 1) * 4096 + hexVal(col("h"), 2) * 256 +
+        hexVal(col("h"), 3) * 16 + hexVal(col("h"), 4)) % nShards).cast("int"))
   }
 
   /** Per-shard audit: sizes, token mass, key range, and an
@@ -45,8 +52,8 @@ object Shards {
     * loader checks before trusting a shard set (balance: max/min doc
     * counts should be ~1 under the uniform key; drift: checksum changes
     * iff any document's content or membership changed). */
-  def shardStats(docs: DataFrame, nShards: Int): DataFrame =
-    assignShards(docs, nShards)
+  def shardStats(docs: DataFrame, nShards: Int, seed: String = "#shard42"): DataFrame =
+    assignShards(docs, nShards, seed)
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -67,8 +74,10 @@ object Shards {
        |  FROM documents),
        |s AS (
        |  SELECT *,
-       |    CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
-       |         + (instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % $nShards AS INTEGER) AS shard
+       |    CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+       |         + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+       |         + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+       |         + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % $nShards AS INTEGER) AS shard
        |  FROM k)
        |SELECT shard, count(*) AS n_docs,
        |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,

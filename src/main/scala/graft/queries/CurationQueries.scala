@@ -362,13 +362,6 @@ object CurationQueries {
               |FROM x ORDER BY stage""".stripMargin),
       "curation funnel: per-stage survivor/attrition counts (dedup → length → quality → lang)"),
 
-    // First step of BPE tokenizer training: the most frequent adjacent
-    // character pairs, weighted by word frequency. The scale trick is the
-    // one production BPE trainers use: aggregate to the DISTINCT-word
-    // vocabulary first (vocab ≪ corpus — invariant under corpus growth),
-    // then explode pairs over vocab entries weighted by freq — the
-    // char-level explosion never touches the full token stream. Both
-    // aggregates are map-side combinable; top-20 is a TakeOrdered.
     // Deterministic global shuffle + shard audit (graft.ext.Shards): the
     // pipeline's LAST mile — shuffle once on a seed-salted stable key,
     // shard uniformly, and emit the per-shard manifest (sizes, token
@@ -427,6 +420,13 @@ object CurationQueries {
       Some(graft.ext.Sampling.weightedSampleSql(40)),
       "quality-weighted k-sample without replacement via deterministic A-ES keys"),
 
+    // First step of BPE tokenizer training: the most frequent adjacent
+    // character pairs, weighted by word frequency. The scale trick is the
+    // one production BPE trainers use: aggregate to the DISTINCT-word
+    // vocabulary first (vocab ≪ corpus — invariant under corpus growth),
+    // then explode pairs over vocab entries weighted by freq — the
+    // char-level explosion never touches the full token stream. Both
+    // aggregates are map-side combinable; top-20 is a TakeOrdered.
     "text_bpe_pairs" -> Q(
       (s, dir) => {
         val words = table(s, dir, "documents")

@@ -157,8 +157,11 @@ class ExtSpec extends SparkSpec {
         if (r.isNullAt(3)) None else Some(r.getInt(3))))
     // independent fuse: rank each leg's collected top-k by (score desc,
     // id asc), RRF in plain Scala, same 6-dp rounding
+    // qId (= 0) is post-filtered from the ranked lexical list, same as
+    // the operator: corpus stats keep the query doc, results never do
     val lex = TextStats.bm25(docs, terms, k).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 != 0L)
       .sortBy { case (id, s) => (-s, id) }.zipWithIndex
       .map { case ((id, _), i) => id -> (i + 1) }.toMap
     val vecs = embs.collect().map(r => r.getLong(0) ->

@@ -34,6 +34,24 @@ class ShardsSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("shard assignment: 16-bit key fold covers every shard id; bound enforced") {
+    // the 8-bit fold this replaced left shards >= 256 structurally empty
+    // and skewed non-divisors of 256; 16 bits caps mod-bias at n/65536
+    val n = 300
+    val perShard = Shards.assignShards(
+        docs.limit(0).unionByName(docs), n) // same docs, exercise the path
+      .groupBy("shard").count().collect().map(_.getInt(0)).toSet
+    assert(perShard.forall(s => s >= 0 && s < n))
+    // 50 docs cannot fill 300 shards, but ids past 255 must be REACHABLE:
+    // fold four digits of known keys and check the arithmetic span
+    val h = Shards.assignShards(docs, 4096).select("shard").collect()
+      .map(_.getInt(0))
+    assert(h.exists(_ > 255) || docs.count() < 20,
+      s"16-bit fold never produced a shard id above 255 across ${h.length} docs")
+    intercept[IllegalArgumentException] { Shards.assignShards(docs, 5000) }
+    intercept[IllegalArgumentException] { Shards.assignShards(docs, 0) }
+  }
+
   test("writeShards: round-trip matches assignment; independent writes identical") {
     val n = 4
     val root = java.nio.file.Files.createTempDirectory("graft_shards")
