@@ -102,10 +102,18 @@ object Bench {
     val results2 =
       if (new java.io.File(sfDir2).isDirectory) {
         if (only.isEmpty) graft.queries.Warmup.artifacts(spark, sfDir2)
+        // under a name filter there is no artifact pre-build, so a single
+        // run of an artifact-backed query would time build + query and
+        // invert the exact speedup a targeted probe is measuring; two
+        // runs + min absorb the build like the main leg's trials do
+        val legTrials = if (only.isEmpty) 1 else 2
         names.map { name =>
-          val t0 = System.nanoTime()
-          val ok = runOnce(name, sfDir2)
-          (name, (System.nanoTime() - t0) / 1e9, ok)
+          val runs = (1 to legTrials).map { _ =>
+            val t0 = System.nanoTime()
+            val ok = runOnce(name, sfDir2)
+            ((System.nanoTime() - t0) / 1e9, ok)
+          }
+          (name, runs.map(_._1).min, runs.forall(_._2))
         }
       } else Seq.empty
     val qs2 = results2.map { case (k, v, _) => "\"" + k + "\":" + v }

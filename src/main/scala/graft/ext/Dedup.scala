@@ -183,17 +183,22 @@ object Dedup {
   }
 
   /** The exact-verify tail of [[verifyPairs]] over PRE-COMPUTED inputs:
-    * distinct shingle rows `shd` and candidate pairs `cand` — the seam
-    * the `*_indexed` queries enter through with artifact-fed inputs. */
+    * shingle rows `shd` and candidate pairs `cand` — the seam the
+    * `*_indexed` queries enter through with artifact-fed inputs. Both
+    * aggregates are DISTINCT-counting, so duplicate (doc, shingle) rows —
+    * the state an at-least-once ingest replay leaves in the standing
+    * shingle index ([[dedupIngestBatch]]'s append) — cannot inflate
+    * sizes or intersections: the screens stay exact over either the
+    * once-built artifact or the ingest-maintained one. */
   private def verifyPairsOver(shd: DataFrame, cand: DataFrame,
       score: (Column, Column, Column) => Column,
       scoreName: String, threshold: Double): DataFrame = {
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = shd.groupBy("doc_id").agg(countDistinct("s").as("sz"))
     // equi-join on (id, shingle): result rows ARE the intersection entries
     val interCounts = cand
       .join(shd.toDF("id_a", "s").hint("shuffle_hash"), "id_a")
       .join(shd.toDF("id_b", "s").hint("shuffle_hash"), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .groupBy("id_a", "id_b").agg(countDistinct("s").as("inter"))
     interCounts
       .join(sizes.toDF("id_a", "sz_a").hint("shuffle_hash"), "id_a")
       .join(sizes.toDF("id_b", "sz_b").hint("shuffle_hash"), "id_b")
@@ -499,17 +504,10 @@ object Dedup {
     * no candidate explosion — this is the cheap exact layer that runs
     * BEFORE fuzzy dedup in a production pipeline. */
   def lineDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
-    val tok = planted(docs).select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-    // per-chunk text: the array_sort/transform pair runs interpreted but
-    // once per CHUNK row over <= chunkTokens elements (fine-per-row HOF)
-    val orderedTokens = concat_ws(" ", transform(
-      array_sort(collect_list(struct(col("pos"), col("t")))),
-      x => x.getField("t")))
-    val chunks = tok
-      .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
-      .groupBy("doc_id", "chunk_id")
-      .agg(orderedTokens.as("chunk"))
+    // the SAME chunk relation the boilerplate screens consume — one
+    // definition ([[chunkRows]]), so the two layers can never chunk a
+    // document differently
+    val chunks = chunkRows(planted(docs), chunkTokens)
     val firstWins = org.apache.spark.sql.expressions.Window
       .partitionBy("chunk").orderBy("doc_id", "chunk_id")
     val flagged = chunks.withColumn("rn", row_number().over(firstWins))
@@ -604,8 +602,15 @@ object Dedup {
     * screen reads it). Output-identical to [[boilerplateStrip]] over the
     * same corpus by construction. */
   def boilerplateFromIndex(chunks: DataFrame, minDocs: Int = 3): DataFrame = {
-    val freq = chunks.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
-    boilerplateStats(chunks, freq, minDocs)
+    // the ingest-maintained index is at-least-once: a replayed batch may
+    // have re-appended its (doc, chunk) rows. Frequency would survive
+    // that (countDistinct), but the per-doc rollup would not — n_chunks
+    // counts rows and kept_fp fingerprints the keeper list, so duplicate
+    // rows double both. Dedup on the full row identity first; exact-once
+    // artifacts pass through unchanged.
+    val exact = chunks.dropDuplicates("doc_id", "chunk_id", "chunk")
+    val freq = exact.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+    boilerplateStats(exact, freq, minDocs)
   }
 
   /** Boilerplate screening AT INGEST — the foreachBatch body of a

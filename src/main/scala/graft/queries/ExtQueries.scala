@@ -1834,8 +1834,8 @@ object ExtQueries {
     // partition-order-dependent. Plan: one tiny source-count aggregate →
     // 1-row normalizer cross-broadcast → ~|sources|-row rate table
     // broadcast back onto the scan; the corpus is read ONCE with no
-    // fact-side shuffle. At 100 TB the fixed-point scale moves to
-    // DECIMAL(38,0) to keep the products in range.
+    // fact-side shuffle. Rate arithmetic runs in DECIMAL(38,0) (HUGEINT
+    // in the oracle) — int64 would overflow at ~4M docs per source.
     "sample_temperature" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
@@ -1843,9 +1843,16 @@ object ExtQueries {
           .withColumn("s6",
             floor(sqrt(col("n").cast("double")) * lit(1000000.0)).cast("long"))
         val z = counts.agg(sum("s6").as("z6"), sum("n").as("ntot"))
+        // DECIMAL(38,0) keeps the product exact far past BIGINT's range:
+        // s6·(ntot/4)·10⁴ overflows int64 at only ~4M docs/source (2e19),
+        // while 38 digits cover corpus sizes past 100 TB. IntegralDivide
+        // on decimals is an exact integer quotient; DuckDB mirrors with
+        // HUGEINT (int128) — both floor the same exact rational.
         val rates = counts.crossJoin(broadcast(z))
           .withColumn("rate10k",
-            least(lit(10000L), expr("(s6 * (ntot div 4) * 10000) div (z6 * n)")))
+            least(lit(10000L), expr(
+              """CAST((CAST(s6 AS DECIMAL(38,0)) * (ntot div 4) * 10000)
+                |     div (CAST(z6 AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)))
           .select(col("source"), col("rate10k"))
         val u = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
           lit(1000000007L)), lit(10000L))
@@ -1860,7 +1867,8 @@ object ExtQueries {
              |       FROM counts),
              |z AS (SELECT sum(s6) AS z6, sum(n) AS ntot FROM c6),
              |rates AS (SELECT source,
-             |            least(10000, (s6 * (ntot // 4) * 10000) // (z6 * n)) AS rate10k
+             |            least(10000, CAST((CAST(s6 AS HUGEINT) * (ntot // 4) * 10000)
+             |                              // (CAST(z6 AS HUGEINT) * n) AS BIGINT)) AS rate10k
              |          FROM c6 CROSS JOIN z)
              |SELECT d.doc_id, d.source, CAST(r.rate10k AS BIGINT) AS rate10k
              |FROM documents d JOIN rates r USING (source)

@@ -211,6 +211,39 @@ class MiningSpec extends SparkSpec {
       "artifact-served semantic screen diverged from the inline form")
   }
 
+  test("replay-duplicated index rows cannot change the indexed screens or the boilerplate rollup") {
+    // the at-least-once ingest index may hold every (doc, chunk/shingle)
+    // row twice after a crash-replay append; every consumer that reads
+    // the index directly must be insensitive to that
+    val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    val ch = Dedup.chunkRows(docs)
+    val once = Dedup.boilerplateFromIndex(ch).collect().map(_.toSeq).toSeq
+    val doubled = Dedup.boilerplateFromIndex(ch.unionByName(ch))
+      .collect().map(_.toSeq).toSeq
+    assert(doubled == once,
+      "boilerplateFromIndex output changed under duplicated index rows")
+    val sh = Dedup.shingleRows(Dedup.planted(docs)).distinct()
+    val banded = Dedup.bandedSignatures(sh)
+    val clean = Dedup.minhashPairsIndexed(banded, sh).collect().map(_.toSeq).toSeq
+    val dup = Dedup.minhashPairsIndexed(banded, sh.unionByName(sh))
+      .collect().map(_.toSeq).toSeq
+    assert(dup == clean,
+      "indexed Jaccard screen scores changed under duplicated shingle rows")
+  }
+
+  test("temperature rate arithmetic stays exact where int64 overflows") {
+    // s6·(ntot/4)·10⁴ = 2e9·1e6·1e4 = 2e19 > Long.MaxValue: the DECIMAL
+    // form must return the exact rate, not overflow or wrap
+    val row = spark.sql(
+      """SELECT CAST((CAST(2000000000 AS DECIMAL(38,0)) * (4000000 div 4) * 10000)
+        |     div (CAST(2000000000 AS DECIMAL(38,0)) * 4000000) AS BIGINT) AS r""".stripMargin)
+      .collect().head.getLong(0)
+    // exact value: (2e9·1e6·1e4)/(2e9·4e6) = 1e10/4e6 = 2500
+    assert(row == 2500L, s"decimal rate arithmetic wrong at overflow scale: $row")
+    // and DuckDB's HUGEINT twin agrees (checked by the oracle gate; this
+    // pins the Spark side's exactness in isolation)
+  }
+
   test("semantic ingest: multi-batch fold == first-arrival truth; cold start; replay idempotent") {
     val embs = table(spark, sf("sf0.001"), "embeddings")
     val centroids = Similarity.seedCentroids(embs, 8)
