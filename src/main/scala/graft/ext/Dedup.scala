@@ -354,27 +354,26 @@ object Dedup {
     *
     * Cold start: a missing index path is treated as an empty index, so
     * the first batch bootstraps it (probe finds nothing, merge creates
-    * the artifact) — no pre-seeding step required. */
+    * the artifact) — no pre-seeding step required.
+    *
+    * The whole overwrite/anti-join/append armor is the shared
+    * [[IngestRecipe.applyBatch]] seam (one recipe, four ingest paths). */
   def dedupIngestBatch(batch: DataFrame, indexPath: String,
       pairsOutPath: String, batchId: Long, threshold: Double = 0.7): Unit = {
-    val spark = batch.sparkSession
-    def readOrEmpty(path: String, schema: org.apache.spark.sql.types.StructType) =
-      ParquetIO.readOrEmpty(spark, path, schema)
     val b = batch.select("doc_id", "text").localCheckpoint()
-    val ids = b.select(col("doc_id"))
     // shingle ONCE; the probe and the merge both consume these rows
     val sh = shingleRows(b).localCheckpoint()
-    // anti-join = replay idempotence: pretend the batch's own rows are
-    // not in the index yet, which is exactly the pre-crash probe state
-    val baseBanded = readOrEmpty(s"$indexPath/banded", BandedSchema)
-      .join(ids, Seq("doc_id"), "left_anti")
-    val baseShingles = readOrEmpty(s"$indexPath/shingles", ShingleSchema)
-      .join(ids, Seq("doc_id"), "left_anti")
-    minhashIncrementalPairs(baseBanded, b, baseShingles, threshold,
-      deltaShingles = Some(sh))
-      .write.mode("overwrite").parquet(s"$pairsOutPath/batch_id=$batchId")
-    bandedSignatures(sh).write.mode("append").parquet(s"$indexPath/banded")
-    sh.distinct().write.mode("append").parquet(s"$indexPath/shingles")
+    IngestRecipe.applyBatch(b.select(col("doc_id")), batchId, pairsOutPath,
+      Seq(
+        IngestRecipe.IndexPart(s"$indexPath/banded", BandedSchema,
+          bandedSignatures(sh)),
+        IngestRecipe.IndexPart(s"$indexPath/shingles", ShingleSchema,
+          sh.distinct()))) {
+      case Seq(baseBanded, baseShingles) =>
+        minhashIncrementalPairs(baseBanded, b, baseShingles, threshold,
+          deltaShingles = Some(sh))
+      case _ => throw new MatchError("two index parts expected")
+    }
   }
 
   // ------------------------------------------------------------- simhash
@@ -635,24 +634,23 @@ object Dedup {
     * the frequency aggregate batch-proportional, not index-proportional. */
   def boilerplateIngestBatch(batch: DataFrame, indexPath: String,
       outPath: String, batchId: Long, minDocs: Int = 3): Unit = {
-    val spark = batch.sparkSession
     val b = batch.select("doc_id", "text").localCheckpoint()
-    val ids = b.select(col("doc_id"))
     // chunk ONCE; the screen and the index append both consume these rows
     val ch = chunkRows(b).localCheckpoint()
-    val base = ParquetIO.readOrEmpty(spark, s"$indexPath/chunks", ChunkSchema)
-      .join(ids, Seq("doc_id"), "left_anti")
-    // only index chunks that also occur in this batch can change a
-    // batch doc's verdict: restrict BEFORE the frequency aggregate
-    val relevant = base
-      .join(ch.select("chunk").distinct().hint("shuffle_hash"),
-        Seq("chunk"), "left_semi")
-    val freq = relevant.select("doc_id", "chunk")
-      .unionByName(ch.select("doc_id", "chunk"))
-      .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
-    boilerplateStats(ch, freq, minDocs)
-      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-    ch.write.mode("append").parquet(s"$indexPath/chunks")
+    IngestRecipe.applyBatch(b.select(col("doc_id")), batchId, outPath,
+      Seq(IngestRecipe.IndexPart(s"$indexPath/chunks", ChunkSchema, ch))) {
+      case Seq(base) =>
+        // only index chunks that also occur in this batch can change a
+        // batch doc's verdict: restrict BEFORE the frequency aggregate
+        val relevant = base
+          .join(ch.select("chunk").distinct().hint("shuffle_hash"),
+            Seq("chunk"), "left_semi")
+        val freq = relevant.select("doc_id", "chunk")
+          .unionByName(ch.select("doc_id", "chunk"))
+          .groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+        boilerplateStats(ch, freq, minDocs)
+      case _ => throw new MatchError("one index part expected")
+    }
   }
 
   // ------------------------------------------------------- contamination
@@ -855,24 +853,37 @@ object Dedup {
   def semanticIngestBatch(batch: DataFrame, centroids: DataFrame,
       indexPath: String, dropsOutPath: String, batchId: Long,
       threshold: Double): Unit = {
-    val spark = batch.sparkSession
     val assigned = Similarity.assignToCentroids(
       batch.select("vec_id", "embedding"), centroids).localCheckpoint()
-    val ids = assigned.select(col("vec_id"))
-    val base = ParquetIO.readOrEmpty(spark, indexPath, SemanticIndexSchema)
-      .join(ids, Seq("vec_id"), "left_anti")
-    val scored = base
-      .select(col("c_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      .join(assigned
-        .select(col("c_id"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        .hint("shuffle_hash"), "c_id")
-      .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
-      .filter(col("cos") >= threshold)
-    semanticDropRule(scored)
-      .write.mode("overwrite").parquet(s"$dropsOutPath/batch_id=$batchId")
-    assigned.select("vec_id", "embedding", "c_id")
-      .write.mode("append").partitionBy("c_id").parquet(indexPath)
+    IngestRecipe.applyBatch(assigned.select(col("vec_id")), batchId,
+      dropsOutPath,
+      Seq(IngestRecipe.IndexPart(indexPath, SemanticIndexSchema,
+        assigned.select("vec_id", "embedding", "c_id"),
+        partitionBy = Seq("c_id")))) {
+      case Seq(base) =>
+        val scored = base
+          .select(col("c_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+          .join(assigned
+            .select(col("c_id"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+            .hint("shuffle_hash"), "c_id")
+          .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+          .filter(col("cos") >= threshold)
+        semanticDropRule(scored)
+      case _ => throw new MatchError("one index part expected")
+    }
   }
+
+  /** Repair path for the advisory on replay growth: an at-least-once
+    * replay that crashed after [[semanticIngestBatch]]'s merge landed
+    * leaves permanent duplicate rows in the standing index (consumers
+    * stay correct — rank/distinct-collapsed — but size and probe cost
+    * grow monotonically). Periodic compaction resets it; exact full-row
+    * dropDuplicates is safe because legitimate rows are unique on
+    * (vec_id) by construction. */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    IngestRecipe.compact(spark, indexPath, SemanticIndexSchema,
+      partitionBy = Seq("c_id"))
 
   /** Read-back schema of the semantic assignment index — parsed from
     * [[Similarity.IvfIndexSchema]] (the ONE definition of the on-disk

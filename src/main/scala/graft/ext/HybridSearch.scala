@@ -51,11 +51,15 @@ object HybridSearch {
     // list that returns the query itself is useless to the consumer).
     // Lexical exclusion is a POST-filter of the ranked list: the query
     // doc stays in the collection statistics (standard IR semantics) but
-    // never in the results. Each leg is CHECKPOINTED before the rank
-    // self-join, else the corpus-scale scan behind it would run once per
-    // join branch (the k-row result is the only thing worth keeping).
-    val lex0 = TextStats.bm25(docs, terms, k)
+    // never in the results. BM25 fetches k+1, so even when the query doc
+    // lands in its own lexical top list both legs still contribute
+    // exactly k ranked candidates — no query-dependent bias toward the
+    // dense leg. Each leg is CHECKPOINTED before the rank self-join, else
+    // the corpus-scale scan behind it would run once per join branch (the
+    // k-row result is the only thing worth keeping).
+    val lex0 = TextStats.bm25(docs, terms, k + 1)
       .filter(col("doc_id") =!= qId)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
       .localCheckpoint()
     val q = embeddings.filter(col("vec_id") === qId)
       .select(col("embedding").as("q_emb"))
@@ -81,7 +85,8 @@ object HybridSearch {
     * double-typed RRF arithmetic. */
   def hybridRrfSql(terms: Seq[String], qId: Long = 0L, k: Int = 30,
       topN: Int = 20, rrfK: Int = 60): String =
-    s"""WITH lex0 AS (SELECT * FROM (${TextStats.bm25Sql(terms, k)}) WHERE doc_id <> $qId),
+    s"""WITH lex0 AS (SELECT * FROM (${TextStats.bm25Sql(terms, k + 1)})
+       |        WHERE doc_id <> $qId ORDER BY bm25 DESC, doc_id LIMIT $k),
        |den0 AS (SELECT * FROM (
        |  SELECT e.vec_id AS doc_id,
        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The ONE exactly-once recipe every standing-index ingest path follows
+  * ([[Dedup.dedupIngestBatch]], [[Dedup.boilerplateIngestBatch]],
+  * [[Dedup.semanticIngestBatch]], [[SourceAudit.auditIngestBatch]]).
+  * foreachBatch is at-least-once; per-batch OUTPUT becomes exactly-once
+  * by partition overwrite, and the PROBE becomes replay-deterministic by
+  * anti-joining the standing index against the batch's own keys:
+  *
+  *   1. read each standing index component (missing path = well-defined
+  *      cold start, [[ParquetIO.readOrEmpty]]) and anti-join away the
+  *      batch's own keys — a replay that crashed AFTER the index merge
+  *      landed probes the exact pre-crash base;
+  *   2. run the probe over those bases; write its result under the
+  *      batch's own `batch_id=<id>` directory with mode OVERWRITE, so a
+  *      replayed batch rewrites the same files instead of re-appending;
+  *   3. append the batch's rows to each index component (O(delta) files;
+  *      partitioned components land only in their bucket footprint).
+  *
+  * Step 3 stays append, so a replay can leave DUPLICATE rows in a
+  * standing index — every consumer must be duplicate-tolerant
+  * (countDistinct / rank-collapse, pinned by the doubled-index
+  * equivalence specs), and [[compact]] is the periodic repair that
+  * resets index size and probe cost. Centralizing the armor here exists
+  * because it is easy to get subtly wrong per-path (a replay-duplicate-
+  * unsafe consumer shipped once and was caught only in self-review).
+  */
+object IngestRecipe {
+
+  /** One standing-index component: where it lives, its read schema, the
+    * batch's rows to merge in, and (for bucket-partitioned layouts) the
+    * partition columns the append must respect. */
+  final case class IndexPart(
+      path: String,
+      schema: StructType,
+      rows: DataFrame,
+      partitionBy: Seq[String] = Nil)
+
+  /** Exactly-once per-batch output: `batch_id=<id>` partition overwrite. */
+  def writeBatchOutput(df: DataFrame, outPath: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** Run one micro-batch through the full recipe. `batchKeys` carries the
+    * batch's key column (its column NAMES are the anti-join keys — e.g. a
+    * one-column `doc_id` or `vec_id` frame); `probe` receives one
+    * pre-crash base per [[IndexPart]], in order, and its result is the
+    * batch's exactly-once output. */
+  def applyBatch(batchKeys: DataFrame, batchId: Long, outPath: String,
+      parts: Seq[IndexPart])(probe: Seq[DataFrame] => DataFrame): Unit = {
+    val spark = batchKeys.sparkSession
+    val keyCols = batchKeys.columns.toSeq
+    val bases = parts.map { p =>
+      ParquetIO.readOrEmpty(spark, p.path, p.schema)
+        .join(batchKeys, keyCols, "left_anti")
+    }
+    writeBatchOutput(probe(bases), outPath, batchId)
+    parts.foreach { p =>
+      val w = p.rows.write.mode("append")
+      (if (p.partitionBy.nonEmpty) w.partitionBy(p.partitionBy: _*) else w)
+        .parquet(p.path)
+    }
+  }
+
+  /** Periodic compaction of a replay-duplicated standing index: full-row
+    * dropDuplicates, rewrite, atomic-ish swap. Consumers stay CORRECT
+    * without it (duplicate tolerance is their contract); compaction
+    * resets the monotonic size/probe-cost growth an at-least-once replay
+    * history leaves behind. Local/HDFS rename swaps the directory; an
+    * object-store deployment would write a new snapshot path and flip a
+    * manifest pointer instead — same two-phase shape. */
+  def compact(spark: SparkSession, path: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = path.stripSuffix("/") + "__compact"
+    val w = ParquetIO.readOrEmpty(spark, path, schema)
+      .dropDuplicates()
+      .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+  }
+}

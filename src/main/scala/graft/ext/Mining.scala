@@ -41,15 +41,20 @@ object Mining {
     * [theta-5e-5, theta) rounds up into the result set and must not be
     * pruned upstream of the verify. */
   /** The (doc_id, df-rare-first-sorted token array, size) relation both
-    * prefix joins consume — MATERIALIZED once (`localCheckpoint`, eager):
-    * the relation feeds four plan branches (prefix explode, posting
-    * explode, and both verify fetches), and Spark's exchange reuse does
-    * not unify them here (column pruning specializes each branch's
-    * exchange — audited: 8 distinct shingle exchanges, 0 reused, ~2×
-    * wall). At corpus scale this is the sorted-postings ARTIFACT a
-    * production similarity-join job materializes to parquet once per
-    * snapshot (exactly like the LSH signature index the `*_indexed`
-    * screens read); the checkpoint is the inline-query equivalent. */
+    * prefix joins consume — persisted once (`persist`, lazy): the
+    * relation feeds four plan branches (prefix explode, posting explode,
+    * and both verify fetches), and Spark's exchange reuse does not unify
+    * them here (column pruning specializes each branch's exchange —
+    * audited: 8 distinct shingle exchanges, 0 reused, ~2× wall). At
+    * corpus scale this is the sorted-postings ARTIFACT a production
+    * similarity-join job materializes to parquet once per snapshot
+    * (exactly like the LSH signature index the `*_indexed` screens read);
+    * the persist is the inline-query equivalent. `persist` — NOT
+    * `localCheckpoint` — because checkpoint blocks are non-reliable
+    * (executor loss after materialization fails the query instead of
+    * recomputing; unsafe under dynamic allocation) and eager at
+    * construction time; persist keeps lineage for recompute and costs
+    * nothing until a caller actually runs the query. */
   private def sortedTokenDocs(shingled: DataFrame): DataFrame = {
     val toks = shingled.select(col("doc_id"), col("s")).distinct()
     val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
@@ -59,7 +64,7 @@ object Mining {
       .select(col("doc_id"),
         transform(col("st"), x => x.getField("s")).as("toks"),
         size(col("st")).as("sz"))
-      .localCheckpoint()
+      .persist()
   }
 
   def prefixJaccardPairs(shingled: DataFrame, theta: Double): DataFrame = {

@@ -22,12 +22,11 @@ object Sampling {
 
   /** Uniform-in-(0,1) from the first 6 hex digits of a seed-salted md5 —
     * instr arithmetic shared verbatim by the DuckDB twin (no hex→int
-    * cast exists in both engines). Requires the hash column to be NAMED
-    * `h` (expr-based digit lookup, same constraint as [[Shards]]). */
-  private def hexU: Column = {
+    * cast exists in both engines). Column-API lookup ([[Shards.hexVal]])
+    * so any hash-valued Column works, not only one literally named `h`. */
+  private def hexU(h: Column): Column = {
     val uval = (1 to 6).map { i =>
-      expr(s"instr('0123456789abcdef', substring(h, $i, 1)) - 1") *
-        lit(math.pow(16, 6 - i).toLong)
+      Shards.hexVal(h, i) * lit(math.pow(16, 6 - i).toLong)
     }.reduce(_ + _)
     (uval.cast("double") + lit(0.5)) / lit(16777216.0)
   }
@@ -42,7 +41,7 @@ object Sampling {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(seed))))
-      .withColumn("wkey", round(-log(hexU) / (col("quality") + lit(0.05)), 6))
+      .withColumn("wkey", round(-log(hexU(col("h"))) / (col("quality") + lit(0.05)), 6))
       .select("doc_id", "quality", "wkey")
       .orderBy(col("wkey"), col("doc_id"))
       .limit(k)

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Shards {
 
-  /** 1-based hex-digit position → 0..15 value, portable across engines. */
-  private def hexVal(h: Column, i: Int): Column =
-    expr(s"instr('0123456789abcdef', substring(${h.toString}, $i, 1)) - 1")
+  /** 1-based hex-digit position → 0..15 value, portable across engines.
+    * Built with the Column API (`call_function`), not an `expr()` string
+    * interpolation — the latter only resolved for a bare named column
+    * and silently mis-parsed any derived/qualified input. */
+  private[ext] def hexVal(h: Column, i: Int): Column =
+    call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)) - 1
 
   /** Shuffle key + shard assignment. Adds `h` (the global shuffle key),
     * `ht` (content hash, for the checksum) and `shard`. The shard id

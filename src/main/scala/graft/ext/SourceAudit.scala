@@ -35,10 +35,11 @@ object SourceAudit {
       md5(col("text")).as("fp"))
 
   /** Ingest one micro-batch: write its narrow fact rows under the batch's
-    * own directory (overwrite → replay-idempotent). */
+    * own directory ([[IngestRecipe.writeBatchOutput]] — overwrite →
+    * replay-idempotent). No standing-index probe here: the fact table IS
+    * the state, and it is exactly-once by the partition overwrite alone. */
   def auditIngestBatch(batch: DataFrame, statePath: String, batchId: Long): Unit =
-    facts(batch).write.mode("overwrite")
-      .parquet(s"$statePath/facts/batch_id=$batchId")
+    IngestRecipe.writeBatchOutput(facts(batch), s"$statePath/facts", batchId)
 
   /** The audit table over everything ingested so far — identical schema
     * and values to the batch `corpus_source_audit` over the same rows.

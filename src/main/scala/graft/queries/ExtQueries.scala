@@ -1848,11 +1848,20 @@ object ExtQueries {
         // while 38 digits cover corpus sizes past 100 TB. IntegralDivide
         // on decimals is an exact integer quotient; DuckDB mirrors with
         // HUGEINT (int128) — both floor the same exact rational.
+        // Under non-ANSI Spark a DECIMAL(38,0) overflow yields NULL, and
+        // least() would silently absorb it into the 10000 clamp while the
+        // oracle's HUGEINT twin errors — the engines would stop agreeing
+        // exactly when the number is wrong. The coalesce→raise_error
+        // makes Spark fail loudly too (the scale is far beyond any real
+        // corpus: 38 digits cover ~1e28 docs/source).
         val rates = counts.crossJoin(broadcast(z))
+          .withColumn("q", expr(
+            """CAST((CAST(s6 AS DECIMAL(38,0)) * (ntot div 4) * 10000)
+              |     div (CAST(z6 AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
           .withColumn("rate10k",
-            least(lit(10000L), expr(
-              """CAST((CAST(s6 AS DECIMAL(38,0)) * (ntot div 4) * 10000)
-                |     div (CAST(z6 AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)))
+            least(lit(10000L), coalesce(col("q"), raise_error(concat(
+              lit("sample_temperature: rate quotient overflowed DECIMAL(38,0) for source "),
+              col("source"))))))
           .select(col("source"), col("rate10k"))
         val u = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
           lit(1000000007L)), lit(10000L))

@@ -158,11 +158,14 @@ class ExtSpec extends SparkSpec {
     // independent fuse: rank each leg's collected top-k by (score desc,
     // id asc), RRF in plain Scala, same 6-dp rounding
     // qId (= 0) is post-filtered from the ranked lexical list, same as
-    // the operator: corpus stats keep the query doc, results never do
-    val lex = TextStats.bm25(docs, terms, k).collect()
+    // the operator: corpus stats keep the query doc, results never do.
+    // BM25 fetches k+1 then truncates to k after the exclusion, so the
+    // lexical leg contributes exactly k candidates even when the query
+    // doc lands in its own top list (leg symmetry with the dense side).
+    val lex = TextStats.bm25(docs, terms, k + 1).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .filter(_._1 != 0L)
-      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
       .map { case ((id, _), i) => id -> (i + 1) }.toMap
     val vecs = embs.collect().map(r => r.getLong(0) ->
       r.getSeq[Float](1).map(_.toDouble).toArray).toMap

@@ -307,6 +307,54 @@ class MiningSpec extends SparkSpec {
       "replay must rewrite batch_id=2 in place, not append new files")
   }
 
+  test("semantic index compaction drops replay duplicates; consumers unchanged") {
+    val embs = table(spark, sf("sf0.001"), "embeddings")
+    val centroids = Similarity.seedCentroids(embs, 8)
+    val tau = 0.1
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_compact")
+    val idx = root.resolve("idx").toString
+    val drops = root.resolve("drops").toString
+    Dedup.semanticIngestBatch(embs.filter($"vec_id" < 25), centroids, idx, drops, 0L, tau)
+    Dedup.semanticIngestBatch(embs.filter($"vec_id" >= 25), centroids, idx, drops, 1L, tau)
+    // crash-after-merge replay: the index append runs twice for batch 1
+    Dedup.semanticIngestBatch(embs.filter($"vec_id" >= 25), centroids, idx, drops, 1L, tau)
+    def readIdx(p: String) = spark.read.schema(Dedup.SemanticIndexSchema).parquet(p)
+    val dupCount = readIdx(idx).count()
+    val exactCount = readIdx(idx).dropDuplicates().count()
+    assert(dupCount > exactCount,
+      "fixture degenerated: the replay appended no duplicate index rows")
+    // duplicate the polluted index so compacted vs uncompacted can be
+    // probed independently (a probe's merge step mutates its index)
+    val idx2 = root.resolve("idx2").toString
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach { p =>
+        val t = dst.resolve(p.getFileName)
+        if (java.nio.file.Files.isDirectory(p)) copyDir(p, t)
+        else { java.nio.file.Files.copy(p, t); () }
+      }
+    }
+    copyDir(java.nio.file.Paths.get(idx), java.nio.file.Paths.get(idx2))
+    Dedup.compactSemanticIndex(spark, idx2)
+    assert(readIdx(idx2).count() == exactCount,
+      "compaction must leave exactly the distinct rows")
+    assert(readIdx(idx2).collect().toSet == readIdx(idx).dropDuplicates().collect().toSet,
+      "compaction changed index content beyond duplicate removal")
+    // consumer equivalence: the same probe batch (cloned vectors, so
+    // drops are guaranteed) sees identical drops from both index states
+    val probe = embs.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    val dropsA = root.resolve("dropsA").toString
+    val dropsB = root.resolve("dropsB").toString
+    Dedup.semanticIngestBatch(probe, centroids, idx, dropsA, 0L, tau)
+    Dedup.semanticIngestBatch(probe, centroids, idx2, dropsB, 0L, tau)
+    def dropSet(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(dropSet(dropsA) == dropSet(dropsB),
+      "probe results diverged between the duplicated and compacted index")
+    assert(dropSet(dropsA).nonEmpty, "cloned probe produced no drops — degenerate")
+  }
+
   test("dedup ingest: cold start bootstraps a missing index; replay is idempotent") {
     val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_cold")

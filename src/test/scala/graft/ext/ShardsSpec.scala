@@ -34,6 +34,24 @@ class ShardsSpec extends SparkSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("hexVal resolves derived columns, matching driver-side md5 digits") {
+    // regression: the expr()-interpolated form only parsed for a bare
+    // named column; the Column-API form must accept any derived input
+    import spark.implicits._
+    val rows = Seq("a", "b", "xyz").toDF("s")
+    val got = rows.select(col("s"),
+        Shards.hexVal(md5(concat(col("s"), lit("#salt")).cast("binary")), 1).as("d1"),
+        Shards.hexVal(md5(concat(col("s"), lit("#salt")).cast("binary")), 5).as("d5"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq("a", "b", "xyz").foreach { s =>
+      val h = md5hex(s + "#salt")
+      assert(got(s) == (Character.digit(h.charAt(0), 16), Character.digit(h.charAt(4), 16)),
+        s"hex digits diverged for '$s' (hash $h)")
+    }
+  }
+
   test("shard assignment: 16-bit key fold covers every shard id; bound enforced") {
     // the 8-bit fold this replaced left shards >= 256 structurally empty
     // and skewed non-divisors of 256; 16 bits caps mod-bias at n/65536

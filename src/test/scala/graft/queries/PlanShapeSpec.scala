@@ -447,27 +447,27 @@ class PlanShapeSpec extends SparkSpec {
 
   // ------------------------------------------------ round-7 mining guards
 
-  test("join_setsim_prefix: candidate/verify joins all shuffle_hash; sorted docs checkpointed once") {
+  test("join_setsim_prefix: candidate/verify joins all shuffle_hash; sorted docs persisted once") {
     val plan = explained("join_setsim_prefix")
     // prefix candidate self-join + two verify joins; the shingle-df join
-    // runs once inside the sortedTokenDocs materialization (its
-    // checkpoint RDD feeds all four branches — the round-10 fix for the
-    // 4× recompute), so it is not in THIS plan
+    // runs once inside the sortedTokenDocs persist (the InMemoryRelation
+    // feeds all four branches — the round-10 fix for the 4× recompute,
+    // lineage-retaining persist since round 11), so it is not in THIS plan
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
-    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
-      s"all branches must read the checkpointed sorted-docs relation:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"all branches must read the persisted sorted-docs relation:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("BroadcastHashJoin"),
       s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
   }
 
-  test("join_containment_prefix: candidate/verify joins all shuffle_hash; sorted docs checkpointed once") {
+  test("join_containment_prefix: candidate/verify joins all shuffle_hash; sorted docs persisted once") {
     val plan = explained("join_containment_prefix")
     // prefix-vs-postings candidate join + two verify joins; shingle-df
-    // join inside the checkpoint, as above
+    // join inside the persisted relation, as above
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
-    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
-      s"all branches must read the checkpointed sorted-docs relation:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"all branches must read the persisted sorted-docs relation:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("BroadcastHashJoin"),
       s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
