@@ -133,11 +133,39 @@ object CurationQueries {
     val starts = grams.join(freq.hint("shuffle_hash"), "gram")
       .filter(col("nd") >= 2)
       .groupBy("doc_id").agg(collect_set("pos").as("starts"))
-    val kept = filter(sequence(lit(1), size(col("t"))),
-      i => !exists(col("starts"), x => i - x >= 0 && i - x <= n - 1))
+    // Interval-merge pre-pass: fold the sorted dup starts into disjoint
+    // coverage intervals [x, x+n-1], then emit the kept tokens as the
+    // GAPS between intervals — O(len + |intervals|) per doc, replacing
+    // the O(len·|starts|) per-token exists() scan. On a boilerplate-
+    // saturated doc (every position a dup start) the old form walked
+    // len·len pairs; this walks one interval. Output is position-for-
+    // position identical: gaps enumerate exactly the uncovered indices
+    // in ascending order, which is what the filter produced.
+    val ivT = "array<struct<lo:int,hi:int>>"
+    val ivs = aggregate(
+      array_sort(col("starts")), array().cast(ivT),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && x <= last.getField("hi") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("lo").as("lo"),
+              greatest(last.getField("hi"), x + (n - 1)).as("hi")))))
+          .otherwise(concat(acc,
+            array(struct(x.as("lo"), (x + (n - 1)).as("hi")))))
+      })
+    val kept = {
+      val gapLo = concat(array(lit(1)),
+        transform(col("ivs"), iv => iv.getField("hi") + 1))
+      val gapHi = concat(
+        transform(col("ivs"), iv => iv.getField("lo") - 1),
+        array(size(col("t"))))
+      flatten(zip_with(gapLo, gapHi, (a, b) =>
+        when(a <= b, sequence(a, b)).otherwise(array().cast("array<int>"))))
+    }
     toks.join(starts, Seq("doc_id"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("ivs", ivs)
       .withColumn("kept", kept)
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -146,6 +174,77 @@ object CurationQueries {
           transform(col("kept"), i => element_at(col("t"), i))).cast("binary"))
           .as("clean_fp"))
       .orderBy("doc_id")
+  }
+
+  /** The pinned BPE merge table `text_bpe_apply` encodes with — rank-
+    * ordered, later merges consuming earlier outputs exactly as BPE
+    * training created them ((t,h) builds the "th" that (th,e) then
+    * extends). A FIXED table is the operator's contract: a tokenizer is
+    * a frozen artifact applied to any corpus, the same way `text_bm25`
+    * pins its query terms. */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
+
+  /** Symbol separator for the encode pipeline — a control char no corpus
+    * token contains. Each symbol is wrapped in its OWN pair (`⟨a⟩⟨b⟩`,
+    * not a shared delimiter), so one global literal replace per merge
+    * never consumes a neighbor's boundary: adjacent matches stay
+    * independent and `a b a b` merges BOTH pairs in one pass — the exact
+    * left-to-right greedy semantics of a sequential BPE encoder. */
+  private val SEP = "\u0001"
+
+  /** BPE tokenizer APPLY — the step every training pipeline runs after
+    * [[bpeMerges merge induction]]: encode each document with a ranked
+    * merge list. Per doc: whitespace-normalize, wrap every non-space
+    * char as a separator-delimited symbol, then ONE literal
+    * string-replace per merge in rank order (merge (a,b): `⟨a⟩⟨b⟩` →
+    * `⟨ab⟩`; spaces break words, so merges never cross a word boundary).
+    * Bounded rounds = merge-table size; each round is a narrow
+    * codegen'd O(len) scan over the row — no explode, no shuffle, no
+    * vocabulary join. Output: exact encoded-token count, non-space char
+    * count (chars/token is the tokenizer-fertility metric), and an md5
+    * fingerprint of the encoded stream (hash-comparable without
+    * shipping encodings). */
+  private[graft] def applyBpe(docs: DataFrame,
+      merges: Seq[(String, String)] = bpeMerges): DataFrame = {
+    def repl(s: Column, find: String, to: String): Column =
+      call_function("replace", s, lit(find), lit(to))
+    val norm = regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " ")
+    val sym0 = regexp_replace(norm, "(\\S)", SEP + "$1" + SEP)
+    val enc = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      repl(s, SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+    }
+    docs.select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"),
+        ((length(col("e")) - length(repl(col("e"), SEP, ""))) / 2)
+          .cast("long").as("n_bpe_tokens"),
+        length(repl(repl(col("e"), SEP, ""), " ", "")).cast("long").as("n_chars"),
+        md5(col("e").cast("binary")).as("enc_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[applyBpe]] — same normalize, same per-char wrap
+    * (chr(1) separators), same rank-ordered nested replace chain. */
+  private def applyBpeSql(merges: Seq[(String, String)] = bpeMerges): String = {
+    def q(s: String) = "chr(1) || '" + s.replace("'", "''") + "' || chr(1)"
+    val encExpr = merges.foldLeft("s") { case (e, (a, b)) =>
+      s"replace($e, ${q(a)} || ${q(b)}, ${q(a + b)})"
+    }
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS s0
+       |  FROM documents),
+       |sym AS (
+       |  SELECT doc_id,
+       |    regexp_replace(s0, '(\\S)', chr(1) || '\\1' || chr(1), 'g') AS s
+       |  FROM n),
+       |enc AS (SELECT doc_id, $encExpr AS e FROM sym)
+       |SELECT doc_id,
+       |  CAST((length(e) - length(replace(e, chr(1), ''))) // 2 AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(replace(replace(e, chr(1), ''), ' ', '')) AS BIGINT) AS n_chars,
+       |  md5(e) AS enc_fp
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   /** Train/val/test assignment — the same hash rule `corpus_split` uses,
@@ -381,11 +480,11 @@ object CurationQueries {
     // is dropped iff it is covered by any 8-gram whose gram appears in
     // ≥2 documents. Plan: the same combinable (doc,gram) pre-agg +
     // |grams|-row document-frequency join as dupspans, dup start
-    // positions folded per doc (collect_set — order-free, used only
-    // inside exists()), then ONE narrow pass rebuilds each doc from its
-    // uncovered tokens (per-row HOFs over arrays bounded by doc length;
-    // O(len·|dup starts|) per doc — an interval-merge pre-pass is the
-    // optimization if boilerplate-saturated docs ever dominate). Output
+    // positions folded per doc (collect_set — order-free), then ONE
+    // narrow pass merges the starts into disjoint coverage intervals and
+    // rebuilds each doc from the gaps between them (per-row HOFs bounded
+    // by doc length; O(len + |intervals|) per doc — saturated
+    // boilerplate docs collapse to a single interval). Output
     // is the audit row: token counts before/after + a fingerprint of the
     // rewritten text (hash-comparable without shipping full rewrites).
     "text_dedup_spans" -> Q(
@@ -464,6 +563,18 @@ object CurationQueries {
     // shuffles are the combinable (doc, hash) pre-agg, the |chunks|-row
     // frequency join (shuffle_hash — cardinality is data-dependent), and
     // the final per-doc rollup.
+    // Tokenizer APPLY — the encode step after text_bpe_pairs' induction:
+    // a frozen ranked merge table encodes every document. One narrow
+    // codegen'd string pass per merge (bounded rounds = table size), no
+    // explode, no shuffle before the final sort — the plan a 100 TB
+    // tokenization job wants (pure map over the corpus scan). The pinned
+    // 2-merge hand fixture lives in ScaleOpsSpec; chained-merge
+    // composition ((t,h) then (th,e)) is part of the contract.
+    "text_bpe_apply" -> Q(
+      (s, dir) => applyBpe(table(s, dir, "documents")),
+      Some(applyBpeSql()),
+      "BPE tokenizer apply: rank-ordered merge encode, token/char counts + stream fingerprint"),
+
     "text_cdc_chunks" -> Q(
       (s, dir) => cdcChunkStats(table(s, dir, "documents")),
       Some("""WITH b AS (

@@ -1096,6 +1096,76 @@ object ExtQueries {
               |ORDER BY ct.c_id""".stripMargin),
       "per-cluster population + residual-cosine health audit of the served ANN index"),
 
+    // The knob a vector-serving deployment actually turns: recall@k vs
+    // candidate cost as nprobe sweeps {1,2,4,8}, measured against the
+    // brute-force truth over the SAME persisted index the serving probe
+    // reads. ONE index scan serves all four settings: buckets are probed
+    // once at nprobe=8 with their per-query rank, and a candidate belongs
+    // to setting p iff p >= its bucket's rank (explode over the 4-element
+    // settings array — no per-setting rescan). Everything downstream is
+    // exact integers (candidate counts, top-5 hit counts); the candidate
+    // set persists via OracleAux and DuckDB recomputes truth + rollup
+    // over exactly the same rows.
+    "index_tuning_sweep" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val nlist = ivfNlist(s, dir)
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        val centroids = e.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("qc_cos"), asc("c_id"))
+        val probed = queries.join(broadcast(centroids))
+          .withColumn("qc_cos", graft.functions.VectorOps.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 8)
+          .select("q_id", "c_id", "rk")
+        val cand = OracleAux.persist(dir, "index_tuning_cand")(
+          idx.join(broadcast(probed), Seq("c_id"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"), col("rk").as("bucket_rk")))
+        val truth = Similarity.bruteTopK(e, 8, 5)
+          .select(col("q_id"), col("neighbor_id").as("vec_id"), lit(1L).as("hit"))
+        cand
+          .withColumn("nprobe", explode(filter(
+            array(lit(1), lit(2), lit(4), lit(8)), p => p >= col("bucket_rk"))))
+          .join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+          .groupBy("nprobe", "q_id")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits_at_5"))
+          .orderBy("nprobe", "q_id")
+      },
+      Some(s"""WITH cand AS (
+              |  SELECT q_id, vec_id, bucket_rk
+              |  FROM read_parquet(${OracleAux.duckGlob("index_tuning_cand")})),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |      FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT q_id, e.vec_id,
+              |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+              |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+              |truth AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+              |    FROM scored)
+              |  WHERE rk <= 5),
+              |ex AS (
+              |  SELECT c.q_id, c.vec_id, p.nprobe
+              |  FROM cand c JOIN (VALUES (1), (2), (4), (8)) p(nprobe)
+              |    ON p.nprobe >= c.bucket_rk)
+              |SELECT CAST(ex.nprobe AS INTEGER) AS nprobe, ex.q_id AS q_id,
+              |  count(*) AS n_cand,
+              |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5
+              |FROM ex LEFT JOIN truth t ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+              |GROUP BY ex.nprobe, ex.q_id
+              |ORDER BY 1, 2""".stripMargin),
+      "ANN tuning sweep: recall@5 + candidate cost per nprobe over the served IVF index"),
+
     // Global contiguous row numbering done the scale-safe way (sort-then-
     // offset via zipWithIndex, Indexing scaladoc) — vs the naive
     // Window.orderBy form that sorts the world in ONE task. The training-

@@ -32,7 +32,7 @@ object TpchExtraQueries {
   private val revenueDec = revenue.cast("decimal(18,4)")
   private val revenueDecSql = s"CAST($revenueSql AS DECIMAL(18,4))"
 
-  val all: Map[String, Q] = Map(
+  private val base: Map[String, Q] = Map(
     // Q7: shipping volume between two nations by year — the two nation
     // roles come from self-aliased broadcast dims.
     "q7_volume_shipping" -> Q(
@@ -306,4 +306,159 @@ object TpchExtraQueries {
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
       "TPC-H Q21 shape: only-late supplier on multi-supplier orders (semi + anti chain)")
   )
+
+  /** True when the driver ships `partsupp.parquet` at any harness scale —
+    * the availability gate for the three TPC-H shapes that need it
+    * (Q2/Q11/Q20, SURVEY.md's standing "missing" item). Checked once at
+    * registry load, so the trio self-registers the moment the table
+    * exists, with no code change. */
+  lazy val partsuppAvailable: Boolean =
+    Seq("sf0.001", "sf0.01", "sf0.1").exists(sf =>
+      new java.io.File(s"/root/testdata/$sf/partsupp.parquet").exists)
+
+  /** The partsupp-gated trio, assuming the standard TPC-H columns
+    * (ps_partkey, ps_suppkey, ps_availqty, ps_supplycost). Exposed
+    * unconditionally so TpchPartsuppSpec can exercise it against a
+    * synthesized fixture dir; registered only when [[partsuppAvailable]].
+    * Plan posture matches the rest of the file: dims broadcast, the one
+    * data-sized relation (partsupp / lineitem) keyed-shuffles, per-part
+    * reductions are combinable aggregates joined back shuffle_hash. */
+  val partsuppGated: Map[String, Q] = Map(
+    // Q2: minimum-cost regional supplier per qualifying part. The min is
+    // a groupBy + equi-join-back (never a window over partsupp); equality
+    // on ps_supplycost is exact — both engines compare the same stored
+    // double against a min SELECTED from the same values.
+    "q2_min_cost_supplier" -> Q(
+      (s, dir) => {
+        val reg = table(s, dir, "region").filter(col("r_name") === "ASIA")
+        val rnat = table(s, dir, "nation")
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val rsupp = table(s, dir, "supplier")
+          .join(broadcast(rnat), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val prt = table(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey", "p_brand")
+        val regional = table(s, dir, "partsupp")
+          .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(rsupp), col("ps_suppkey") === col("s_suppkey"))
+        val minCost = regional.groupBy(col("p_partkey").as("mp"))
+          .agg(min("ps_supplycost").as("mc"))
+        regional
+          .join(minCost.hint("shuffle_hash"),
+            col("p_partkey") === col("mp") && col("ps_supplycost") === col("mc"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH rsupp AS (
+             |  SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA'),
+             |regional AS (
+             |  SELECT p.p_partkey, p.p_brand, ps.ps_supplycost,
+             |         r.s_acctbal, r.s_name, r.n_name
+             |  FROM partsupp ps
+             |  JOIN part p ON ps.ps_partkey = p.p_partkey
+             |  JOIN rsupp r ON ps.ps_suppkey = r.s_suppkey
+             |  WHERE p.p_type = 'ECONOMY'),
+             |mc AS (SELECT p_partkey, min(ps_supplycost) AS mc
+             |       FROM regional GROUP BY 1)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+             |FROM regional JOIN mc USING (p_partkey)
+             |WHERE ps_supplycost = mc
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin),
+      "TPC-H Q2 shape: minimum-cost regional supplier per part (agg + join-back, no window)"),
+
+    // Q11: a nation's stock value per part, kept when above 1/10000 of
+    // the national total. The fraction compares in EXACT decimal
+    // (value·10000 > total) — a double threshold would flip boundary
+    // rows between engines.
+    "q11_important_stock" -> Q(
+      (s, dir) => {
+        val nsupp = table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val byPart = table(s, dir, "partsupp")
+          .join(broadcast(nsupp), col("ps_suppkey") === col("s_suppkey"))
+          .withColumn("v",
+            (col("ps_supplycost") * col("ps_availqty")).cast("decimal(18,4)"))
+          .groupBy("ps_partkey").agg(sum("v").as("value"))
+        val tot = byPart.agg(sum("value").as("total"))
+        byPart.crossJoin(broadcast(tot))
+          .filter(col("value") * 10000 > col("total"))
+          .select(col("ps_partkey"),
+            round(col("value"), 2).cast("double").as("value"))
+          .orderBy(desc("value"), col("ps_partkey"))
+      },
+      Some("""WITH byp AS (
+             |  SELECT ps_partkey,
+             |    sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS value
+             |  FROM partsupp
+             |  JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name = 'NATION_3'
+             |  GROUP BY ps_partkey),
+             |tot AS (SELECT sum(value) AS total FROM byp)
+             |SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+             |FROM byp CROSS JOIN tot
+             |WHERE value * 10000 > total
+             |ORDER BY value DESC, ps_partkey""".stripMargin),
+      "TPC-H Q11 shape: per-part national stock value above an exact-decimal total fraction"),
+
+    // Q20: suppliers holding excess stock (availqty > half the 1995
+    // shipped quantity) of a qualifying part. Quantity sums are small
+    // integers stored as doubles, and ·0.5 is exact in binary — the
+    // comparison cannot drift between engines.
+    "q20_potential_promotion" -> Q(
+      (s, dir) => {
+        val qty95 = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum("l_quantity").as("qty"))
+        val bolts = table(s, dir, "part")
+          .filter(col("p_name").like("%bolt%")).select("p_partkey")
+        val excess = table(s, dir, "partsupp")
+          .join(broadcast(bolts), col("ps_partkey") === col("p_partkey"))
+          .join(qty95.hint("shuffle_hash"),
+            col("ps_partkey") === col("l_partkey") &&
+              col("ps_suppkey") === col("l_suppkey"))
+          .filter(col("ps_availqty") > col("qty") * 0.5)
+          .select(col("ps_suppkey")).distinct()
+        table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation").filter(col("n_name") === "NATION_8")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_name")
+      },
+      Some("""WITH qty95 AS (
+             |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  GROUP BY 1, 2),
+             |excess AS (
+             |  SELECT DISTINCT ps_suppkey
+             |  FROM partsupp
+             |  JOIN part ON ps_partkey = p_partkey
+             |  JOIN qty95 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+             |  WHERE p_name LIKE '%bolt%' AND ps_availqty > qty * 0.5)
+             |SELECT s_suppkey, s_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_8'
+             |  AND EXISTS (SELECT 1 FROM excess e WHERE e.ps_suppkey = s_suppkey)
+             |ORDER BY s_name""".stripMargin),
+      "TPC-H Q20 shape: excess-stock suppliers of shipped parts (agg + semi chain)")
+  )
+
+  def all: Map[String, Q] =
+    if (partsuppAvailable) base ++ partsuppGated else base
 }

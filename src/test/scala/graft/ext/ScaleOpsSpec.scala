@@ -215,6 +215,85 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(4L) === ((2L, 0L, fp("short doc"))), s"doc4: ${out(4L)}")
   }
 
+  test("dedup-spans rewrite: interval-merge form == per-token reference (overlap/adjacent/saturated)") {
+    // the interval-merge gap construction must reproduce the per-token
+    // "covered by any dup start" rule exactly, including the shapes that
+    // stress the merge: overlapping intervals, exactly-adjacent
+    // intervals, a fully-saturated doc (one merged interval, empty
+    // rewrite), and an untouched unique doc
+    val w = (1 to 8).map(i => s"w$i").mkString(" ")
+    val v = (1 to 8).map(i => s"v$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$w x1 $v x2 x3"),          // two disjoint intervals, gaps between
+      (2L, s"$w $v"),                   // adjacent coverage → one merged block
+      (3L, s"a1 $w a2"),                // interior interval, gaps both sides
+      (4L, w), (5L, w),                 // saturated: whole doc covered
+      (6L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"))  // unique: identity rewrite
+    val out = graft.queries.CurationQueries
+      .dedupSpansRewrite(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // independent per-token reference (the pre-optimization semantics)
+    val toks = rows.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    toks.foreach { case (id, t) =>
+      t.sliding(8).filter(_.size == 8)
+        .foreach(g => gramDocs(g.mkString(" ")) =
+          gramDocs.getOrElse(g.mkString(" "), Set.empty) + id)
+    }
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    toks.foreach { case (id, t) =>
+      val starts = (if (t.size >= 8)
+        (0 to t.size - 8).filter(p => gramDocs(t.slice(p, p + 8).mkString(" ")).size >= 2)
+      else Seq.empty).toSet
+      val kept = t.indices.filterNot(i => starts.exists(x => i >= x && i <= x + 7))
+      val expect = (t.size.toLong, (t.size - kept.size).toLong,
+        fp(kept.map(t).mkString(" ")))
+      assert(out(id) == expect, s"doc $id: got ${out(id)} want $expect")
+    }
+    assert(out(4L)._2 == 8L && out(4L)._3 == fp(""),
+      "saturated doc must be fully excised to the empty fingerprint")
+    assert(out(6L)._2 == 0L, "unique doc must be untouched")
+  }
+
+  test("bpe apply: 2-merge hand fixture — chained merges compose, greedy left-to-right runs") {
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val docs = Seq(
+      (1L, "the then on"), // the→1 tok (t,h then th,e chain), then→2, on→2
+      (2L, "ththth"),      // alternating run: every (t,h) pair merges in one pass
+      (3L, "  the   then "), // whitespace noise normalizes away
+      (4L, null.asInstanceOf[String]) // null text → empty encode, not a crash
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.applyBpe(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val S = "\u0001"
+    def enc(tokens: Seq[Seq[String]]): String = // words of symbol lists
+      tokens.map(_.map(sym => S + sym + S).mkString("")).mkString(" ")
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1: "the"→[the], "then"→[the,n], "on"→[o,n] — 5 tokens, 9 chars
+    assert(out(1L) == ((5L, 9L,
+      fp(enc(Seq(Seq("the"), Seq("the", "n"), Seq("o", "n")))))), s"doc1: ${out(1L)}")
+    // doc2: t,h,t,h,t,h → th,th,th (all three pairs merge in ONE pass;
+    // (th,e) never fires without an e) — 3 tokens, 6 chars
+    assert(out(2L) == ((3L, 6L,
+      fp(enc(Seq(Seq("th", "th", "th")))))), s"doc2: ${out(2L)}")
+    // doc3 ≡ "the then" after normalization
+    assert(out(3L) == ((3L, 7L,
+      fp(enc(Seq(Seq("the"), Seq("the", "n")))))), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, fp(""))), s"doc4 (null text): ${out(4L)}")
+  }
+
+  test("bpe apply: same-symbol runs merge greedily left-to-right like a sequential encoder") {
+    val merges = Seq("o" -> "o")
+    val docs = Seq((1L, "oooo"), (2L, "ooo")).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.applyBpe(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [o,o,o,o] → [oo,oo]; [o,o,o] → [oo,o] — exactly the sequential fold
+    assert(out(1L) == 2L, s"oooo: ${out(1L)}")
+    assert(out(2L) == 2L, s"ooo: ${out(2L)}")
+  }
+
   // ---------------------------------------------------------------- cdc
   test("cdc chunks: boundaries survive a prefix insertion (shift-robustness)") {
     // THE property content-defined chunking buys over fixed-size
