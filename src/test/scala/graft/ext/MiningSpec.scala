@@ -57,6 +57,42 @@ class MiningSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must actually produce containment pairs")
   }
 
+  test("dup-collapsed prefix joins stay exact on a duplicate-heavy corpus (8x-probe shape)") {
+    // the scale shape that motivated the exact-duplicate collapse: every
+    // doc has an offset-id exact copy, so the correct answer includes
+    // within-group J=1.0 pairs AND every cross pair duplicated x4 — all
+    // of which must come out of the expansion, not the pairwise stages
+    val docs2 = planted.unionByName(
+      planted.withColumn("doc_id", $"doc_id" + 5000000L))
+    val shd = Dedup.shingleRows(docs2).distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    def brute(scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column, theta: Double) =
+      shd.as("a")
+        .join(shd.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sz_a")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"sz".as("sz_b")), "id_b")
+        .withColumn("score", round(scoreOf($"inter", $"sz_a", $"sz_b"), 4))
+        .filter($"score" >= theta)
+        .select("id_a", "id_b", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bruteJ = brute((i, a, b) => i.cast("double") / (a + b - i).cast("double"), 0.7)
+    val gotJ = Mining.prefixJaccardPairs(Dedup.shingleRows(docs2), 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotJ == bruteJ,
+      s"dup-corpus jaccard diverged: missing=${(bruteJ -- gotJ).take(3)} extra=${(gotJ -- bruteJ).take(3)}")
+    // the duplicate pairs themselves must be present at exactly 1.0
+    assert(gotJ.exists { case (a, b, j) => b == a + 5000000L && j == 1.0 },
+      "no within-group copy pair surfaced — expansion path untested")
+    val bruteC = brute((i, a, b) => i.cast("double") / least(a, b).cast("double"), 0.8)
+    val gotC = Mining.prefixContainmentPairs(Dedup.shingleRows(docs2), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotC == bruteC,
+      s"dup-corpus containment diverged: missing=${(bruteC -- gotC).take(3)} extra=${(gotC -- bruteC).take(3)}")
+  }
+
   test("exact containment catches the tiny-in-huge pair the LSH screen misses") {
     // THE caveat case the LSH containment screen documents: C = 1.0 with
     // tiny Jaccard. Deterministic — the banding is seeded.

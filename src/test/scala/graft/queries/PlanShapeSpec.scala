@@ -454,8 +454,9 @@ class PlanShapeSpec extends SparkSpec {
     // feeds all four branches — the round-10 fix for the 4× recompute,
     // lineage-retaining persist since round 11), so it is not in THIS plan
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
-      s"all branches must read the persisted sorted-docs relation:\n$plan")
+    assert(("Scan ExistingRDD".r.findAllIn(plan).size
+      + "InMemoryTableScan".r.findAllIn(plan).size) >= 3,
+      s"all branches must read the materialized sorted-docs relation:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("BroadcastHashJoin"),
       s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
@@ -466,8 +467,9 @@ class PlanShapeSpec extends SparkSpec {
     // prefix-vs-postings candidate join + two verify joins; shingle-df
     // join inside the persisted relation, as above
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
-      s"all branches must read the persisted sorted-docs relation:\n$plan")
+    assert(("Scan ExistingRDD".r.findAllIn(plan).size
+      + "InMemoryTableScan".r.findAllIn(plan).size) >= 3,
+      s"all branches must read the materialized sorted-docs relation:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("BroadcastHashJoin"),
       s"every join side is data-dependent — nothing may auto-broadcast:\n$plan")
