@@ -885,6 +885,21 @@ object Dedup {
     IngestRecipe.compact(spark, indexPath, SemanticIndexSchema,
       partitionBy = Seq("c_id"))
 
+  /** Same repair for [[dedupIngestBatch]]'s standing LSH index (both
+    * components) — legitimate rows are unique on (doc_id, band, sig) /
+    * (doc_id, s), so full-row dropDuplicates removes exactly the replay
+    * appends. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    IngestRecipe.compact(spark, s"$indexPath/banded", BandedSchema)
+    IngestRecipe.compact(spark, s"$indexPath/shingles", ShingleSchema)
+  }
+
+  /** Same repair for [[boilerplateIngestBatch]]'s standing chunk index. */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    IngestRecipe.compact(spark, s"$indexPath/chunks", ChunkSchema)
+
   /** Read-back schema of the semantic assignment index — parsed from
     * [[Similarity.IvfIndexSchema]] (the ONE definition of the on-disk
     * layout) so the two can never drift; typed StructType because

@@ -429,6 +429,25 @@ class MiningSpec extends SparkSpec {
       s"replay changed the pair multiset: got ${afterReplay.size} rows vs ${afterOnce.size}")
     assert(dataFileSizes() == sizesOnce,
       "replay must rewrite batch_id=1 in place, not append new files")
+    // COMPACTION: the replay left duplicate banded/shingle rows behind
+    // (merge is append). compactDedupIndex must shrink both components
+    // to exactly their distinct rows, and a subsequent batch must see
+    // identical pairs from the compacted index.
+    def counts(part: String) = {
+      val df = spark.read.parquet(s"$idx/$part")
+      (df.count(), df.dropDuplicates().count())
+    }
+    val (bandedN, bandedD) = counts("banded")
+    assert(bandedN > bandedD, "fixture degenerated: replay appended no dup signatures")
+    Dedup.compactDedupIndex(spark, idx)
+    assert(counts("banded") == ((bandedD, bandedD)), "banded not compacted to distinct")
+    val (shN, shD) = counts("shingles")
+    assert(shN == shD, "shingles not compacted to distinct")
+    val batch3 = Dedup.planted(docs).filter($"doc_id" >= 2000000L && $"doc_id" < 2000250L)
+    Dedup.dedupIngestBatch(batch3, idx, pairs, batchId = 2L)
+    val b3 = pairRows().filterNot(afterOnce.contains)
+    assert(b3.nonEmpty && b3.forall { case (d, _, _) => d >= 2000000L },
+      "post-compaction probe must still pair the new batch against the index")
   }
 
   test("boilerplate ingest: as-of-batch == batch recompute; not retroactive; replay idempotent") {

@@ -284,6 +284,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, fp(""))), s"doc4 (null text): ${out(4L)}")
   }
 
+  test("bpe apply: randomized corpora match a sequential reference encoder exactly") {
+    // reference: per word, one left-to-right greedy non-overlapping pass
+    // per merge, merges in rank order — the semantics the replace chain
+    // must reproduce for ANY composition of merges over ANY text
+    def refEncode(text: String, merges: Seq[(String, String)]): Seq[Seq[String]] =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq.map { w =>
+        var syms = w.map(_.toString).toVector
+        merges.foreach { case (a, b) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+    val S = "\u0001"
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { round =>
+      // merge table by composition: each merge draws from the symbols
+      // producible so far, so chains like (a,b)→ab, (ab,c)→abc occur
+      var pool = Vector("a", "b", "c")
+      val merges = (1 to (1 + rnd.nextInt(5))).map { _ =>
+        val x = pool(rnd.nextInt(pool.size)); val y = pool(rnd.nextInt(pool.size))
+        pool :+= (x + y); (x, y)
+      }
+      val docs = (0 until 8).map { id =>
+        val words = (1 to (1 + rnd.nextInt(6))).map(_ =>
+          (1 to (1 + rnd.nextInt(9))).map(_ => pool(rnd.nextInt(3))).mkString)
+        // noisy whitespace exercises the normalize step
+        (id.toLong, words.mkString(if (rnd.nextBoolean()) " " else "   ") +
+          (if (rnd.nextBoolean()) " " else ""))
+      }
+      val out = graft.queries.CurationQueries
+        .applyBpe(docs.toDF("doc_id", "text"), merges).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val enc = refEncode(text, merges)
+        val expectStr = enc.map(_.map(sym => S + sym + S).mkString("")).mkString(" ")
+        val expect = (enc.map(_.size).sum.toLong,
+          enc.flatten.map(_.length).sum.toLong, fp(expectStr))
+        assert(out(id) == expect,
+          s"round $round doc $id diverged for merges=$merges text='$text': " +
+            s"got ${out(id)} want $expect (ref=$enc)")
+      }
+    }
+  }
+
   test("bpe apply: same-symbol runs merge greedily left-to-right like a sequential encoder") {
     val merges = Seq("o" -> "o")
     val docs = Seq((1L, "oooo"), (2L, "ooo")).toDF("doc_id", "text")
