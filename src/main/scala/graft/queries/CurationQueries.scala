@@ -247,6 +247,67 @@ object CurationQueries {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-wide usage table of the encoded vocabulary — the report a
+    * tokenizer deployment reads after [[applyBpe the apply step]]: which
+    * symbols the merge table actually produces, how often, over how many
+    * documents, and at what average width (the per-symbol fertility
+    * signal that says which merges earn their vocab slot). Token
+    * recovery is pure string algebra over the encoded stream: drop the
+    * word gaps, split on the double separator between adjacent symbols,
+    * strip the edge separators — no re-tokenization, the encode runs
+    * once. Plan: the narrow encode pipeline → one explode → one
+    * combinable (token) aggregate → TakeOrdered top-k. */
+  private[graft] def bpeVocab(docs: DataFrame,
+      merges: Seq[(String, String)] = bpeMerges, topK: Int = 30): DataFrame = {
+    def repl(s: Column, find: String, to: String): Column =
+      call_function("replace", s, lit(find), lit(to))
+    val norm = regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " ")
+    val sym0 = regexp_replace(norm, "(\\S)", SEP + "$1" + SEP)
+    val enc = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      repl(s, SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+    }
+    docs.select(col("doc_id"), enc.as("e"))
+      .filter(length(col("e")) > 0)
+      .select(col("doc_id"),
+        explode(split(repl(col("e"), " ", ""), SEP + SEP)).as("t0"))
+      .select(col("doc_id"), repl(col("t0"), SEP, "").as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct("doc_id").as("n_docs"))
+      .withColumn("tok_len", length(col("tok")))
+      .orderBy(desc("n_uses"), col("tok"))
+      .limit(topK)
+      .select("tok", "tok_len", "n_uses", "n_docs")
+  }
+
+  private def bpeVocabSql(merges: Seq[(String, String)] = bpeMerges,
+      topK: Int = 30): String = {
+    def q(s: String) = "chr(1) || '" + s.replace("'", "''") + "' || chr(1)"
+    val encExpr = merges.foldLeft("s") { case (e, (a, b)) =>
+      s"replace($e, ${q(a)} || ${q(b)}, ${q(a + b)})"
+    }
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS s0
+       |  FROM documents),
+       |sym AS (
+       |  SELECT doc_id,
+       |    regexp_replace(s0, '(\\S)', chr(1) || '\\1' || chr(1), 'g') AS s
+       |  FROM n),
+       |enc AS (SELECT doc_id, $encExpr AS e FROM sym WHERE length($encExpr) > 0),
+       |toks AS (
+       |  SELECT doc_id,
+       |    replace(unnest(string_split(replace(e, ' ', ''), chr(1) || chr(1))),
+       |            chr(1), '') AS tok
+       |  FROM enc),
+       |agg AS (
+       |  SELECT tok, count(*) AS n_uses, count(DISTINCT doc_id) AS n_docs
+       |  FROM toks GROUP BY tok)
+       |SELECT tok, CAST(length(tok) AS INTEGER) AS tok_len,
+       |  CAST(n_uses AS BIGINT) AS n_uses, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM agg ORDER BY n_uses DESC, tok LIMIT $topK""".stripMargin
+  }
+
   /** Train/val/test assignment — the same hash rule `corpus_split` uses,
     * so the leakage audit grades the exact splits that query ships. */
   private def splitCol = when(col("doc_id") % 100 < 90, "train")
@@ -574,6 +635,15 @@ object CurationQueries {
       (s, dir) => applyBpe(table(s, dir, "documents")),
       Some(applyBpeSql()),
       "BPE tokenizer apply: rank-ordered merge encode, token/char counts + stream fingerprint"),
+
+    // The vocab-usage report over the encoded corpus: symbol frequency,
+    // document reach, and width — the fertility evidence for keeping or
+    // dropping each merge. One explode + one combinable aggregate after
+    // the same narrow encode pipeline text_bpe_apply runs.
+    "text_bpe_vocab" -> Q(
+      (s, dir) => bpeVocab(table(s, dir, "documents")),
+      Some(bpeVocabSql()),
+      "encoded-vocabulary usage table: per-symbol uses, doc reach, width (top-30)"),
 
     "text_cdc_chunks" -> Q(
       (s, dir) => cdcChunkStats(table(s, dir, "documents")),

@@ -337,6 +337,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe vocab: usage table matches hand counts; token recovery is lossless") {
+    val merges = Seq("t" -> "h", "th" -> "e")
+    // doc1: the|the,n|o,n   doc2: the   doc3: o,n
+    val docs = Seq((1L, "the then on"), (2L, "the"), (3L, "on"))
+      .toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.bpeVocab(docs, merges, topK = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // expected (uses desc, tok asc): n×3 over 2 docs (then/on/on),
+    // the×3 over 2 docs (the/then/the), o×2 over 2 docs
+    assert(out.toSeq == Seq(("n", 1, 3L, 2L), ("the", 3, 3L, 2L), ("o", 1, 2L, 2L)),
+      s"vocab table diverged: ${out.toSeq}")
+  }
+
   test("bpe apply: same-symbol runs merge greedily left-to-right like a sequential encoder") {
     val merges = Seq("o" -> "o")
     val docs = Seq((1L, "oooo"), (2L, "ooo")).toDF("doc_id", "text")
