@@ -41,7 +41,7 @@ object Mining {
     * [theta-5e-5, theta) rounds up into the result set and must not be
     * pruned upstream of the verify. */
   /** The (doc_id, df-rare-first-sorted token array, size) relation both
-    * prefix joins consume — persisted once (`persist`, lazy): the
+    * prefix joins consume — materialized once (lazy localCheckpoint): the
     * relation feeds four plan branches (prefix explode, posting explode,
     * and both verify fetches), and Spark's exchange reuse does not unify
     * them here (column pruning specializes each branch's exchange —
@@ -88,10 +88,13 @@ object Mining {
     * sets sort identically under the global (df, token) order. Returns
     * (members: doc_id → gid, reps: the per-group sortedTokenDocs rows). */
   private def dupGroups(docs: DataFrame): (DataFrame, DataFrame) = {
-    val withKey = docs.select(col("doc_id"),
+    // key = (fingerprint of the joined array, element count): the count
+    // guards the (pathological) aliasing where a token containing the
+    // separator makes two different arrays join to one string
+    val withKey = docs.select(col("doc_id"), col("sz"),
       md5(concat_ws("\u0001", col("toks")).cast("binary")).as("gkey"))
-    val gids = withKey.groupBy("gkey").agg(min("doc_id").as("gid"))
-    val members = withKey.join(gids.hint("shuffle_hash"), "gkey")
+    val gids = withKey.groupBy("gkey", "sz").agg(min("doc_id").as("gid"))
+    val members = withKey.join(gids.hint("shuffle_hash"), Seq("gkey", "sz"))
       .select("doc_id", "gid")
     val reps = docs.join(
       gids.select(col("gid").as("doc_id")).hint("shuffle_hash"),
