@@ -21,6 +21,7 @@ object Warmup {
     ScaleQueries.copurchaseEdgesCached(s, dir)
     ScaleQueries.triAdjCached(s, dir)
     ScaleQueries.partitionedOrdersPath(s, dir)
+    CurationQueries.gramDfPath(s, dir)
     ()
   }
 }

@@ -337,6 +337,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup-spans indexed serving == inline recompute; replay-duplicated artifact harmless") {
+    val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val inline = rows(graft.queries.CurationQueries.dedupSpansRewrite(docs))
+    val root = java.nio.file.Files.createTempDirectory("graft_gramdf_spec")
+    val p = root.resolve("grams").toString
+    graft.queries.CurationQueries.dupGramTable(docs)
+      .write.mode("overwrite").parquet(p)
+    def served(path: String) = rows(graft.queries.CurationQueries.dedupSpansRewrite(
+      docs, dupGrams = Some(spark.read.schema("gram STRING").parquet(path))))
+    assert(served(p) == inline, "artifact-served rewrite diverged from inline")
+    assert(inline.exists(_._3 > 0), "fixture degenerated: no spans removed")
+    // a replay-duplicated artifact (rows appended twice) must not change
+    // anything — membership is a left_semi, never a count
+    val p2 = root.resolve("grams2").toString
+    val g = spark.read.schema("gram STRING").parquet(p)
+    g.unionByName(g).write.mode("overwrite").parquet(p2)
+    assert(served(p2) == inline, "duplicate artifact rows changed the rewrite")
+  }
+
   test("bpe vocab: usage table matches hand counts; token recovery is lossless") {
     val merges = Seq("t" -> "h", "th" -> "e")
     // doc1: the|the,n|o,n   doc2: the   doc3: o,n
