@@ -117,9 +117,20 @@ object Dedup {
     * is "signatures of the standing corpus live in a table; each new
     * batch computes only ITS signatures and joins against that table". */
   def bandedSignatures(shingleRowsDf: DataFrame, numPerms: Int = 32,
-      numBands: Int = 8, seed: Long = 42L): DataFrame = {
+      numBands: Int = 8, seed: Long = 42L): DataFrame =
+    bandRows(minhashSignatures(shingleRowsDf, numPerms, seed),
+      numPerms, numBands)
+
+  /** Band an ALREADY-computed [[minhashSignatures]] frame into `numBands`
+    * (doc_id, band, bhash) rows. Split out of [[bandedSignatures]] so a
+    * banding-parameter sweep can serve every (bands, rows) setting from
+    * ONE signature pass — the signature aggregation is the dominant cost,
+    * re-banding is a narrow per-row projection. Band boundaries chunk the
+    * permutations sequentially, so settings whose band counts divide each
+    * other NEST: a match on a wide band implies a match on every sub-band
+    * it contains (candidate sets are monotone in `numBands`). */
+  def bandRows(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numPerms / numBands
-    val sigs = minhashSignatures(shingleRowsDf, numPerms, seed)
     sigs.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Indexing, Multimodal, Sessionize, Similarity, TextStats, Upsert}
+import graft.ext.{Dedup, Indexing, Mining, Multimodal, Sessionize, Similarity, TextStats, Upsert}
 import graft.queries.Registry.{events, table}
 
 /** LLM-training-data-pipeline operators (BASELINE.json north star) as
@@ -118,6 +118,20 @@ object ExtQueries {
        |  JOIN sizes sa ON sa.doc_id = i.id_a
        |  JOIN sizes sb ON sb.doc_id = i.id_b)
        |WHERE $scoreName >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Quality-threshold grid for quality_tuning_sweep: τ in ppm and the
+    * EXACT integer logit cutoff round(1e6·ln(τ/(1−τ))) on the millionths
+    * weight sum (sigmoid is monotone, so score ≥ τ ⟺ w_sum ≥ cutoff).
+    * Computed ONCE here and interpolated verbatim into the oracle SQL,
+    * so both engines compare against identical integer constants and no
+    * float threshold is ever evaluated at query time. */
+  private val qualityCuts: Seq[(Long, Long)] =
+    (1 to 9).map { i =>
+      val tau = i / 10.0
+      (math.round(tau * 1e6), math.round(math.log(tau / (1 - tau)) * 1e6))
+    }
+  private val qualityCutsSql: String =
+    qualityCuts.map { case (t, c) => s"($t, $c)" }.mkString(", ")
 
   private val jaccardScoreSql =
     "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
@@ -1165,6 +1179,184 @@ object ExtQueries {
               |GROUP BY ex.nprobe, ex.q_id
               |ORDER BY 1, 2""".stripMargin),
       "ANN tuning sweep: recall@5 + candidate cost per nprobe over the served IVF index"),
+
+    // The dedup twin of index_tuning_sweep — the OTHER knob a 100 TB
+    // curation deployment turns: LSH banding (bands b × rows r, b·r = 32
+    // permutations) trades candidate cost against recall at the screen's
+    // Jaccard threshold. ONE signature pass over the standing shingle
+    // artifact serves every setting (re-banding is a narrow projection of
+    // the same 32 signature columns); per-setting candidates come from the
+    // same bucketed self-join the production screen runs, and recall is
+    // measured against the EXACT truth (prefix-filtered set-similarity
+    // join, 100% recall by theorem — not a sampled estimate). Sequential
+    // band boundaries make the {2,4,8,16} candidate sets nest, so recall
+    // and cost are provably monotone in b (spec-pinned). Everything
+    // downstream is exact integers (counts + DIV-rounded ppm); candidates
+    // persist via OracleAux and DuckDB recomputes truth + rollup over
+    // exactly the same rows. At 100 TB the sweep runs on a representative
+    // sample to CHOOSE b, then the screen runs once at the winner —
+    // calibration is cheap, the screen is the expensive pass.
+    "dedup_tuning_sweep" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        val shd = s.read.schema(Dedup.ShingleSchema).parquet(s"$p/shingles")
+        val sigs = Dedup.minhashSignatures(shd).localCheckpoint()
+        val settings = Seq(2, 4, 8, 16)
+        val cand = OracleAux.persist(dir, "dedup_tuning_cand")(
+          settings.map { b =>
+            Dedup.candidatesFromBanded(Dedup.bandRows(sigs, 32, b))
+              .select(lit(b).as("bands"), col("id_a"), col("id_b"))
+          }.reduce(_ unionByName _))
+        val truth = Mining.prefixJaccardPairs(shd, 0.7)
+          .select("id_a", "id_b").localCheckpoint()
+        val spine = s.range(1)
+          .select(explode(array(settings.map(lit): _*)).as("bands"))
+        val perSetting = cand.groupBy("bands").agg(count(lit(1)).as("n_candidates"))
+        val hitCounts = cand
+          .join(truth.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_semi")
+          .groupBy("bands").agg(count(lit(1)).as("n_hits"))
+        val truthCt = truth.agg(count(lit(1)).as("n_true_pairs"))
+        spine
+          .join(broadcast(perSetting), Seq("bands"), "left")
+          .join(broadcast(hitCounts), Seq("bands"), "left")
+          .crossJoin(broadcast(truthCt))
+          .select(col("bands").cast("int").as("bands"),
+            expr("CAST(32 DIV bands AS INT)").as("rows_per_band"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_true_pairs"))
+          .withColumn("recall_ppm",
+            expr("n_hits * 1000000 DIV greatest(n_true_pairs, 1)"))
+          .withColumn("precision_ppm",
+            expr("n_hits * 1000000 DIV greatest(n_candidates, 1)"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT i.id_a, i.id_b,
+              |      round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+              |    FROM inter i
+              |    JOIN sizes sa ON sa.doc_id = i.id_a
+              |    JOIN sizes sb ON sb.doc_id = i.id_b)
+              |  WHERE jaccard >= 0.7),
+              |cand AS (SELECT bands, id_a, id_b
+              |         FROM read_parquet(${OracleAux.duckGlob("dedup_tuning_cand")})),
+              |spine AS (SELECT * FROM (VALUES (2), (4), (8), (16)) v(bands)),
+              |per_setting AS (SELECT bands, count(*) AS n_candidates FROM cand GROUP BY 1),
+              |hits AS (
+              |  SELECT bands, count(*) AS n_hits
+              |  FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+              |  GROUP BY 1),
+              |tot AS (SELECT count(*) AS n_true_pairs FROM truth)
+              |SELECT CAST(sp.bands AS INTEGER) AS bands,
+              |  CAST(32 // sp.bands AS INTEGER) AS rows_per_band,
+              |  coalesce(p.n_candidates, 0) AS n_candidates,
+              |  coalesce(h.n_hits, 0) AS n_hits,
+              |  tot.n_true_pairs,
+              |  (coalesce(h.n_hits, 0) * 1000000) // greatest(tot.n_true_pairs, 1) AS recall_ppm,
+              |  (coalesce(h.n_hits, 0) * 1000000) // greatest(coalesce(p.n_candidates, 0), 1) AS precision_ppm
+              |FROM spine sp
+              |LEFT JOIN per_setting p ON p.bands = sp.bands
+              |LEFT JOIN hits h ON h.bands = sp.bands
+              |CROSS JOIN tot
+              |ORDER BY 1""".stripMargin),
+      "LSH banding tuning sweep: candidate cost + exact recall/precision per (bands, rows) setting"),
+
+    // The THIRD calibration knob (with index_tuning_sweep and
+    // dedup_tuning_sweep): the quality-filter threshold. A curation run
+    // picks its classifier cutoff from the kept-docs/kept-tokens curve —
+    // too strict starves the corpus, too loose keeps junk. The classifier
+    // score is a sigmoid of the exact integer weight sum (millionths,
+    // quality_classifier), and sigmoid is monotone, so score >= τ is
+    // EXACTLY w_sum >= logit(τ)·1e6 — the whole sweep is integer
+    // comparisons; no float threshold ever evaluates at query time (the
+    // logit cutoffs are compile-time constants shared verbatim with the
+    // oracle SQL). ONE scored pass serves all nine settings via the same
+    // explode-qualifying-settings trick as index_tuning_sweep; totals
+    // ride a 1-row broadcast. At 100 TB: score once, aggregate 9 rows —
+    // the curve costs one corpus scan, the same as scoring at all.
+    "quality_tuning_sweep" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val weights = OracleAux.persist(dir, "quality_sweep_weights")(
+          toks.select("tok").distinct()
+            .select(col("tok"),
+              (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
+                .as("w_millionths")))
+        val scored = toks.join(broadcast(weights), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("w_millionths").as("w_sum"))
+        val cuts = qualityCuts.map { case (tauPpm, cut) =>
+          struct(lit(tauPpm).as("tau_ppm"), lit(cut).as("cut"))
+        }
+        val totals = scored.agg(count(lit(1)).as("total_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"))
+        val spine = s.range(1)
+          .select(explode(array(cuts: _*)).as("t"))
+          .select(col("t.tau_ppm").as("tau_ppm"),
+            col("t.cut").as("w_cut_millionths"))
+        val kept = scored
+          .select(col("n_tokens"), explode(filter(array(cuts: _*),
+            t => col("w_sum") >= t.getField("cut"))).as("t"))
+          .groupBy(col("t.tau_ppm").as("tau_ppm"))
+          .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_tokens_kept"))
+        spine.join(broadcast(kept), Seq("tau_ppm"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("tau_ppm"), col("w_cut_millionths"),
+            coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+            col("total_docs"), col("total_tokens"))
+          .withColumn("docs_ppm",
+            expr("n_docs_kept * 1000000 DIV greatest(total_docs, 1)"))
+          .withColumn("tokens_ppm",
+            expr("n_tokens_kept * 1000000 DIV greatest(total_tokens, 1)"))
+          .orderBy("tau_ppm")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_sweep_weights")})),
+              |toks AS (
+              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(w_millionths) AS BIGINT) AS w_sum
+              |  FROM toks JOIN w USING (tok) GROUP BY doc_id),
+              |cuts AS (SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm, CAST(cut AS BIGINT) AS cut
+              |         FROM (VALUES $qualityCutsSql) v(tau_ppm, cut)),
+              |kept AS (
+              |  SELECT c.tau_ppm,
+              |    count(*) AS n_docs_kept, CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens_kept
+              |  FROM scored s JOIN cuts c ON s.w_sum >= c.cut
+              |  GROUP BY 1),
+              |tot AS (SELECT count(*) AS total_docs,
+              |          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens
+              |        FROM scored)
+              |SELECT c.tau_ppm, c.cut AS w_cut_millionths,
+              |  coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+              |  tot.total_docs, tot.total_tokens,
+              |  (coalesce(k.n_docs_kept, 0) * 1000000) // greatest(tot.total_docs, 1) AS docs_ppm,
+              |  (coalesce(k.n_tokens_kept, 0) * 1000000) // greatest(tot.total_tokens, 1) AS tokens_ppm
+              |FROM cuts c LEFT JOIN kept k ON k.tau_ppm = c.tau_ppm
+              |CROSS JOIN tot
+              |ORDER BY 1""".stripMargin),
+      "quality-threshold tuning sweep: kept-docs/kept-tokens curve over 9 exact logit cutoffs"),
 
     // Global contiguous row numbering done the scale-safe way (sort-then-
     // offset via zipWithIndex, Indexing scaladoc) — vs the naive

@@ -267,6 +267,41 @@ class MiningSpec extends SparkSpec {
       "indexed Jaccard screen scores changed under duplicated shingle rows")
   }
 
+  test("banding sweep: candidate sets nest, b=8 equals the production screen, exact dups always collide") {
+    val docs = table(spark, sf("sf0.001"), "documents").select("doc_id", "text")
+    val sh = Dedup.shingleRows(Dedup.planted(docs)).distinct().localCheckpoint()
+    val sigs = Dedup.minhashSignatures(sh).localCheckpoint()
+    val settings = Seq(2, 4, 8, 16)
+    val cands = settings.map { b =>
+      b -> Dedup.candidatesFromBanded(Dedup.bandRows(sigs, 32, b))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+    // sequential band boundaries nest (a 16-row band is 8 consecutive
+    // 2-row chunks), so a collision at a coarse setting implies one at
+    // every finer setting — recall/cost are monotone in bands by
+    // construction, which is what makes the sweep's columns comparable
+    settings.sliding(2).foreach {
+      case Seq(coarse, fine) =>
+        assert(cands(coarse).subsetOf(cands(fine)),
+          s"candidates at $coarse bands not a subset of $fine bands")
+      case _ => ()
+    }
+    // the sweep's b=8 row measures the PRODUCTION screen's banding — the
+    // whole point of the calibration is that one of its rows is the
+    // setting the screen actually runs
+    val prod = Dedup.candidatesFromBanded(Dedup.bandedSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(8) == prod, "sweep b=8 candidates differ from the production banding")
+    // a planted EXACT duplicate has identical shingles → identical
+    // signatures → collides in every band at every setting
+    val d = sh.select("doc_id").filter(col("doc_id") % 20 === 0 && col("doc_id") < 1000000)
+      .agg(min("doc_id")).head.getLong(0)
+    settings.foreach { b =>
+      assert(cands(b).contains((d, d + 1000000L)),
+        s"planted exact dup ($d, ${d + 1000000L}) missing at $b bands")
+    }
+  }
+
   test("temperature rate arithmetic stays exact where int64 overflows") {
     // s6·(ntot/4)·10⁴ = 2e9·1e6·1e4 = 2e19 > Long.MaxValue: the DECIMAL
     // form must return the exact rate, not overflow or wrap

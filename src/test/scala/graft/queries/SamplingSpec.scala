@@ -11,6 +11,29 @@ import graft.queries.Registry.table
   * seed and the statistical contract. */
 class SamplingSpec extends SparkSpec {
 
+  test("quality_tuning_sweep: 9 monotone rows; tau=0.5 row equals the classifier's keep gate") {
+    val dir = sf("sf0.001")
+    val rows = graft.SparkEntry.queries("quality_tuning_sweep")(spark, dir)
+      .collect()
+    assert(rows.length == 9, s"expected all 9 threshold rows, got ${rows.length}")
+    // kept docs/tokens are non-increasing in tau: score >= tau nests
+    val kept = rows.sortBy(_.getAs[Long]("tau_ppm"))
+      .map(r => (r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept")))
+    kept.sliding(2).foreach {
+      case Array((d1, t1), (d2, t2)) =>
+        assert(d2 <= d1 && t2 <= t1, s"kept counts not monotone: $kept")
+      case _ => ()
+    }
+    // the tau=0.5 row IS the production classifier's gate (logit(0.5)=0,
+    // so w_sum >= 0 <=> sigmoid score >= 0.5): the sweep's middle column
+    // must equal quality_classifier's keep=true count on the same corpus
+    val mid = rows.find(_.getAs[Long]("tau_ppm") == 500000L).get
+    val gate = graft.SparkEntry.queries("quality_classifier")(spark, dir)
+      .filter(col("keep")).count()
+    assert(mid.getAs[Long]("n_docs_kept") == gate,
+      s"sweep tau=0.5 kept ${mid.getAs[Long]("n_docs_kept")} != classifier gate $gate")
+  }
+
   test("randomSplit: deterministic, disjoint, complete") {
     val docs = table(spark, sf("sf0.01"), "documents")
     val Array(train1, test1) = docs.randomSplit(Array(0.8, 0.2), seed = 42)
