@@ -133,6 +133,51 @@ object ExtQueries {
   private val qualityCutsSql: String =
     qualityCuts.map { case (t, c) => s"($t, $c)" }.mkString(", ")
 
+  /** Per-document packing prefix sum (lang, doc_id, toks, cum_start):
+    * cum_start = tokens before this doc in its language's doc_id order.
+    * Two-level prefix sum, NOT a per-lang window: a plain per-lang window
+    * caps parallelism at the language count (a 100 TB scale-killer — each
+    * language's whole corpus serializes through one task). (1) shard each
+    * language by doc_id range — shard COUNT is fixed (1024), not shard
+    * size, so the offsets relation is bounded at langs × 1024 rows at ANY
+    * corpus size; (2) aggregate per-(lang, shard) token totals and turn
+    * them into per-shard starting offsets with a window over that tiny
+    * frame; (3) broadcast the offsets back and run the cumsum
+    * shard-locally. Identical to the global running sum; parallelism is
+    * langs × shards, unbounded by corpus size. The max-id probe is one
+    * pruned-to-one-column scan; null max = empty corpus (shardSize 1).
+    * Shared by pack_sequences and pack_budget_sweep. */
+  private def packCumStart(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val numShards = 1024L
+    val maxId = Option(table(s, dir, "documents")
+      .agg(max(col("doc_id"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val shardSize = math.max(1L, (maxId + numShards) / numShards)
+    val W = org.apache.spark.sql.expressions.Window
+    // localCheckpoint: toks feeds BOTH the offsets aggregate and the
+    // cumsum join below; without it the scan + per-doc tokenization
+    // (the dominant cost) runs twice
+    val toks = table(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
+      .localCheckpoint()
+    val offsets = toks.groupBy("lang", "shard")
+      .agg(sum("toks").as("shard_toks"))
+      .withColumn("offset",
+        coalesce(sum("shard_toks").over(
+          W.partitionBy("lang").orderBy("shard")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .drop("shard_toks")
+    val wLocal = W.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum_start",
+        col("offset") + coalesce(sum("toks").over(wLocal), lit(0L)))
+      .select("lang", "doc_id", "toks", "cum_start")
+  }
+
   private val jaccardScoreSql =
     "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
   private val containmentScoreSql =
@@ -1358,6 +1403,181 @@ object ExtQueries {
               |ORDER BY 1""".stripMargin),
       "quality-threshold tuning sweep: kept-docs/kept-tokens curve over 9 exact logit cutoffs"),
 
+    // Bucket-skew audit of the standing LSH index — the pre-flight check
+    // before a corpus-scale dedup screen: the bucket self-join's cost and
+    // skew are ENTIRELY determined by the bucket-size distribution, and
+    // pair_mass = Σ n·(n−1)/2 per band is EXACTLY the candidate-pair
+    // count the screen will generate from that band (what AQE's skew
+    // handling will face). Reading the index (two keyed aggregations,
+    // both map-side combinable) costs nothing next to running the screen;
+    // a pathological bucket (empty-shingle-set signatures, boilerplate
+    // collisions) shows up here as max_bucket before it shows up as a
+    // straggler task. Complements dedup_tuning_sweep: the sweep picks the
+    // banding, the audit watches the chosen banding's health as the
+    // corpus grows. Banded rows persist via OracleAux (seeded-hash
+    // signatures DuckDB can't reproduce); DuckDB recomputes the full
+    // rollup over exactly those rows.
+    "dedup_index_audit" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        val banded = OracleAux.persist(dir, "dedup_audit_banded")(
+          s.read.schema(Dedup.BandedSchema).parquet(s"$p/banded")
+            .select("doc_id", "band", "bhash"))
+        banded
+          .groupBy("band", "bhash").agg(count(lit(1)).as("n"))
+          .groupBy("band")
+          .agg(sum("n").as("n_entries"),
+            count(lit(1)).as("n_buckets"),
+            max("n").as("max_bucket"),
+            sum(expr("n * (n - 1) DIV 2")).as("pair_mass"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"))
+          .orderBy("band")
+      },
+      Some(s"""WITH banded AS (
+              |  SELECT doc_id, band, bhash
+              |  FROM read_parquet(${OracleAux.duckGlob("dedup_audit_banded")})),
+              |buckets AS (
+              |  SELECT band, bhash, count(*) AS n FROM banded GROUP BY 1, 2)
+              |SELECT band, CAST(sum(n) AS BIGINT) AS n_entries,
+              |  count(*) AS n_buckets, CAST(max(n) AS BIGINT) AS max_bucket,
+              |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pair_mass,
+              |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+              |FROM buckets GROUP BY band ORDER BY band""".stripMargin),
+      "LSH index bucket-skew audit: per-band bucket stats + exact candidate-pair mass"),
+
+    // Mixture PLANNING — the schedule a data-mixing run derives before it
+    // samples: at a fixed token budget (= the corpus total, i.e. "re-mix
+    // to the same size") and a uniform per-source target, compute each
+    // source's natural share, its desired allocation, the sampling rate
+    // that achieves it, and the repeat factor (epochs) for undersized
+    // sources. Complements sample_temperature (which derives τ-flattened
+    // ACCEPTANCE rates): the plan is the budget/epoch arithmetic an
+    // operator reads before launching the sample — rate > 1e6 ppm means
+    // the source must repeat, and `epochs` is exactly how many passes.
+    // One scan-speed groupBy + a 1-row broadcast; rate arithmetic rides
+    // DECIMAL(38,0) (int64 overflows at ~9e12 tokens × 1e6 — the
+    // sample_temperature lesson), zero-token sources get rate 0 instead
+    // of a division blow-up. All integers; DuckDB mirrors with HUGEINT.
+    "corpus_mix_plan" -> Q(
+      (s, dir) => {
+        val bySource = table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextStats.wsTokenCount(col("text")).cast("long")), lit(0L))
+              .as("nat_tokens"))
+        val totals = bySource.agg(
+          count(lit(1)).as("n_sources"),
+          coalesce(sum("nat_tokens"), lit(0L)).as("total_tokens"))
+        bySource.crossJoin(broadcast(totals))
+          .withColumn("natural_ppm",
+            expr("CAST(CAST(nat_tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(total_tokens, 1) AS BIGINT)"))
+          .withColumn("target_ppm", expr("1000000 DIV greatest(n_sources, 1)"))
+          .withColumn("desired_tokens", expr("total_tokens DIV greatest(n_sources, 1)"))
+          .withColumn("rate_ppm",
+            expr("CASE WHEN nat_tokens = 0 THEN 0 ELSE " +
+              "CAST(CAST(desired_tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV nat_tokens AS BIGINT) END"))
+          .withColumn("epochs", expr("(rate_ppm + 999999) DIV 1000000"))
+          .select("source", "n_docs", "nat_tokens", "natural_ppm",
+            "target_ppm", "desired_tokens", "rate_ppm", "epochs")
+          .orderBy("source")
+      },
+      Some("""WITH by_source AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT)
+             |      AS nat_tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT count(*) AS n_sources,
+             |          CAST(coalesce(sum(nat_tokens), 0) AS BIGINT) AS total_tokens
+             |        FROM by_source)
+             |SELECT source, n_docs, nat_tokens,
+             |  CAST(CAST(nat_tokens AS HUGEINT) * 1000000 // greatest(total_tokens, 1) AS BIGINT)
+             |    AS natural_ppm,
+             |  1000000 // greatest(n_sources, 1) AS target_ppm,
+             |  total_tokens // greatest(n_sources, 1) AS desired_tokens,
+             |  CASE WHEN nat_tokens = 0 THEN 0
+             |       ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
+             |                 // nat_tokens AS BIGINT) END AS rate_ppm,
+             |  (CASE WHEN nat_tokens = 0 THEN 0
+             |        ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
+             |                  // nat_tokens AS BIGINT) END + 999999) // 1000000 AS epochs
+             |FROM by_source CROSS JOIN tot
+             |ORDER BY source""".stripMargin),
+      "mixture plan: per-source allocation, sampling rate, and epoch schedule at a uniform target"),
+
+    // The FOURTH calibration knob: sequence-length budget. Concat-and-
+    // chunk packing (pack_sequences) wastes nothing inside the stream,
+    // but its budget choice trades document FRAGMENTATION (docs split
+    // across sequence boundaries — attention never sees them whole)
+    // against per-language tail waste and sequence count. This sweep
+    // reads all three curves from ONE prefix-sum pass (the same
+    // [[packCumStart]] scaffold pack_sequences runs): for each budget L,
+    // a doc fragments iff its [cum_start, cum_start+toks) span crosses a
+    // multiple of L — pure per-row integer arithmetic on the already-
+    // computed cumsum, and the per-language bin/waste totals are a
+    // langs-sized rollup. All exact integers; DuckDB replays the same
+    // arithmetic over its own window cumsum.
+    "pack_budget_sweep" -> Q(
+      (s, dir) => {
+        val budgets = array(lit(512L), lit(2048L), lit(8192L))
+        val cum = packCumStart(s, dir).localCheckpoint()
+        val frag = cum
+          .select(explode(budgets).as("budget"), col("cum_start"), col("toks"))
+          .groupBy("budget")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("toks") > 0 &&
+              expr("cum_start DIV budget") =!= expr("(cum_start + toks - 1) DIV budget"),
+              1L).otherwise(0L)).as("n_frag_docs"))
+        val langTot = cum.groupBy("lang").agg(sum("toks").as("lang_tokens"))
+        val bins = langTot
+          .select(explode(budgets).as("budget"), col("lang_tokens"))
+          .groupBy("budget")
+          .agg(sum(expr("(lang_tokens + budget - 1) DIV budget")).as("n_bins"),
+            sum("lang_tokens").as("total_tokens"))
+        frag.join(bins, Seq("budget"))
+          .withColumn("waste_tokens", expr("n_bins * budget - total_tokens"))
+          .withColumn("frag_ppm",
+            expr("n_frag_docs * 1000000 DIV greatest(n_docs, 1)"))
+          .withColumn("waste_ppm",
+            expr("waste_tokens * 1000000 DIV greatest(n_bins * budget, 1)"))
+          .select("budget", "n_docs", "n_frag_docs", "frag_ppm",
+            "n_bins", "total_tokens", "waste_tokens", "waste_ppm")
+          .orderBy("budget")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             |  FROM documents),
+             |cum AS (
+             |  SELECT lang, toks,
+             |    CAST(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_start
+             |  FROM toks),
+             |b AS (SELECT CAST(budget AS BIGINT) AS budget
+             |      FROM (VALUES (512), (2048), (8192)) v(budget)),
+             |frag AS (
+             |  SELECT b.budget, count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN toks > 0
+             |      AND cum_start // b.budget <> (cum_start + toks - 1) // b.budget
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_frag_docs
+             |  FROM cum CROSS JOIN b GROUP BY 1),
+             |lt AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS lang_tokens FROM cum GROUP BY 1),
+             |bins AS (
+             |  SELECT b.budget,
+             |    CAST(sum((lang_tokens + b.budget - 1) // b.budget) AS BIGINT) AS n_bins,
+             |    CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+             |  FROM lt CROSS JOIN b GROUP BY 1)
+             |SELECT f.budget, f.n_docs, f.n_frag_docs,
+             |  (f.n_frag_docs * 1000000) // greatest(f.n_docs, 1) AS frag_ppm,
+             |  bi.n_bins, bi.total_tokens,
+             |  bi.n_bins * f.budget - bi.total_tokens AS waste_tokens,
+             |  ((bi.n_bins * f.budget - bi.total_tokens) * 1000000)
+             |    // greatest(bi.n_bins * f.budget, 1) AS waste_ppm
+             |FROM frag f JOIN bins bi USING (budget)
+             |ORDER BY 1""".stripMargin),
+      "packing-budget sweep: fragmentation, sequence count, and tail waste per seq-len budget"),
+
     // Global contiguous row numbering done the scale-safe way (sort-then-
     // offset via zipWithIndex, Indexing scaladoc) — vs the naive
     // Window.orderBy form that sorts the world in ONE task. The training-
@@ -1775,56 +1995,14 @@ object ExtQueries {
     // documents stream into ~budget-token shards. The running token count
     // is per-language, but a plain per-lang window caps parallelism at
     // the language count (5 here — a 100 TB scale-killer: each language's
-    // whole corpus would serialize through one task). Instead: two-level
-    // prefix sum. (1) shard each language by doc_id range, (2) aggregate
-    // per-(lang, shard) token totals — a tiny relation (langs × shards
-    // rows) — and turn them into per-shard starting offsets with a window
-    // over THAT small frame, (3) broadcast the offsets back and run the
-    // cumsum shard-locally. Identical bins to the global running sum;
-    // parallelism is langs × shards, unbounded by corpus size.
+    // whole corpus would serialize through one task). The scale-safe
+    // two-level prefix sum lives in [[packCumStart]], shared with
+    // pack_budget_sweep.
     "pack_sequences" -> Q(
       (s, dir) => {
         val budget = 8192
-        // Shard count is FIXED (not shard size): the offsets relation is
-        // then bounded at langs × 1024 rows at ANY corpus size, so the
-        // broadcast and the per-lang offsets cumsum stay tiny forever. A
-        // fixed shard SIZE would grow the offsets relation linearly with
-        // the corpus and re-create the serialization the rewrite removes.
-        // Bins are invariant to the shard boundaries (the two-level sum
-        // reconstructs the same global cumsum), so the oracle is
-        // unaffected by the sizing rule. The max-id probe is a single
-        // pruned-to-one-column scan (parquet aggregate pushdown would make
-        // it footer-only, but Spark ships it off by default); null max =
-        // empty corpus, which packs to an empty result via shardSize 1.
-        val numShards = 1024L
-        val maxId = Option(table(s, dir, "documents")
-          .agg(max(col("doc_id"))).collect()(0).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val shardSize = math.max(1L, (maxId + numShards) / numShards)
-        val W = org.apache.spark.sql.expressions.Window
-        // localCheckpoint: toks feeds BOTH the offsets aggregate and the
-        // cumsum join below; without it the scan + per-doc tokenization
-        // (the dominant cost) runs twice
-        val toks = table(s, dir, "documents")
-          .select(col("lang"), col("doc_id"),
-            TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
-          .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
-          .localCheckpoint()
-        // per-shard starting offsets: cumsum over the aggregated partials
-        // (langs × shards rows — the window is over a minuscule frame)
-        val offsets = toks.groupBy("lang", "shard")
-          .agg(sum("toks").as("shard_toks"))
-          .withColumn("offset",
-            coalesce(sum("shard_toks").over(
-              W.partitionBy("lang").orderBy("shard")
-                .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-          .drop("shard_toks")
-        val wLocal = W.partitionBy("lang", "shard").orderBy("doc_id")
-          .rowsBetween(W.unboundedPreceding, -1)
-        toks.join(broadcast(offsets), Seq("lang", "shard"))
-          .withColumn("bin",
-            ((col("offset") + coalesce(sum("toks").over(wLocal), lit(0L)))
-              / budget).cast("long"))
+        packCumStart(s, dir)
+          .withColumn("bin", (col("cum_start") / budget).cast("long"))
           .groupBy("lang", "bin")
           .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
           .orderBy("lang", "bin")

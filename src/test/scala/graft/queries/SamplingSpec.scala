@@ -11,6 +11,63 @@ import graft.queries.Registry.table
   * seed and the statistical contract. */
 class SamplingSpec extends SparkSpec {
 
+  test("dedup_index_audit: per-band pair_mass equals the band's direct self-join pair count") {
+    val dir = sf("sf0.001")
+    val rows = graft.SparkEntry.queries("dedup_index_audit")(spark, dir).collect()
+    assert(rows.length == 8, s"expected 8 band rows, got ${rows.length}")
+    // recompute one band's candidate-pair count directly from the same
+    // standing artifact the audit read: pair_mass must be EXACTLY the
+    // number of intra-bucket unordered pairs that band contributes
+    val sh = graft.ext.Dedup.shingleRows(
+      graft.ext.Dedup.planted(table(spark, dir, "documents").select("doc_id", "text"))).distinct()
+    val banded = graft.ext.Dedup.bandedSignatures(sh).filter(col("band") === 0)
+    val direct = banded.as("a").join(banded.as("b"),
+        col("a.bhash") === col("b.bhash") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val audited = rows.find(_.getAs[Int]("band") == 0).get.getAs[Long]("pair_mass")
+    assert(audited == direct, s"band 0 pair_mass $audited != direct self-join count $direct")
+  }
+
+  test("corpus_mix_plan: rate/epoch arithmetic is exactly the floor/ceil of the allocation") {
+    val rows = graft.SparkEntry.queries("corpus_mix_plan")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nat = r.getAs[Long]("nat_tokens"); val desired = r.getAs[Long]("desired_tokens")
+      val rate = r.getAs[Long]("rate_ppm"); val epochs = r.getAs[Long]("epochs")
+      if (nat == 0L) assert(rate == 0L && epochs == 0L)
+      else {
+        assert(rate == desired * 1000000L / nat, s"rate not floor(desired*1e6/nat) in $r")
+        assert(epochs == (rate + 999999L) / 1000000L, s"epochs not ceil(rate) in $r")
+      }
+    }
+    // natural shares sum to 1e6 up to per-source floor rounding
+    val natSum = rows.map(_.getAs[Long]("natural_ppm")).sum
+    assert(natSum <= 1000000L && natSum >= 1000000L - rows.length,
+      s"natural_ppm sum $natSum outside floor-rounding band")
+  }
+
+  test("pack_budget_sweep: monotone tradeoff and bin-count agreement with pack_sequences") {
+    val dir = sf("sf0.001")
+    val rows = graft.SparkEntry.queries("pack_budget_sweep")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("budget"))
+    assert(rows.length == 3)
+    // bigger budget => fewer fragmented docs, fewer sequences
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_frag_docs") <= a.getAs[Long]("n_frag_docs"))
+        assert(b.getAs[Long]("n_bins") <= a.getAs[Long]("n_bins"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("waste_tokens") ==
+        r.getAs[Long]("n_bins") * r.getAs[Long]("budget") - r.getAs[Long]("total_tokens"))
+    }
+    // the 8192 row audits the EXACT packing pack_sequences emits
+    val bins8192 = graft.SparkEntry.queries("pack_sequences")(spark, dir).count()
+    assert(rows.last.getAs[Long]("n_bins") == bins8192,
+      s"sweep n_bins ${rows.last.getAs[Long]("n_bins")} != pack_sequences bins $bins8192")
+  }
+
   test("quality_tuning_sweep: 9 monotone rows; tau=0.5 row equals the classifier's keep gate") {
     val dir = sf("sf0.001")
     val rows = graft.SparkEntry.queries("quality_tuning_sweep")(spark, dir)
