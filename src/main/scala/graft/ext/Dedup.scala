@@ -130,6 +130,13 @@ object Dedup {
     * other NEST: a match on a wide band implies a match on every sub-band
     * it contains (candidate sets are monotone in `numBands`). */
   def bandRows(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+    // a non-dividing band count would silently drop trailing permutations
+    // (weakening every band) and break the nesting guarantee above; a
+    // numPerms wider than the frame would silently band a prefix
+    require(numPerms % numBands == 0,
+      s"numBands=$numBands must divide numPerms=$numPerms")
+    require(sigs.columns.contains(s"m${numPerms - 1}"),
+      s"signature frame lacks column m${numPerms - 1}: numPerms mismatch")
     val rowsPerBand = numPerms / numBands
     sigs.select(col("doc_id"),
       posexplode(array((0 until numBands).map { b =>

@@ -120,18 +120,33 @@ object ExtQueries {
        |WHERE $scoreName >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   /** Quality-threshold grid for quality_tuning_sweep: τ in ppm and the
-    * EXACT integer logit cutoff round(1e6·ln(τ/(1−τ))) on the millionths
-    * weight sum (sigmoid is monotone, so score ≥ τ ⟺ w_sum ≥ cutoff).
-    * Computed ONCE here and interpolated verbatim into the oracle SQL,
-    * so both engines compare against identical integer constants and no
-    * float threshold is ever evaluated at query time. */
+    * EXACT integer logit cutoff ⌈1e6·ln(τ/(1−τ))⌉ on the millionths
+    * weight sum: sigmoid is monotone and w_sum is an integer, so
+    * score ≥ τ ⟺ w_sum ≥ 1e6·logit(τ) ⟺ w_sum ≥ CEIL of that value
+    * (round would admit w_sum one below the exact bound at 4 of the 9
+    * taus). Computed ONCE here and interpolated verbatim into the oracle
+    * SQL, so both engines compare against identical integer constants
+    * and no float threshold is ever evaluated at query time. */
   private val qualityCuts: Seq[(Long, Long)] =
     (1 to 9).map { i =>
       val tau = i / 10.0
-      (math.round(tau * 1e6), math.round(math.log(tau / (1 - tau)) * 1e6))
+      (math.round(tau * 1e6), math.ceil(math.log(tau / (1 - tau)) * 1e6).toLong)
     }
   private val qualityCutsSql: String =
     qualityCuts.map { case (t, c) => s"($t, $c)" }.mkString(", ")
+
+  /** Corpus-trained token weight table in integer millionths — the ONE
+    * model quality_classifier and quality_tuning_sweep share. Persisted
+    * under a single OracleAux name so both oracles read the same table
+    * and the seed/modulus can never drift between the two queries.
+    * `toks` is the (doc_id, tok) exploded stream of the corpus. */
+  private def qualityWeights(dir: String,
+      toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    OracleAux.persist(dir, "quality_weights")(
+      toks.select("tok").distinct()
+        .select(col("tok"),
+          (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
+            .as("w_millionths")))
 
   /** Per-document packing prefix sum (lang, doc_id, toks, cum_start):
     * cum_start = tokens before this doc in its language's doc_id order.
@@ -307,11 +322,7 @@ object ExtQueries {
       (s, dir) => {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-        val weights = OracleAux.persist(dir, "quality_weights")(
-          toks.select("tok").distinct()
-            .select(col("tok"),
-              (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
-                .as("w_millionths")))
+        val weights = qualityWeights(dir, toks)
         toks.join(broadcast(weights), "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("w_millionths").as("w_sum"))
@@ -1340,14 +1351,14 @@ object ExtQueries {
       (s, dir) => {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-        val weights = OracleAux.persist(dir, "quality_sweep_weights")(
-          toks.select("tok").distinct()
-            .select(col("tok"),
-              (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
-                .as("w_millionths")))
+        val weights = qualityWeights(dir, toks)
+        // localCheckpoint: scored feeds BOTH the kept explode and the
+        // totals aggregate; without it the corpus scan + weight join (the
+        // dominant cost) would run once per branch
         val scored = toks.join(broadcast(weights), "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum("w_millionths").as("w_sum"))
+          .localCheckpoint()
         val cuts = qualityCuts.map { case (tauPpm, cut) =>
           struct(lit(tauPpm).as("tau_ppm"), lit(cut).as("cut"))
         }
@@ -1370,12 +1381,15 @@ object ExtQueries {
             col("total_docs"), col("total_tokens"))
           .withColumn("docs_ppm",
             expr("n_docs_kept * 1000000 DIV greatest(total_docs, 1)"))
+          // token counts × 1e6 ride DECIMAL(38,0): int64 overflows at
+          // ~9.2e12 kept tokens (the sample_temperature lesson)
           .withColumn("tokens_ppm",
-            expr("n_tokens_kept * 1000000 DIV greatest(total_tokens, 1)"))
+            expr("CAST(CAST(n_tokens_kept AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(total_tokens, 1) AS BIGINT)"))
           .orderBy("tau_ppm")
       },
       Some(s"""WITH w AS (
-              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_sweep_weights")})),
+              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_weights")})),
               |toks AS (
               |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
               |  FROM documents),
@@ -1397,7 +1411,8 @@ object ExtQueries {
               |  coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
               |  tot.total_docs, tot.total_tokens,
               |  (coalesce(k.n_docs_kept, 0) * 1000000) // greatest(tot.total_docs, 1) AS docs_ppm,
-              |  (coalesce(k.n_tokens_kept, 0) * 1000000) // greatest(tot.total_tokens, 1) AS tokens_ppm
+              |  CAST(CAST(coalesce(k.n_tokens_kept, 0) AS HUGEINT) * 1000000
+              |       // greatest(tot.total_tokens, 1) AS BIGINT) AS tokens_ppm
               |FROM cuts c LEFT JOIN kept k ON k.tau_ppm = c.tau_ppm
               |CROSS JOIN tot
               |ORDER BY 1""".stripMargin),
@@ -1499,9 +1514,7 @@ object ExtQueries {
              |  CASE WHEN nat_tokens = 0 THEN 0
              |       ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
              |                 // nat_tokens AS BIGINT) END AS rate_ppm,
-             |  (CASE WHEN nat_tokens = 0 THEN 0
-             |        ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
-             |                  // nat_tokens AS BIGINT) END + 999999) // 1000000 AS epochs
+             |  (rate_ppm + 999999) // 1000000 AS epochs
              |FROM by_source CROSS JOIN tot
              |ORDER BY source""".stripMargin),
       "mixture plan: per-source allocation, sampling rate, and epoch schedule at a uniform target"),
