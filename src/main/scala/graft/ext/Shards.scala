@@ -30,7 +30,7 @@ object Shards {
     * Built with the Column API (`call_function`), not an `expr()` string
     * interpolation — the latter only resolved for a bare named column
     * and silently mis-parsed any derived/qualified input. */
-  private[ext] def hexVal(h: Column, i: Int): Column =
+  private[graft] def hexVal(h: Column, i: Int): Column =
     call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)) - 1
 
   /** Shuffle key + shard assignment. Adds `h` (the global shuffle key),

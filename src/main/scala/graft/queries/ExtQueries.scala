@@ -228,6 +228,65 @@ object ExtQueries {
         .write.mode("overwrite").parquet(s"$p/chunks")
     }
 
+  /** Mixture-rate arithmetic shared by `corpus_mix_plan` (the published
+    * schedule) and `corpus_mix_schedule` (its execution) — ONE definition
+    * so the plan a run publishes and the stream it materializes cannot
+    * drift. Rates ride DECIMAL(38,0) (int64 overflows at ~9e12 tokens ×
+    * 1e6 — the sample_temperature lesson); zero-token sources rate 0. */
+  private def mixPlanFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bySource = table(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextStats.wsTokenCount(col("text")).cast("long")), lit(0L))
+          .as("nat_tokens"))
+    val totals = bySource.agg(
+      count(lit(1)).as("n_sources"),
+      coalesce(sum("nat_tokens"), lit(0L)).as("total_tokens"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("natural_ppm",
+        expr("CAST(CAST(nat_tokens AS DECIMAL(38,0)) * 1000000" +
+          " DIV greatest(total_tokens, 1) AS BIGINT)"))
+      .withColumn("target_ppm", expr("1000000 DIV greatest(n_sources, 1)"))
+      .withColumn("desired_tokens", expr("total_tokens DIV greatest(n_sources, 1)"))
+      .withColumn("rate_ppm",
+        expr("CASE WHEN nat_tokens = 0 THEN 0 ELSE " +
+          "CAST(CAST(desired_tokens AS DECIMAL(38,0)) * 1000000" +
+          " DIV nat_tokens AS BIGINT) END"))
+      .withColumn("epochs", expr("(rate_ppm + 999999) DIV 1000000"))
+  }
+
+  /** DuckDB text of the big-endian integer over the first `n` hex digits
+    * of column `c` — the [[graft.ext.Shards.hexVal]] arithmetic, mirrored
+    * verbatim by the Spark side's Column build. */
+  private def hexPrefixSql(c: String, n: Int): String =
+    (1 to n).map { i =>
+      s"(instr('0123456789abcdef', substring($c, $i, 1)) - 1) * ${math.pow(16, n - i).toLong}"
+    }.mkString(" + ")
+
+  /** DuckDB CTE list for [[mixPlanFrame]] (`by_source`, `tot`, `plan`) —
+    * embedded by both mixture oracles. */
+  private def mixPlanCtes: String =
+    """by_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT)
+      |      AS nat_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_sources,
+      |          CAST(coalesce(sum(nat_tokens), 0) AS BIGINT) AS total_tokens
+      |        FROM by_source),
+      |plan AS (
+      |  SELECT source, n_docs, nat_tokens,
+      |    CAST(CAST(nat_tokens AS HUGEINT) * 1000000 // greatest(total_tokens, 1) AS BIGINT)
+      |      AS natural_ppm,
+      |    1000000 // greatest(n_sources, 1) AS target_ppm,
+      |    total_tokens // greatest(n_sources, 1) AS desired_tokens,
+      |    CASE WHEN nat_tokens = 0 THEN 0
+      |         ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
+      |                   // nat_tokens AS BIGINT) END AS rate_ppm,
+      |    (rate_ppm + 999999) // 1000000 AS epochs
+      |  FROM by_source CROSS JOIN tot)""".stripMargin
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokens" -> Q(
@@ -1474,50 +1533,107 @@ object ExtQueries {
     // sample_temperature lesson), zero-token sources get rate 0 instead
     // of a division blow-up. All integers; DuckDB mirrors with HUGEINT.
     "corpus_mix_plan" -> Q(
+      (s, dir) => mixPlanFrame(s, dir)
+        .select("source", "n_docs", "nat_tokens", "natural_ppm",
+          "target_ppm", "desired_tokens", "rate_ppm", "epochs")
+        .orderBy("source"),
+      Some(s"""WITH $mixPlanCtes
+              |SELECT source, n_docs, nat_tokens, natural_ppm, target_ppm,
+              |  desired_tokens, rate_ppm, epochs
+              |FROM plan ORDER BY source""".stripMargin),
+      "mixture plan: per-source allocation, sampling rate, and epoch schedule at a uniform target"),
+
+    // Mixture EXECUTION — materialize the stream corpus_mix_plan
+    // prescribes and audit what came out. Each doc in source s emits
+    // `rate DIV 1e6` full-epoch copies plus one more iff its seed-salted
+    // md5 ppm uniform lands under `rate % 1e6`, so the per-source token
+    // expectation is EXACTLY the plan's desired_tokens with zero
+    // coordination between rows (pure per-row arithmetic; the explode
+    // factor is the epoch count, bounded by the plan — never corpus
+    // volume). Rates come from the SAME [[mixPlanFrame]] the plan query
+    // publishes, so plan and execution cannot drift. The registered form
+    // is the per-source audit row a loader verifies before training:
+    // realized docs/copies/tokens, achieved mix share, and an
+    // order-independent checksum over the epoch-expanded shuffle keys
+    // (the Shards manifest discipline) — pinning stream content without
+    // shipping the stream. One groupBy on sources; all else narrow.
+    "corpus_mix_schedule" -> Q(
       (s, dir) => {
-        val bySource = table(s, dir, "documents")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(TextStats.wsTokenCount(col("text")).cast("long")), lit(0L))
-              .as("nat_tokens"))
-        val totals = bySource.agg(
-          count(lit(1)).as("n_sources"),
-          coalesce(sum("nat_tokens"), lit(0L)).as("total_tokens"))
-        bySource.crossJoin(broadcast(totals))
-          .withColumn("natural_ppm",
-            expr("CAST(CAST(nat_tokens AS DECIMAL(38,0)) * 1000000" +
-              " DIV greatest(total_tokens, 1) AS BIGINT)"))
-          .withColumn("target_ppm", expr("1000000 DIV greatest(n_sources, 1)"))
-          .withColumn("desired_tokens", expr("total_tokens DIV greatest(n_sources, 1)"))
-          .withColumn("rate_ppm",
-            expr("CASE WHEN nat_tokens = 0 THEN 0 ELSE " +
-              "CAST(CAST(desired_tokens AS DECIMAL(38,0)) * 1000000" +
-              " DIV nat_tokens AS BIGINT) END"))
-          .withColumn("epochs", expr("(rate_ppm + 999999) DIV 1000000"))
-          .select("source", "n_docs", "nat_tokens", "natural_ppm",
-            "target_ppm", "desired_tokens", "rate_ppm", "epochs")
+        import graft.ext.Shards.hexVal
+        val rates = mixPlanFrame(s, dir).select("source", "rate_ppm")
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("toks"))
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#mix42"))))
+          .withColumn("uval", (1 to 6).map { i =>
+            hexVal(col("h"), i) * lit(math.pow(16, 6 - i).toLong)
+          }.reduce(_ + _))
+          .withColumn("u", expr("uval * 1000000 DIV 16777216"))
+          .withColumn("copies",
+            expr("rate_ppm DIV 1000000 + CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
+          .filter(col("copies") > 0)
+        val stream = docs
+          .select(col("source"), col("doc_id"), col("toks"),
+            explode(expr("sequence(0, copies - 1)")).as("epoch"))
+          .withColumn("k", md5(concat(lit("#ord42:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))))
+        val perSource = stream.groupBy("source").agg(
+          countDistinct("doc_id").as("emitted_docs"),
+          count(lit(1)).as("emitted_copies"),
+          coalesce(sum("toks"), lit(0L)).as("emitted_tokens"),
+          sum(hexVal(col("k"), 1) * 4096 + hexVal(col("k"), 2) * 256
+            + hexVal(col("k"), 3) * 16 + hexVal(col("k"), 4)).as("checksum16"))
+        val tot = perSource.agg(
+          coalesce(sum("emitted_tokens"), lit(0L)).as("tot_emitted"))
+        perSource.crossJoin(broadcast(tot))
+          .withColumn("achieved_ppm",
+            expr("CAST(CAST(emitted_tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(tot_emitted, 1) AS BIGINT)"))
+          .select("source", "emitted_docs", "emitted_copies",
+            "emitted_tokens", "achieved_ppm", "checksum16")
           .orderBy("source")
       },
-      Some("""WITH by_source AS (
-             |  SELECT source, count(*) AS n_docs,
-             |    CAST(coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))), 0) AS BIGINT)
-             |      AS nat_tokens
-             |  FROM documents GROUP BY 1),
-             |tot AS (SELECT count(*) AS n_sources,
-             |          CAST(coalesce(sum(nat_tokens), 0) AS BIGINT) AS total_tokens
-             |        FROM by_source)
-             |SELECT source, n_docs, nat_tokens,
-             |  CAST(CAST(nat_tokens AS HUGEINT) * 1000000 // greatest(total_tokens, 1) AS BIGINT)
-             |    AS natural_ppm,
-             |  1000000 // greatest(n_sources, 1) AS target_ppm,
-             |  total_tokens // greatest(n_sources, 1) AS desired_tokens,
-             |  CASE WHEN nat_tokens = 0 THEN 0
-             |       ELSE CAST(CAST(total_tokens // greatest(n_sources, 1) AS HUGEINT) * 1000000
-             |                 // nat_tokens AS BIGINT) END AS rate_ppm,
-             |  (rate_ppm + 999999) // 1000000 AS epochs
-             |FROM by_source CROSS JOIN tot
-             |ORDER BY source""".stripMargin),
-      "mixture plan: per-source allocation, sampling rate, and epoch schedule at a uniform target"),
+      Some(s"""WITH $mixPlanCtes,
+              |docs AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS toks,
+              |    p.rate_ppm,
+              |    md5(CAST(d.doc_id AS VARCHAR) || '#mix42') AS h
+              |  FROM documents d JOIN plan p USING (source)),
+              |uu AS (
+              |  SELECT doc_id, source, toks, rate_ppm,
+              |    ((${hexPrefixSql("h", 6)}) * 1000000) // 16777216 AS u
+              |  FROM docs),
+              |cp AS (
+              |  SELECT doc_id, source, toks,
+              |    rate_ppm // 1000000
+              |      + CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+              |  FROM uu),
+              |stream AS (
+              |  SELECT source, doc_id, toks, unnest(range(copies)) AS epoch
+              |  FROM cp WHERE copies > 0),
+              |keyed AS (
+              |  SELECT source, doc_id, toks,
+              |    md5('#ord42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k
+              |  FROM stream),
+              |per AS (
+              |  SELECT source,
+              |    count(DISTINCT doc_id) AS emitted_docs,
+              |    CAST(count(*) AS BIGINT) AS emitted_copies,
+              |    CAST(coalesce(sum(toks), 0) AS BIGINT) AS emitted_tokens,
+              |    CAST(sum((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 4096
+              |      + (instr('0123456789abcdef', substring(k, 2, 1)) - 1) * 256
+              |      + (instr('0123456789abcdef', substring(k, 3, 1)) - 1) * 16
+              |      + (instr('0123456789abcdef', substring(k, 4, 1)) - 1)) AS BIGINT) AS checksum16
+              |  FROM keyed GROUP BY source),
+              |tt AS (SELECT CAST(coalesce(sum(emitted_tokens), 0) AS BIGINT) AS tot_emitted FROM per)
+              |SELECT source, emitted_docs, emitted_copies, emitted_tokens,
+              |  CAST(CAST(emitted_tokens AS HUGEINT) * 1000000 // greatest(tot_emitted, 1) AS BIGINT)
+              |    AS achieved_ppm,
+              |  checksum16
+              |FROM per CROSS JOIN tt ORDER BY source""".stripMargin),
+      "mixture execution: epoch-replicated rate-thresholded stream with per-source realized-mix audit"),
 
     // The FOURTH calibration knob: sequence-length budget. Concat-and-
     // chunk packing (pack_sequences) wastes nothing inside the stream,

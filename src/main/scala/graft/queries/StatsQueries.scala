@@ -427,5 +427,188 @@ object StatsQueries {
              |  round(CAST(obs*n - r*c AS DOUBLE) * CAST(obs*n - r*c AS DOUBLE)
              |        / CAST(r*c*n AS DOUBLE), 6) AS contrib
              |FROM grid ORDER BY lang, source""".stripMargin),
-      "chi-squared independence cells (lang × source): exact fixed-point expected, per-cell contribution"))
+      "chi-squared independence cells (lang × source): exact fixed-point expected, per-cell contribution"),
+
+    // Two-sample Mann–Whitney U (rank-sum) over document length, en vs
+    // rest — the nonparametric companion to stats_kstest on the SAME
+    // contrast: KS's D says whether the two length distributions differ
+    // anywhere; U says which one stochastically dominates and by how
+    // much. Rank arithmetic needs no global sort: in doubled units
+    // 2·U_A = Σ_v ca(v)·(2·CB<(v) + cb(v)) over distinct values
+    // (v, ca, cb), and the strictly-below counts CB< come from the same
+    // two-level prefix sum stats_kstest uses (1024 fixed range buckets:
+    // broadcast theta-join for bucket offsets, bucket-PARTITIONED window
+    // inside — nothing unpartitioned). Everything stays exact BIGINT —
+    // u2_a and the tie term fit int64 up to ~10^9 rows per group; past
+    // that the pair products move to DECIMAL(38,0), chisq-style. The
+    // tie-corrected normal z is ONE double expression over those exact
+    // integers, shared verbatim with the twin (guarded total: zero-size
+    // groups and the all-tied σ=0 case yield NULL, not an error).
+    "stats_mannwhitney" -> Q(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+        val byV = docs
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("a"))
+          .groupBy("v").agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
+        // single-scalar probe, kstest-style (adjudicated acceptable)
+        val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val width = math.max(1L, (maxV + 1024L) / 1024L)
+        val bk = byV.withColumn("bucket", (col("v") / width).cast("long"))
+        val totals = bk.groupBy("bucket").agg(sum("cb").as("tcb"))
+        val offsets = totals.as("x")
+          .join(broadcast(totals.as("y")),
+            col("y.bucket") < col("x.bucket"), "left")
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(coalesce(sum(col("y.tcb")), lit(0L)).as("ob"))
+        val w = W.partitionBy("bucket").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val cum = bk.join(broadcast(offsets), "bucket")
+          .withColumn("cumb", col("ob") + sum("cb").over(w))
+        cum.agg(
+            sum("ca").as("na"), sum("cb").as("nb"),
+            sum(col("ca") * (lit(2L) * (col("cumb") - col("cb")) + col("cb")))
+              .as("u2a"),
+            sum((col("ca") + col("cb")) * (col("ca") + col("cb"))
+              * (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tt"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            col("u2a").as("u2_a"), col("tt").as("tie_cubes"),
+            expr(mwuZ).as("z"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+              |  FROM documents),
+              |byv AS (
+              |  SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(1 - a) AS BIGINT) AS cb
+              |  FROM d GROUP BY v),
+              |cum AS (
+              |  SELECT v, ca, cb,
+              |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+              |  FROM byv),
+              |agg AS (
+              |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+              |    CAST(sum(ca * (2 * (cumb - cb) + cb)) AS BIGINT) AS u2a,
+              |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tt
+              |  FROM cum)
+              |SELECT na AS n_a, nb AS n_b, u2a AS u2_a, tt AS tie_cubes,
+              |  $mwuZ AS z
+              |FROM agg""".stripMargin),
+      "two-sample Mann-Whitney U over doc length (en vs rest), window-free doubled-unit rank sums"),
+
+    // Poisson bootstrap CI for the mean purchase value — the bootstrap
+    // that scales. Classic resampling draws n indices per replicate (a
+    // global shuffle per replicate); the Poisson(1) approximation
+    // instead gives every row an independent per-replicate count, so all
+    // B=48 replicates run in ONE narrow pass: explode by B, per-replicate
+    // combinable sums, a 48-row final fold. Counts come from a
+    // seed-salted md5 uniform pushed through fixed ppm thresholds (the
+    // cumulative Poisson(1) mass, capped at 7 where the remaining tail is
+    // <8.4e-5 — the cap is applied identically in both engines, so
+    // comparisons stay exact). Values are fixed-pointed to micro-units
+    // BEFORE summing (floor(v·1e6+0.5); round() half-case semantics
+    // differ across engines, floor does not), so every replicate mean is
+    // an exact integer and the CI bounds are exact order statistics
+    // (2nd / 47th of 48 ≈ the 95% percentile interval) — no float
+    // summation anywhere in the compared output.
+    "stats_bootstrap" -> Q(
+      (s, dir) => {
+        val purchases = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v6"))
+        val reps = purchases
+          .select(col("event_id"), col("v6"),
+            explode(sequence(lit(0), lit(bootB - 1))).as("rep"))
+          .withColumn("h", md5(concat(col("event_id").cast("string"),
+            lit(":"), col("rep").cast("string"), lit("#boot42"))))
+          .withColumn("uval", (1 to 6).map { i =>
+            graft.ext.Shards.hexVal(col("h"), i) *
+              lit(math.pow(16, 6 - i).toLong)
+          }.reduce(_ + _))
+          .withColumn("u", expr("uval * 1000000 DIV 16777216"))
+          .withColumn("cnt", expr(poissonCnt))
+          .groupBy("rep")
+          .agg(sum(col("cnt") * col("v6")).as("wsum"), sum("cnt").as("wn"))
+          .filter(col("wn") > 0)
+          .withColumn("mean6", expr("wsum DIV wn"))
+        val point = purchases.agg(count(lit(1)).as("n_rows"),
+          sum("v6").as("tot6"))
+        reps.agg(count(lit(1)).as("n_reps"),
+            expr("CASE WHEN count(1) >= 3 THEN element_at(array_sort(collect_list(mean6)), 2) END")
+              .as("lo6"),
+            expr("CASE WHEN count(1) >= 3 THEN element_at(array_sort(collect_list(mean6)), CAST(count(1) AS INT) - 1) END")
+              .as("hi6"))
+          .crossJoin(broadcast(point))
+          .filter(col("n_rows") > 0)
+          .select(col("n_rows"), expr("tot6 DIV n_rows").as("mean6"),
+            col("n_reps"), col("lo6").as("boot_lo6"), col("hi6").as("boot_hi6"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT event_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+              |  FROM events WHERE event_type = 'purchase'),
+              |reps AS (
+              |  SELECT event_id, v6, unnest(range($bootB)) AS rep FROM p),
+              |hh AS (
+              |  SELECT v6, rep,
+              |    md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR) || '#boot42') AS h
+              |  FROM reps),
+              |uu AS (
+              |  SELECT v6, rep, (($bootUTermsSql) * 1000000) // 16777216 AS u FROM hh),
+              |cc AS (SELECT rep, v6, $poissonCnt AS cnt FROM uu),
+              |m AS (
+              |  SELECT rep, CAST(sum(cnt * v6) AS BIGINT) AS wsum,
+              |    CAST(sum(cnt) AS BIGINT) AS wn
+              |  FROM cc GROUP BY rep),
+              |mm AS (SELECT rep, wsum // wn AS mean6 FROM m WHERE wn > 0),
+              |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |         CAST(sum(v6) AS BIGINT) AS tot6 FROM p),
+              |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+              |         CASE WHEN count(*) >= 3
+              |              THEN list_extract(list_sort(list(mean6)), 2) END AS lo6,
+              |         CASE WHEN count(*) >= 3
+              |              THEN list_extract(list_sort(list(mean6)), CAST(count(*) AS INT) - 1) END AS hi6
+              |       FROM mm)
+              |SELECT n_rows, tot6 // n_rows AS mean6, n_reps,
+              |  lo6 AS boot_lo6, hi6 AS boot_hi6
+              |FROM ci CROSS JOIN pt WHERE n_rows > 0""".stripMargin),
+      "Poisson bootstrap 95% CI for mean purchase value: B=48 replicates in one narrow pass, exact micro-unit order statistics"))
+
+  /** Replicate count for [[stats_bootstrap]] — fixed so the CI's order
+    * statistics (2nd/47th) are well-defined constants in both engines. */
+  private def bootB: Int = 48
+
+  /** Inverse-CDF Poisson(1) counts from an integer ppm uniform `u` —
+    * thresholds are floor(1e6 · P(X ≤ k)) for k = 0..6, tail capped at 7
+    * (mass 8.4e-5); identical text in both engines. */
+  private def poissonCnt: String =
+    "CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2 " +
+      "WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 " +
+      "WHEN u < 999916 THEN 6 ELSE 7 END"
+
+  /** DuckDB text of the 24-bit hex-prefix integer (the [[graft.ext.Shards.hexVal]]
+    * arithmetic, mirrored verbatim by the Spark side's Column build). */
+  private def bootUTermsSql: String =
+    (1 to 6).map { i =>
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}"
+    }.mkString(" + ")
+
+  /** Tie-corrected normal approximation for the Mann–Whitney z, over the
+    * exact integer aggregates (na, nb, u2a = 2·U_A, tt = Σ t³−t). One
+    * double expression with identical text in both engines; NULL (never
+    * an error) when a group is empty or every value is tied (σ = 0 ⟺
+    * tt = n³−n). n³ here fits int64 up to n ≈ 2.6·10^6 docs in the
+    * guard's integer compare — past that, lift the guard to
+    * DECIMAL(38,0)/HUGEINT with the other pair products. */
+  private def mwuZ: String =
+    """CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+      |       AND tt < (na + nb) * (na + nb) * (na + nb) - (na + nb)
+      |     THEN round((CAST(u2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |          / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |              * ((CAST(na + nb AS DOUBLE) + 1.0)
+      |                 - CAST(tt AS DOUBLE)
+      |                   / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))
+      |              / 12.0)), 6)
+      |     END""".stripMargin
 }

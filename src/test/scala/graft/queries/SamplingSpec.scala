@@ -46,6 +46,29 @@ class SamplingSpec extends SparkSpec {
       s"natural_ppm sum $natSum outside floor-rounding band")
   }
 
+  test("corpus_mix_schedule: realized stream is bounded by the plan's rate floor/ceil; deterministic") {
+    val plan = graft.SparkEntry.queries("corpus_mix_plan")(spark, sf("sf0.001")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("rate_ppm"))).toMap
+    val run1 = graft.SparkEntry.queries("corpus_mix_schedule")(spark, sf("sf0.001")).collect()
+    assert(run1.nonEmpty)
+    run1.foreach { r =>
+      val (nDocs, rate) = plan(r.getAs[String]("source"))
+      val full = rate / 1000000L
+      val copies = r.getAs[Long]("emitted_copies")
+      val docs = r.getAs[Long]("emitted_docs")
+      // every doc emits `full` or `full+1` copies — the stream cannot
+      // stray outside the plan's floor/ceil band
+      assert(copies >= full * nDocs && copies <= (full + 1L) * nDocs,
+        s"copies $copies outside [$full, ${full + 1}]×$nDocs for $r")
+      assert(docs <= nDocs)
+      if (full >= 1L) assert(docs == nDocs, s"full epoch must emit every doc: $r")
+    }
+    // pure function of (corpus, seeds): checksum and counts reproduce
+    val run2 = graft.SparkEntry.queries("corpus_mix_schedule")(spark, sf("sf0.001")).collect()
+    assert(run1.toSeq == run2.toSeq)
+  }
+
   test("pack_budget_sweep: monotone tradeoff and bin-count agreement with pack_sequences") {
     val dir = sf("sf0.001")
     val rows = graft.SparkEntry.queries("pack_budget_sweep")(spark, dir)

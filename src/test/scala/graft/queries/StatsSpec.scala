@@ -228,4 +228,68 @@ class StatsSpec extends SparkSpec {
     val exactCopies = docs.filter(col("doc_id") % 20 === 0).count()
     assert(byStage.head.getAs[Long]("n_dropped") >= exactCopies)
   }
+
+  test("stats_mannwhitney: hand fixture matches doubled-unit U and tie-corrected z; label swap is antisymmetric") {
+    // en lengths [1,2,3] vs rest [2,4]: #(a>b)=1 (3>2), one tie at 2 →
+    // 2·U_A = 3; tt = 2³−2 = 6; σ² = (6/12)·(6 − 6/20) = 2.85;
+    // z = (3−6)/(2·√2.85) = −0.888523 (6dp).
+    val dir = java.nio.file.Files.createTempDirectory("graft_mwufix").toString
+    def write(d: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    write(dir, Seq((1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L),
+      (4L, "xx", 2L), (5L, "xx", 4L)))
+    val r = graft.SparkEntry.queries("stats_mannwhitney")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2_a") == 3L)
+    assert(r.getAs[Long]("tie_cubes") == 6L)
+    assert(r.getAs[Double]("z") == -0.888523)
+    // swapping group labels must give u2_b = 2·na·nb − u2_a (rank-sum
+    // antisymmetry) — pins that ties are split, not double-counted
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mwufix").toString
+    write(dir2, Seq((1L, "xx", 1L), (2L, "xx", 2L), (3L, "xx", 3L),
+      (4L, "en", 2L), (5L, "en", 4L)))
+    val r2 = graft.SparkEntry.queries("stats_mannwhitney")(spark, dir2).collect().head
+    assert(r2.getAs[Long]("u2_a") == 2L * 3L * 2L - 3L)
+    assert(r2.getAs[Double]("z") == 0.888523)
+  }
+
+  test("stats_mannwhitney: all-tied input yields NULL z, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mwufix").toString
+    Seq((1L, "en", 7L), (2L, "xx", 7L), (3L, "xx", 7L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("stats_mannwhitney")(spark, dir).collect().head
+    assert(r.getAs[Long]("u2_a") == 1L * 2L) // all ties: 2U = #ties
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("stats_bootstrap: exact fixture mean, CI inside the value range, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bootfix").toString
+    // two purchases at 10.0 / 20.0 (+ a view that must be ignored):
+    // every replicate mean is a count-weighted mean of 1e7 and 2e7
+    Seq((1L, "purchase", 10.0), (2L, "purchase", 20.0), (3L, "view", 999.0))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val run1 = graft.SparkEntry.queries("stats_bootstrap")(spark, dir).collect()
+    assert(run1.length == 1)
+    val r = run1.head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Long]("mean6") == 15000000L)
+    val nReps = r.getAs[Long]("n_reps")
+    // Poisson(1) drops a 2-row replicate w.p. e⁻² ≈ 0.135 — most survive
+    assert(nReps >= 30L && nReps <= 48L, s"implausible replicate count $nReps")
+    val lo = r.getAs[Long]("boot_lo6"); val hi = r.getAs[Long]("boot_hi6")
+    assert(lo >= 10000000L && hi <= 20000000L && lo <= hi)
+    // pure function of (data, fixed seed): rerun must be identical
+    val run2 = graft.SparkEntry.queries("stats_bootstrap")(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq)
+  }
+
+  test("stats_bootstrap: no purchases → empty output, not a division error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bootfix").toString
+    Seq((3L, "view", 1.0)).toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.SparkEntry.queries("stats_bootstrap")(spark, dir).collect().isEmpty)
+  }
 }
