@@ -167,6 +167,52 @@ object Similarity {
     scoreTopK(persistCand(lshCandidates(embeddings, nQueries, nTables, nBits, seed)),
       embeddings, nQueries, k)
 
+  /** All-pairs k-NN GRAPH via IVF blocking — every vector is a query
+    * (vs [[ivfTopK]]'s fixed small query set). The edge list feeds
+    * graph-based curation (diversity sampling, SemDeDup-style cluster
+    * pruning, link-prediction features), where the whole corpus needs
+    * neighbors, not just a probe set.
+    *
+    * Shape: each vector probes its `nprobe` nearest cells
+    * ([[assignClustersMulti]], broadcast centroids + per-vector window);
+    * candidates are the probed cells' members by home-cell equi-join —
+    * per-cell work is O(cell²·nprobe), never corpus²; exact-cosine
+    * re-score over the candidate pairs runs as two `shuffle_hash`
+    * equi-joins back to the corpus (BOTH sides are corpus-sized here, so
+    * no broadcast — unlike [[scoreTopK]]); top-k per vector via the
+    * bounded-heap [[graft.plans.TopKPerGroup]] node, not a rank-every-row
+    * window. With √n cells the candidate blow-up per vector is
+    * ~nprobe·√n — sublinear fan-out, and the cell join co-partitions by
+    * design. `persistCand` is the oracle seam: the exact re-score +
+    * ranking over the persisted pairs is ANSI-expressible. */
+  def knnGraph(embeddings: DataFrame, nlist: Int, nprobe: Int = 2,
+      k: Int = 5,
+      persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    val probes = assignClustersMulti(embeddings, nlist, nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    // a candidate's HOME cell is unique, so each (q, cand) pair surfaces
+    // at most once across q's probed cells — no dedup pass needed
+    val home = assignClusters(embeddings, nlist)
+    val cand = persistCand(
+      probes.join(home.hint("shuffle_hash"), Seq("c_id"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id"))
+    val qEmb = embeddings
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = cand
+      .join(embeddings.select("vec_id", "embedding").hint("shuffle_hash"),
+        "vec_id")
+      .join(qEmb.hint("shuffle_hash"), "q_id")
+      .withColumn("cos",
+        round(VectorOps.cosine(col("q_emb"), col("embedding")), 6))
+      .select("q_id", "vec_id", "cos")
+    graft.plans.TopKPerGroup(scored, k, Seq("q_id"),
+        Seq(("cos", false), ("vec_id", true)), "rk")
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF ANN candidate pairs: probe the `nprobe` nearest centroid buckets
     * per query; candidates are the vectors in probed buckets (equi-join on
     * cluster id). [[ivfTopK]] persists them (oracle seam) and scores with

@@ -287,6 +287,24 @@ object ExtQueries {
       |    (rate_ppm + 999999) // 1000000 AS epochs
       |  FROM by_source CROSS JOIN tot)""".stripMargin
 
+  /** Final float expressions for `embed_drift`, over the EXACT integer
+    * aggregates (per-label micro-unit snapshot sums and counts) — one
+    * shared text so the engines run bit-identical double math. NULL
+    * (never an error) when a snapshot is empty or a norm is zero. */
+  private def driftCos: String =
+    """CASE WHEN n_a > 0 AND n_b > 0 AND saa > 0 AND sbb > 0
+      |     THEN round(CAST(dot AS DOUBLE)
+      |          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6)
+      |     END""".stripMargin
+
+  /** L2 distance between the snapshot centroids, back in original units:
+    * ‖sa/(na·1e6) − sb/(nb·1e6)‖ = √(Σ(sa·nb − sb·na)²) / (na·nb·1e6). */
+  private def driftShift: String =
+    """CASE WHEN n_a > 0 AND n_b > 0
+      |     THEN round(sqrt(CAST(d2 AS DOUBLE))
+      |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000.0), 6)
+      |     END""".stripMargin
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokens" -> Q(
@@ -1725,6 +1743,93 @@ object ExtQueries {
         persistCand = OracleAux.persist(dir, "sim_topk_lsh_cand")),
       Some(annRescoreSql("sim_topk_lsh_cand")),
       "signed-random-projection LSH approximate top-k (4 tables × 8 bits)"),
+
+    // All-pairs k-NN graph — every vector gets its top-5 neighbors (the
+    // sim_topk_* family answers a small probe set; graph-based curation
+    // needs the whole corpus as queries). IVF-blocked: nprobe=2 cells per
+    // vector at the √n nlist sizing law, so per-vector candidate fan-out
+    // is ~2√n, never n; exact-cosine re-score + bounded-heap TopKPerGroup
+    // (plan comments in Similarity.knnGraph). The persisted candidate
+    // table is the oracle seam — DuckDB re-scores and ranks the SAME
+    // pairs, so the compare is exact despite ANN's approximate recall.
+    "sim_knn_graph" -> Q(
+      (s, dir) => Similarity.knnGraph(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "sim_knn_graph_cand")),
+      Some(annRescoreSql("sim_knn_graph_cand")),
+      "all-pairs k-NN graph via IVF blocking: per-vector top-5, bounded per-group heaps"),
+
+    // Embedding drift between two corpus snapshots — per-label centroid
+    // cosine + L2 shift, the monitor a pipeline reads after a re-embed or
+    // corpus refresh (did any label's region move?). vec_id parity stands
+    // in for the before/after snapshot key (in production that is a
+    // partition column). Exactness discipline: components are fixed-
+    // pointed to micro-units BEFORE any sum, so the per-(label,dim)
+    // snapshot sums are exact integers in both engines and the ONLY float
+    // math is one final expression over those integers, shared verbatim
+    // with the twin (driftCos/driftShift). Pair products ride
+    // DECIMAL(38,0)/HUGEINT — sa·sb overflows int64 once a snapshot holds
+    // ~10⁴ unit vectors — and ANSI mode makes a 38-digit overflow loud.
+    // Shape: one posexplode (rows × dims, map-side combinable partial
+    // aggregation), one broadcast of the per-label count table, two hash
+    // aggregations — no window, no pairwise join; linear at 100 TB.
+    "embed_drift" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings")
+        val counts = base.groupBy("label").agg(
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        val byDim = base
+          .select(col("label"), (col("vec_id") % 2).cast("int").as("snap"),
+            posexplode(col("embedding")).as(Seq("idx", "v")))
+          .withColumn("qv",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+          .groupBy("label", "idx")
+          .agg(sum(when(col("snap") === 0, col("qv")).otherwise(0L)).as("sa"),
+            sum(when(col("snap") === 1, col("qv")).otherwise(0L)).as("sb"))
+        byDim.join(broadcast(counts), "label")
+          .groupBy("label")
+          .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+            sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+            sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("saa"),
+            sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("sbb"),
+            sum(expr("(CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a)" +
+              " * (CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a)"))
+              .as("d2"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            expr(driftCos).as("cos"), expr(driftShift).as("shift"))
+          .orderBy("label")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT label, vec_id % 2 AS snap, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings),
+              |counts AS (
+              |  SELECT label,
+              |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              |  FROM base GROUP BY 1),
+              |comp AS (
+              |  SELECT label, snap, unnest(emb) AS v,
+              |    generate_subscripts(emb, 1) AS idx
+              |  FROM base),
+              |bydim AS (
+              |  SELECT label, idx,
+              |    CAST(sum(CASE WHEN snap = 0
+              |      THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+              |    CAST(sum(CASE WHEN snap = 1
+              |      THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb
+              |  FROM comp GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT b.label, max(n_a) AS n_a, max(n_b) AS n_b,
+              |    sum(CAST(sa AS HUGEINT) * sb) AS dot,
+              |    sum(CAST(sa AS HUGEINT) * sa) AS saa,
+              |    sum(CAST(sb AS HUGEINT) * sb) AS sbb,
+              |    sum((CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)
+              |        * (CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)) AS d2
+              |  FROM bydim b JOIN counts c USING (label) GROUP BY b.label)
+              |SELECT label, n_a, n_b, $driftCos AS cos, $driftShift AS shift
+              |FROM agg ORDER BY label""".stripMargin),
+      "per-label centroid drift between embedding snapshots: exact integer sums, one shared float expression"),
 
     // Typed Aggregator (custom agg kernel): per-label embedding centroid.
     // Elements formatted %.6f so the cross-engine compare is string-exact.

@@ -73,6 +73,37 @@ class ExtSpec extends SparkSpec {
     info(f"LSH recall@5 vs brute: $recall%.2f (4 tables × 8 bits, random data)")
   }
 
+  test("knn graph: well-formed per-vector top-5, bounded by brute, planted copies surface") {
+    val out = graft.SparkEntry.queries("sim_knn_graph")(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.forall(_._3 != q), s"self edge for $q")
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"ranks not dense-from-1 for $q")
+      assert(rows.length <= 5)
+    }
+    // graph scores can never beat the exact per-query best (probe set)
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).max }
+    out.filter(p => bruteBest.contains(p._1)).foreach { case (q, _, _, c) =>
+      assert(c <= bruteBest(q) + 1e-9, s"graph beat brute for $q") }
+    // planted exact copies share centroid distances — and therefore cells —
+    // BY CONSTRUCTION: the copy→original edge must surface at cosine 1.0
+    val dups = embs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val g = Similarity.knnGraph(embs.unionByName(dups), nlist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val ids = embs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val hit = g.find(p => p._1 == id + 100000L && p._2 == id)
+      assert(hit.isDefined, s"copy ${id + 100000L} missing its original in top-5")
+      assert(hit.get._3 == 1.0)
+    }
+  }
+
   test("embedding near-dup: bucketed candidates+verify vs exact all-pairs baseline") {
     val brute = Dedup.embeddingNearDup(embs, 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -292,4 +292,31 @@ class StatsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(graft.SparkEntry.queries("stats_bootstrap")(spark, dir).collect().isEmpty)
   }
+
+  test("embed_drift: hand fixture — orthogonal, identical, and empty snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftfix").toString
+    // label 0: snapshot A = [1,0], B = [0,1] → cos 0, shift √2 = 1.414214
+    // label 1: identical [3,4] both sides → cos 1, shift 0
+    // label 2: even vec_id only → empty B snapshot must NULL, not error
+    Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0f, 1f), 0),
+      (2L, Array(3f, 4f), 1),
+      (3L, Array(3f, 4f), 1),
+      (4L, Array(1f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("embed_drift")(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(out.size == 3)
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_a") == 1L && l0.getAs[Long]("n_b") == 1L)
+    assert(l0.getAs[Double]("cos") == 0.0)
+    assert(l0.getAs[Double]("shift") == 1.414214)
+    val l1 = out(1)
+    assert(l1.getAs[Double]("cos") == 1.0 && l1.getAs[Double]("shift") == 0.0)
+    val l2 = out(2)
+    assert(l2.getAs[Long]("n_a") == 1L && l2.getAs[Long]("n_b") == 0L)
+    assert(l2.isNullAt(l2.fieldIndex("cos")) && l2.isNullAt(l2.fieldIndex("shift")))
+  }
 }
