@@ -305,6 +305,16 @@ object ExtQueries {
       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000.0), 6)
       |     END""".stripMargin
 
+  /** Final float expression for `embed_outliers` — cosine between a
+    * vector and its label centroid over the EXACT integer aggregates
+    * (dot, own-norm qq, centroid-norm scc); shared verbatim with the
+    * twin. NULL when either norm is zero (filtered before ranking). */
+  private def outlierCos: String =
+    """CASE WHEN qq > 0 AND scc > 0
+      |     THEN round(CAST(dot AS DOUBLE)
+      |          / sqrt(CAST(qq AS DOUBLE) * CAST(scc AS DOUBLE)), 6)
+      |     END""".stripMargin
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------ text analysis
     "text_tokens" -> Q(
@@ -1830,6 +1840,73 @@ object ExtQueries {
               |SELECT label, n_a, n_b, $driftCos AS cos, $driftShift AS shift
               |FROM agg ORDER BY label""".stripMargin),
       "per-label centroid drift between embedding snapshots: exact integer sums, one shared float expression"),
+
+    // Embedding-space outlier screen — the 5 most ATYPICAL vectors per
+    // label by cosine to their own label's centroid (mislabeled/noisy
+    // sample pruning before training; SemDeDup's complement: instead of
+    // dropping what is too close, surface what is too far). Cosine is
+    // scale-invariant, so the centroid never needs the /n division: the
+    // per-(label,dim) micro-unit component SUMS serve as the centroid
+    // vector, keeping every aggregate an exact DECIMAL(38,0)/HUGEINT
+    // integer — the only float math is one shared final expression
+    // (outlierCos). Zero vectors (cos undefined) are filtered, not
+    // NULL-ranked: Spark orders NULLS FIRST asc, DuckDB NULLS LAST — the
+    // one place the engines' defaults silently disagree. Shape: one
+    // posexplode, per-(label,dim) centroid table broadcast back (labels ×
+    // dims rows — metadata-sized at any corpus scale), per-vector
+    // combinable sums, bounded-heap TopKPerGroup — no window, no join on
+    // data-sized sides; linear at 100 TB.
+    "embed_outliers" -> Q(
+      (s, dir) => {
+        val comp = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("idx", "v")))
+          .withColumn("qv",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+        val cent = comp.groupBy("label", "idx").agg(sum("qv").as("sc"))
+        val cnorm = cent.groupBy("label")
+          .agg(sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("scc"))
+        val scored = comp.join(broadcast(cent), Seq("label", "idx"))
+          .groupBy("vec_id", "label")
+          .agg(sum(expr("CAST(qv AS DECIMAL(38,0)) * sc")).as("dot"),
+            sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("qq"))
+          .join(broadcast(cnorm), "label")
+          .withColumn("cos", expr(outlierCos))
+          .filter(col("cos").isNotNull)
+        graft.plans.TopKPerGroup(scored.select("label", "vec_id", "cos"),
+            5, Seq("label"), Seq(("cos", true), ("vec_id", true)), "rk")
+          .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("label", "rk")
+      },
+      Some(s"""WITH comp AS (
+              |  SELECT vec_id, label, idx,
+              |    CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM (SELECT vec_id, label,
+              |          unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |          generate_subscripts(embedding, 1) AS idx
+              |        FROM embeddings)),
+              |cent AS (
+              |  SELECT label, idx, CAST(sum(qv) AS BIGINT) AS sc
+              |  FROM comp GROUP BY 1, 2),
+              |cnorm AS (
+              |  SELECT label, sum(CAST(sc AS HUGEINT) * sc) AS scc
+              |  FROM cent GROUP BY 1),
+              |pv AS (
+              |  SELECT c.vec_id, c.label,
+              |    sum(CAST(qv AS HUGEINT) * sc) AS dot,
+              |    sum(CAST(qv AS HUGEINT) * qv) AS qq
+              |  FROM comp c JOIN cent USING (label, idx) GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT vec_id, label, $outlierCos AS cos
+              |  FROM pv JOIN cnorm USING (label)),
+              |ranked AS (
+              |  SELECT label, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY label
+              |      ORDER BY cos ASC, vec_id) AS INTEGER) AS rk
+              |  FROM scored WHERE cos IS NOT NULL)
+              |SELECT label, rk, vec_id, cos FROM ranked
+              |WHERE rk <= 5 ORDER BY label, rk""".stripMargin),
+      "per-label embedding outliers: bottom-5 by exact centroid cosine, fixed-point integer sums"),
 
     // Typed Aggregator (custom agg kernel): per-label embedding centroid.
     // Elements formatted %.6f so the cross-engine compare is string-exact.

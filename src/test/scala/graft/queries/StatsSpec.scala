@@ -319,4 +319,25 @@ class StatsSpec extends SparkSpec {
     assert(l2.getAs[Long]("n_a") == 1L && l2.getAs[Long]("n_b") == 0L)
     assert(l2.isNullAt(l2.fieldIndex("cos")) && l2.isNullAt(l2.fieldIndex("shift")))
   }
+
+  test("embed_outliers: hand fixture — minority-direction vector ranks first; zero vector filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outfix").toString
+    // label 0: two [1,0] + one [0,1] → centroid sums [2e6, 1e6];
+    // cos([1,0]) = 2/√5 = 0.894427, cos([0,1]) = 1/√5 = 0.447214 —
+    // the minority direction must rank as the top outlier. The zero
+    // vector has no cosine and must be filtered, not NULL-ranked.
+    Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0),
+      (3L, Array(0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("embed_outliers")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(out.length == 3, s"zero vector must be filtered: ${out.toSeq}")
+    assert(out.head == ((1, 2L, 0.447214)))
+    assert(out(1)._3 == 0.894427 && out(2)._3 == 0.894427)
+    assert(out(1)._2 == 0L && out(2)._2 == 1L) // cos tie → vec_id order
+  }
 }
