@@ -36,6 +36,34 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** Candidate columns for the tolerance-bounded NEAREST as-of join
+    * (pandas `merge_asof(direction='nearest', tolerance=...)`): each
+    * purchase row annotated with the closest 'view' on EACH side — the
+    * latest at-or-before (prev_*) and the earliest strictly-after
+    * (next_*). The two frames (backward `last`, forward `first`) share
+    * one partition+sort, so the plan stays exactly one Exchange + one
+    * Sort, same as [[lastEventBeforePurchase]] — adding the forward
+    * direction costs no extra shuffle. The pick-nearest-within-tolerance
+    * rule is a final row-local CASE the caller applies (shared verbatim
+    * with the DuckDB oracle). */
+  def nearestViewCandidates(events: DataFrame): DataFrame = {
+    val isView = col("event_type") === "view"
+    val viewId = when(isView, col("event_id"))
+    val viewUs = when(isView, unix_micros(col("ts")))
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wb = order.rowsBetween(Window.unboundedPreceding, -1)
+    val wf = order.rowsBetween(1, Window.unboundedFollowing)
+    events
+      .withColumn("p_us", unix_micros(col("ts")))
+      .withColumn("prev_id", last(viewId, ignoreNulls = true).over(wb))
+      .withColumn("prev_us", last(viewUs, ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(viewId, ignoreNulls = true).over(wf))
+      .withColumn("next_us", first(viewUs, ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "p_us",
+        "prev_id", "prev_us", "next_id", "next_us")
+  }
+
   /** Range join: events within `windowMinutes` AFTER each purchase of the
     * same user. Equi-key (user_id) + range predicate → sort-merge join
     * with a band condition, one shuffle per side. */

@@ -418,21 +418,36 @@ object Dedup {
     * chunks — pigeonhole), verified with `bit_count(xor) <= maxHamming`.
     * Same one-shuffle shape as MinHash LSH. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      persistCand: DataFrame => DataFrame = identity): DataFrame =
+    bandedHammingPairs(simhashes(planted(docs)), "sh", maxHamming, persistCand)
+
+  /** Pigeonhole-banded Hamming near-dup pairs over ANY 64-bit hash column
+    * named `hashCol` (input: one row per doc with `doc_id`): 16-bit chunk
+    * bands — lossless for Hamming ≤ 3, since 4 bands can't all absorb ≤3
+    * flipped bits — per-band equi-join candidates, popcount verify.
+    * Shared by the SimHash text screen and the multimodal pHash screen;
+    * the persisted candidate schema keeps the hash column's own name
+    * (`<hashCol>_a`/`<hashCol>_b`) so each oracle reads its family's
+    * columns. At scale the band join shuffles only (band, 16-bit value,
+    * id, hash) rows — never payloads — and each band bucket is tiny
+    * unless the corpus genuinely shares that 16-bit chunk. */
+  def bandedHammingPairs(hashed: DataFrame, hashCol: String,
+      maxHamming: Int = 3,
       persistCand: DataFrame => DataFrame = identity): DataFrame = {
-    val hashed = simhashes(planted(docs))
-    val chunked = hashed.select(col("doc_id"), col("sh"),
+    val (ha, hb) = (s"${hashCol}_a", s"${hashCol}_b")
+    val chunked = hashed.select(col("doc_id"), col(hashCol),
       posexplode(array((0 until 4).map { c =>
-        shiftright(col("sh"), 16 * c).bitwiseAND(0xFFFFL)
+        shiftright(col(hashCol), 16 * c).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("chunk", "cval")))
-    val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col(hashCol).as(ha))
+    val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col(hashCol).as(hb))
     // candidates (with both 64-bit hashes) are the oracle seam: DuckDB
-    // recomputes bit_count(xor(sh_a, sh_b)) over the persisted set
+    // recomputes bit_count(xor(h_a, h_b)) over the persisted set
     persistCand(
       a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
-        .select("id_a", "id_b", "sh_a", "sh_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .select("id_a", "id_b", ha, hb))
+      .withColumn("hamming", bit_count(col(ha).bitwiseXOR(col(hb))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")

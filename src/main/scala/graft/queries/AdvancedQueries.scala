@@ -13,6 +13,19 @@ object AdvancedQueries {
 
   private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
+  /** Pick rule for `join_asof_nearest`, templated on what to emit for a
+    * backward/forward winner (id or signed delta) — identical text in both
+    * engines. Tolerance ±300 s in microseconds; a backward candidate wins
+    * ties. All arithmetic is on non-null branches only (the IS NOT NULL
+    * guards run first), so no engine sees a NULL comparison surprise. */
+  private def nearestCase(back: String, fwd: String): String =
+    s"""CASE WHEN prev_us IS NOT NULL AND p_us - prev_us <= 300000000
+       |          AND (next_us IS NULL OR next_us - p_us > 300000000
+       |               OR p_us - prev_us <= next_us - p_us)
+       |     THEN $back
+       |     WHEN next_us IS NOT NULL AND next_us - p_us <= 300000000
+       |     THEN $fwd END""".stripMargin
+
   val all: Map[String, Q] = Map(
     // As-of join via union+window (see AsofJoin scaladoc for the 100 TB
     // rationale): most recent prior 'view' for each 'purchase'.
@@ -41,6 +54,46 @@ object AdvancedQueries {
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
              |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
       "as-of join (latest earlier right row) via union+window"),
+
+    // Tolerance-bounded NEAREST as-of join — the two-sided completion of
+    // asof_view_before_purchase (pandas merge_asof direction='nearest',
+    // tolerance=5min): for each purchase, the closest view of the same
+    // user on EITHER side within ±300 s, ties to the earlier side, NULL
+    // when nothing falls inside the tolerance. Same one-Exchange+one-Sort
+    // union+window plan as the backward form — the forward frame rides
+    // the SAME partition+sort, so "nearest" costs no extra shuffle over
+    // "backward" (the naive formulation is a range join + per-row argmin:
+    // a second shuffle AND a per-purchase aggregation). The pick rule is
+    // one row-local CASE shared verbatim with the oracle.
+    "join_asof_nearest" -> Q(
+      (s, dir) => AsofJoin.nearestViewCandidates(events(s, dir))
+        .withColumn("view_id", expr(nearestCase("prev_id", "next_id")))
+        .withColumn("delta_us",
+          expr(nearestCase("prev_us - p_us", "next_us - p_us")))
+        .select("event_id", "user_id", "view_id", "delta_us")
+        .orderBy("event_id"),
+      Some(s"""WITH cand AS (
+              |  SELECT event_id, user_id, event_type, epoch_us(ts) AS p_us,
+              |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+              |      OVER wb AS prev_id,
+              |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+              |      OVER wb AS prev_us,
+              |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+              |      OVER wf AS next_id,
+              |    first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+              |      OVER wf AS next_us
+              |  FROM events
+              |  WINDOW
+              |    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+              |SELECT event_id, user_id,
+              |  ${nearestCase("prev_id", "next_id")} AS view_id,
+              |  ${nearestCase("prev_us - p_us", "next_us - p_us")} AS delta_us
+              |FROM cand WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin),
+      "nearest as-of join with tolerance: both directions from one partition+sort, row-local pick rule"),
 
     "join_range_followups" -> Q(
       (s, dir) => AsofJoin.followUpsWithin(events(s, dir)),

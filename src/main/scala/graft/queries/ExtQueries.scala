@@ -305,6 +305,14 @@ object ExtQueries {
       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000.0), 6)
       |     END""".stripMargin
 
+  /** Displayed PMI for `text_collocations` — ln over the exact integer
+    * counts; shared verbatim with the twin. The ranking never uses this
+    * (it orders by the exact fixed-point ratio), so libm drift can only
+    * perturb the 6th decimal of the score, absorbed by the round. */
+  private def pmiScore: String =
+    """round(ln(CAST(n_tot AS DOUBLE) * CAST(n_ab AS DOUBLE)
+      |       / (CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE))), 6)""".stripMargin
+
   /** Final float expression for `embed_outliers` — cosine between a
     * vector and its label centroid over the EXACT integer aggregates
     * (dot, own-norm qq, centroid-norm scc); shared verbatim with the
@@ -560,6 +568,67 @@ object ExtQueries {
              |SELECT s, count(*) AS n FROM big WHERE s IS NOT NULL
              |GROUP BY s ORDER BY n DESC, s LIMIT 20""".stripMargin),
       "top-k corpus bigrams (n-gram mining over the shingle path)"),
+
+    // PMI-ranked collocations — the association-strength companion to
+    // text_top_bigrams' raw counts: "new york" scores high because its
+    // parts rarely appear apart, while "of the" scores low despite a huge
+    // raw count. PMI = ln(N·c_ab / (c_l·c_r)) over the bigram table's own
+    // positional marginals. The RANKING and top-20 cutoff never touch a
+    // float: rows are ordered by the exact fixed-point ratio
+    // ⌊N·c_ab·10⁶ / (c_l·c_r)⌋ in DECIMAL(38,0)/HUGEINT (floored
+    // identically in both engines; PMI is monotone in the unfloored
+    // ratio), so the selected set is bit-deterministic cross-engine; the
+    // ln appears only in the displayed score. min-count ≥ 5 is the
+    // standard collocation noise gate. Plan: one (bigram) count shuffle
+    // over the scan — the only data-sized exchange — then vocab-sized
+    // marginal aggs and equi-joins plus a broadcast 1-row total; at
+    // 100 TB the joins key on tokens, never on documents.
+    "text_collocations" -> Q(
+      (s, dir) => {
+        val big = Dedup.shingleRows(
+            table(s, dir, "documents").select("doc_id", "text"), k = 2)
+          .groupBy("s").agg(count(lit(1)).as("n_ab"))
+          .withColumn("l", substring_index(col("s"), " ", 1))
+          .withColumn("r", substring_index(col("s"), " ", -1))
+        val la = big.groupBy("l").agg(sum("n_ab").as("n_l"))
+        val rb = big.groupBy("r").agg(sum("n_ab").as("n_r"))
+        val tot = big.agg(sum("n_ab").as("n_tot"))
+        big.filter(col("n_ab") >= 5)
+          .join(la, "l").join(rb, "r")
+          .crossJoin(broadcast(tot))
+          .withColumn("rank6",
+            expr("""(CAST(n_tot AS DECIMAL(38,0)) * n_ab * 1000000)
+                   | div (CAST(n_l AS DECIMAL(38,0)) * n_r)""".stripMargin))
+          .orderBy(desc("rank6"), asc("s")).limit(20)
+          .select(col("s"), col("n_ab"), col("n_l"), col("n_r"),
+            expr(pmiScore).as("pmi"))
+          .orderBy(desc("pmi"), asc("s"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM documents),
+              |big0 AS (
+              |  SELECT doc_id, t AS l,
+              |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+              |  FROM toks),
+              |big AS (
+              |  SELECT l, r, l || ' ' || r AS s, CAST(count(*) AS BIGINT) AS n_ab
+              |  FROM big0 WHERE r IS NOT NULL GROUP BY 1, 2, 3),
+              |la AS (SELECT l, CAST(sum(n_ab) AS BIGINT) AS n_l FROM big GROUP BY 1),
+              |rb AS (SELECT r, CAST(sum(n_ab) AS BIGINT) AS n_r FROM big GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_tot FROM big),
+              |ranked AS (
+              |  SELECT s, n_ab, n_l, n_r, n_tot,
+              |    (CAST(n_tot AS HUGEINT) * n_ab * 1000000)
+              |      // (CAST(n_l AS HUGEINT) * n_r) AS rank6
+              |  FROM big JOIN la USING (l) JOIN rb USING (r) CROSS JOIN tot
+              |  WHERE n_ab >= 5
+              |  ORDER BY rank6 DESC, s LIMIT 20)
+              |SELECT s, n_ab, n_l, n_r, $pmiScore AS pmi
+              |FROM ranked ORDER BY pmi DESC, s""".stripMargin),
+      "PMI collocations: exact fixed-point ratio ranking, float ln only in the displayed score"),
 
     "text_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
@@ -2741,6 +2810,51 @@ object ExtQueries {
              |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
              |ORDER BY payload_md5""".stripMargin),
       "binary-payload exact dedup: md5 the opaque media bytes, keep duplicate groups"),
+
+    // Perceptual-hash NEAR-dup over media payloads — what multimodal_dedup's
+    // md5 cannot catch: a re-crawl that re-encoded the asset (here: a
+    // same-length one-byte perturbation) hashes to different bytes but
+    // lands within Hamming ≤ 3 of the original's pHash. The decode→DCT
+    // step is the deterministic stub (Multimodal.phashTable — interleaved
+    // byte-sum parities, which preserve the k-bytes-changed ⇒ ≤ k-bits-
+    // flipped locality a real pHash has); everything downstream is the
+    // REAL scale machinery, shared verbatim with the SimHash screen
+    // (Dedup.bandedHammingPairs: 4×16-bit pigeonhole bands, lossless for
+    // Hamming ≤ 3). Oracle strength: DuckDB re-derives the ENTIRE band
+    // join + popcount verify from the persisted per-doc hash table, so a
+    // banding bug (not just a scoring bug) breaks the hash compare.
+    "multimodal_phash" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val mx = docs.agg(max("doc_id").as("mx"))
+        val recrawled = docs.filter(col("doc_id") % 10 === 0)
+          .crossJoin(broadcast(mx))
+          .withColumn("doc_id", col("doc_id") + col("mx") + lit(1L))
+          .withColumn("text",
+            concat(lit("X"), substring(col("text"), 2, Int.MaxValue)))
+          .drop("mx")
+        val hashes = Multimodal.phashTable(
+          Multimodal.mediaTable(docs.unionByName(recrawled))
+            .as[Multimodal.MediaRow])
+        Dedup.bandedHammingPairs(
+          OracleAux.persist(dir, "multimodal_phash_hashes")(hashes), "phash")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, phash
+              |  FROM read_parquet(${OracleAux.duckGlob("multimodal_phash_hashes")})),
+              |bands AS (
+              |  SELECT doc_id, phash, b, (phash >> (16 * b)) & 65535 AS bv
+              |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.phash AS pa, b.phash AS pb
+              |  FROM bands a JOIN bands b
+              |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+              |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin),
+      "pHash near-dup over media payloads: stub decode, real banding — oracle re-derives the band join itself"),
 
     // Per-language corpus health report — the one-page rollup a curation
     // pipeline publishes with every snapshot: volume, size profile, and

@@ -573,11 +573,151 @@ object StatsQueries {
               |SELECT n_rows, tot6 // n_rows AS mean6, n_reps,
               |  lo6 AS boot_lo6, hi6 AS boot_hi6
               |FROM ci CROSS JOIN pt WHERE n_rows > 0""".stripMargin),
-      "Poisson bootstrap 95% CI for mean purchase value: B=48 replicates in one narrow pass, exact micro-unit order statistics"))
+      "Poisson bootstrap 95% CI for mean purchase value: B=48 replicates in one narrow pass, exact micro-unit order statistics"),
+
+    // One-way ANOVA F over document length across sources — the k-group
+    // generalization closing the hypothesis-test family (abtest = 2-group
+    // means, mannwhitney/kstest = 2-group distributions, chisq =
+    // categorical): "does ANY source produce systematically different
+    // document lengths?" is the screen run before drilling into pairwise
+    // contrasts. Everything up to the final F is exact integer
+    // arithmetic: per-group (n_g, Σx, Σx²) are combinable int64 sums, the
+    // between/within sums of squares are micro-unit fixed point
+    // (q6_g = ⌊Σx_g²·10⁶ / n_g⌋ — floor division, identical in both
+    // engines, per-group error < 1 micro-unit) in DECIMAL(38,0)/HUGEINT
+    // so Σx² · 10⁶ survives any corpus size; the only float math is the
+    // final F / η² expression. Plan: ONE map-side-combinable groupBy
+    // over the scan, then a second agg over k rows — no window, no join;
+    // at 100 TB this is a single shuffle of k source-rows.
+    "stats_anova" -> Q(
+      (s, dir) => {
+        val g = table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("ng"),
+            sum("n_chars").as("sg"),
+            sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("qg"))
+          .withColumn("q6g",
+            expr("(CAST(sg AS DECIMAL(38,0)) * sg * 1000000) div ng"))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum("sg").as("stot"), sum("qg").as("qtot"),
+            sum("q6g").as("qb"))
+          .withColumn("ssb6",
+            expr("qb - (CAST(stot AS DECIMAL(38,0)) * stot * 1000000) div n"))
+          .withColumn("ssw6", expr("qtot * 1000000 - qb"))
+          .select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+            expr("(CAST(stot AS DECIMAL(38,0)) * 10000) div n").cast("long")
+              .as("mean4"),
+            expr(anovaF).as("f_stat"),
+            expr("""CASE WHEN ssb6 + ssw6 > 0
+                   |     THEN round(CAST(ssb6 AS DOUBLE)
+                   |          / CAST(ssb6 + ssw6 AS DOUBLE), 6) END""".stripMargin)
+              .as("eta_sq"))
+      },
+      Some(s"""WITH g AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+              |    CAST(sum(n_chars) AS BIGINT) AS sg,
+              |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS qg,
+              |    (CAST(sum(n_chars) AS HUGEINT) * CAST(sum(n_chars) AS BIGINT)
+              |       * 1000000) // CAST(count(*) AS BIGINT) AS q6g
+              |  FROM documents GROUP BY source),
+              |t AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+              |    CAST(sum(sg) AS BIGINT) AS stot, sum(qg) AS qtot,
+              |    sum(q6g) AS qb
+              |  FROM g),
+              |ss AS (
+              |  SELECT k, n, stot,
+              |    qb - (CAST(stot AS HUGEINT) * stot * 1000000) // n AS ssb6,
+              |    qtot * 1000000 - qb AS ssw6
+              |  FROM t)
+              |SELECT k, n, CAST((CAST(stot AS HUGEINT) * 10000) // n AS BIGINT) AS mean4,
+              |  $anovaF AS f_stat,
+              |  CASE WHEN ssb6 + ssw6 > 0
+              |       THEN round(CAST(ssb6 AS DOUBLE)
+              |            / CAST(ssb6 + ssw6 AS DOUBLE), 6) END AS eta_sq
+              |FROM ss""".stripMargin),
+      "one-way ANOVA F across sources: exact micro-unit sums of squares, one combinable shuffle"),
+
+    // Lag-k autocorrelation of the daily event-count series, per event
+    // type — the seasonality/trend diagnostic behind every ingest-volume
+    // monitor (lag 1 = day-over-day persistence, lag 7 = weekly cycle;
+    // a pipeline alerting on raw counts without knowing its lag-7
+    // structure pages on every weekend). Two stages, both tiny after the
+    // first: ONE combinable (type, day) count aggregation over the scan —
+    // the only data-sized shuffle — then self-joins of the k·365-row/yr
+    // daily series on (type, day+lag) and a Pearson r from exact integer
+    // pair sums (Σa, Σb, Σab, Σa², Σb² over int64 daily counts). No
+    // window functions; the lag alignment is an equi-join so the series
+    // never needs a global sort. NULL r when a series is constant
+    // (zero variance) — guarded identically in both engines.
+    "stats_autocorr" -> Q(
+      (s, dir) => {
+        val daily = Registry.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        val lags = Seq(1, 7).map(l => (lit(l).as("lag"), l))
+        val legs = lags.map { case (lagCol, l) =>
+          daily.as("a")
+            .join(daily.as("b"),
+              col("a.event_type") === col("b.event_type") &&
+                col("b.d") === date_add(col("a.d"), l))
+            .select(col("a.event_type").as("event_type"), lagCol,
+              col("a.c").as("ca"), col("b.c").as("cb"))
+        }
+        legs.reduce(_ unionAll _)
+          .groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("np"),
+            sum("ca").as("sa"), sum("cb").as("sb"),
+            sum(expr("ca * cb")).as("sab"),
+            sum(expr("ca * ca")).as("saa"),
+            sum(expr("cb * cb")).as("sbb"))
+          .select(col("event_type"), col("lag"), col("np").as("n_pairs"),
+            expr(pearsonR).as("r"))
+          .orderBy("event_type", "lag")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type, CAST(ts AS DATE) AS d,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT a.event_type, l.lag, a.c AS ca, b.c AS cb
+              |  FROM daily a
+              |  JOIN (SELECT 1 AS lag UNION ALL SELECT 7) l ON true
+              |  JOIN daily b ON b.event_type = a.event_type
+              |    AND b.d = a.d + CAST(l.lag AS INTEGER)),
+              |m AS (
+              |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS np,
+              |    CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(cb) AS BIGINT) AS sb,
+              |    CAST(sum(ca * cb) AS BIGINT) AS sab,
+              |    CAST(sum(ca * ca) AS BIGINT) AS saa,
+              |    CAST(sum(cb * cb) AS BIGINT) AS sbb
+              |  FROM pairs GROUP BY 1, 2)
+              |SELECT event_type, lag, np AS n_pairs, $pearsonR AS r
+              |FROM m ORDER BY event_type, lag""".stripMargin),
+      "lag-1/lag-7 autocorrelation of daily event counts: equi-join lag alignment, exact integer pair sums"))
 
   /** Replicate count for [[stats_bootstrap]] — fixed so the CI's order
     * statistics (2nd/47th) are well-defined constants in both engines. */
   private def bootB: Int = 48
+
+  /** Final float expression for [[stats_anova]] — F over the exact
+    * micro-unit sums of squares (the 10⁶ scales cancel in the ratio);
+    * NULL (never an error) for degenerate designs: one group, no
+    * residual degrees of freedom, or zero within-group variance. */
+  private def anovaF: String =
+    """CASE WHEN k > 1 AND n > k AND ssw6 > 0
+      |     THEN round((CAST(ssb6 AS DOUBLE) * CAST(n - k AS DOUBLE))
+      |          / (CAST(ssw6 AS DOUBLE) * CAST(k - 1 AS DOUBLE)), 6)
+      |     END""".stripMargin
+
+  /** Final float expression for [[stats_autocorr]] — Pearson r over the
+    * exact integer pair sums; NULL when either margin is constant. */
+  private def pearsonR: String =
+    """CASE WHEN np > 1 AND np * saa > sa * sa AND np * sbb > sb * sb
+      |     THEN round((CAST(np AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+      |          / sqrt((CAST(np AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+      |               * (CAST(np AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+      |     END""".stripMargin
 
   /** Inverse-CDF Poisson(1) counts from an integer ppm uniform `u` —
     * thresholds are floor(1e6 · P(X ≤ k)) for k = 0..6, tail capped at 7

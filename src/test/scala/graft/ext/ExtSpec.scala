@@ -391,6 +391,85 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall { case (n, flag) => flag == (n >= 5L) })
   }
 
+  test("join_asof_nearest: forward beats farther backward, tie goes backward, tolerance excludes, no-view user is NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asofnfix").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    def ts(offSec: Long) = new java.sql.Timestamp(t0 + offSec * 1000)
+    val rows = Seq(
+      // user 1: purchase at t=0; views at -100 s and +40 s → forward wins
+      (10L, ts(-100), 1L, "view", 0.0, "{}"),
+      (11L, ts(0), 1L, "purchase", 1.0, "{}"),
+      (12L, ts(40), 1L, "view", 0.0, "{}"),
+      // user 2: views at ±60 s exactly → tie goes to the backward side
+      (20L, ts(-60), 2L, "view", 0.0, "{}"),
+      (21L, ts(0), 2L, "purchase", 1.0, "{}"),
+      (22L, ts(60), 2L, "view", 0.0, "{}"),
+      // user 3: nearest view is 400 s away — outside ±300 s → NULL
+      (30L, ts(-400), 3L, "view", 0.0, "{}"),
+      (31L, ts(0), 3L, "purchase", 1.0, "{}"),
+      // user 4: no views at all → NULL
+      (41L, ts(0), 4L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.get(r.fieldIndex("view_id"))),
+          Option(r.get(r.fieldIndex("delta_us")))))
+      .toMap
+    assert(out(11L) == ((Some(12L), Some(40000000L))), out.toString)
+    assert(out(21L) == ((Some(20L), Some(-60000000L))), out.toString)
+    assert(out(31L) == ((None, None)) && out(41L) == ((None, None)))
+  }
+
+  test("multimodal_phash: re-encode artifact caught at small Hamming, md5 screen provably misses it, unrelated payloads not paired") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phashfix").toString
+    // Text stands in for payload bytes (the mediaTable contract). The
+    // fixture corpus: one base doc, plus the %10 recrawl mechanism inside
+    // the query itself perturbs doc 0's first byte ("X" || rest).
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val other = "completely different bytes with other content here " * 5
+    Seq((0L, base), (1L, other), (7L, base + "tail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("multimodal_phash")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    // recrawl of doc 0 gets id 0 + max(7) + 1 = 8; one byte changed ⇒
+    // Hamming ≤ 1 (0 when the byte parity happens to match).
+    val hit = out.find(p => p._1 == 0L && p._2 == 8L)
+    assert(hit.isDefined, s"perturbed recrawl not caught: ${out.toSeq}")
+    assert(hit.get._3 <= 1)
+    // md5 cannot pair them: the payload bytes differ ('X' != 't').
+    assert(!out.exists(p => p._1 == 1L || p._2 == 1L),
+      s"unrelated payload paired: ${out.toSeq}")
+  }
+
+  test("text_collocations: exclusive pair outranks a frequent-but-promiscuous one; exact tie broken by s") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_collofix").toString
+    // 5×"aa bb" (exclusive parts) vs 10×"cc dd" whose parts also appear in
+    // 10×"cc ee" and 10×"ff dd". N = 35 bigrams:
+    //   ratio(aa bb) = 35·5/(5·5)   = 7     → pmi = ln 7    ≈  1.945910
+    //   ratio(cc ee) = 35·10/(20·10)= 1.75  → pmi = ln 1.75 ≈  0.559616
+    //   ratio(ff dd) =                1.75  (exact tie → s order)
+    //   ratio(cc dd) = 35·10/(20·20)= 0.875 → pmi           ≈ -0.133531
+    val texts = Seq.fill(5)("aa bb") ++ Seq.fill(10)("cc dd") ++
+      Seq.fill(10)("cc ee") ++ Seq.fill(10)("ff dd")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_collocations")(spark, dir)
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[Long]("n_ab"),
+        r.getAs[Double]("pmi")))
+    assert(out.map(_._1).toSeq ==
+      Seq("aa bb", "cc ee", "ff dd", "cc dd"), out.toSeq.toString)
+    assert(out(0)._3 == 1.94591 && out(1)._3 == 0.559616 &&
+      out(2)._3 == 0.559616 && out(3)._3 == -0.133531)
+    assert(out(0)._2 == 5L && out(3)._2 == 10L)
+  }
+
   test("text_chunk: boundary math — 128-token windows, remainder in the last chunk") {
     val out = graft.SparkEntry.queries("text_chunk")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -320,6 +320,50 @@ class StatsSpec extends SparkSpec {
     assert(l2.isNullAt(l2.fieldIndex("cos")) && l2.isNullAt(l2.fieldIndex("shift")))
   }
 
+  test("stats_anova: hand fixture — textbook F and eta^2; single group yields NULL F") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_anovafix").toString
+    // a: {2,4} (mean 3), b: {8,10} (mean 9) → SSB=36, SSW=4,
+    // F = (36/1)/(4/2) = 18, eta² = 36/40 = 0.9, grand mean 6.
+    Seq((0L, "a", 2L), (1L, "a", 4L), (2L, "b", 8L), (3L, "b", 10L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("stats_anova")(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("mean4") == 60000L)
+    assert(r.getAs[Double]("f_stat") == 18.0)
+    assert(r.getAs[Double]("eta_sq") == 0.9)
+
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_anovafix1").toString
+    Seq((0L, "a", 2L), (1L, "a", 4L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val r1 = graft.SparkEntry.queries("stats_anova")(spark, dir1).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("f_stat")), "k=1 must yield NULL F")
+    assert(r1.getAs[Double]("eta_sq") == 0.0)
+  }
+
+  test("stats_autocorr: linear series r=1, constant series NULL, short series has no lag-7 row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_acfix").toString
+    // type x daily counts 1,2,3,4,5 → lag-1 r = 1 over 4 pairs; type y
+    // constant 2,2,2 → zero variance ⇒ NULL r over 2 pairs. Only 5 days
+    // of data, so the lag-7 leg joins empty and emits NO row at all.
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def day(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    val rows = (0 until 5).flatMap(d =>
+      (0 until (d + 1)).map(i => (d * 100L + i, day(d), 1L, "x", 1.0, "{}"))) ++
+      (0 until 3).flatMap(d =>
+        (0 until 2).map(i => (9000L + d * 10 + i, day(d), 1L, "y", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("stats_autocorr")(spark, dir).collect()
+    assert(out.length == 2, s"expected exactly the two lag-1 rows: ${out.toSeq}")
+    val x = out.find(_.getAs[String]("event_type") == "x").get
+    assert(x.getAs[Int]("lag") == 1 && x.getAs[Long]("n_pairs") == 4L)
+    assert(x.getAs[Double]("r") == 1.0)
+    val y = out.find(_.getAs[String]("event_type") == "y").get
+    assert(y.getAs[Long]("n_pairs") == 2L && y.isNullAt(y.fieldIndex("r")))
+  }
+
   test("embed_outliers: hand fixture — minority-direction vector ranks first; zero vector filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_outfix").toString
     // label 0: two [1,0] + one [0,1] → centroid sums [2e6, 1e6];
