@@ -47,6 +47,30 @@ object TextStats {
     round(lit(0.4) * lenScore + lit(0.4) * stopRate + lit(0.2) * (lit(1.0) - punctRate), 6)
   }
 
+  // ------------------------------------------------------- Gopher rules
+  /** The Gopher stop-word list (Rae et al. 2021, quality-filter rules):
+    * a document must contain at least two of these to pass `r_stop`. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document token aggregates feeding the Gopher rule battery:
+    * word count, summed token length (for the exact mean-word-length
+    * bounds: 3n ≤ Σlen ≤ 10n, no float division), tokens containing an
+    * alphabetic character, and DISTINCT Gopher stop-words present.
+    *
+    * Shape: one explode + one doc-keyed aggregation — the same single
+    * doc_id exchange as [[repetitionStats]], co-partitioned with the rest
+    * of the curation pipeline at 100 TB (the per-row array alternative is
+    * the 26× slower interpreted-HOF trap documented there). */
+  def gopherTokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("t"))).as("sum_len"),
+        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        countDistinct(when(col("t").isin(GopherStops: _*), col("t")))
+          .as("n_stop"))
+
   // ---------------------------------------------------------- repetition
   /** Gopher-style repetition scores per document: the fraction of
     * duplicated whitespace tokens and duplicated word 3-grams

@@ -391,6 +391,44 @@ object CurationQueries {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "cross-doc duplicated 8-gram spans (substring-dedup signal, Lee et al. 2022)"),
 
+    // Per-document n-gram NOVELTY over corpus order — the diminishing-
+    // returns curve curation teams read before buying more of a source:
+    // for each doc, the fraction of its distinct 8-grams whose FIRST
+    // occurrence (min doc_id) is this doc. Early docs score ~1, late
+    // near-copies ~0; a source whose tail novelty collapses is already
+    // mined out. Complements dedup_incremental (which gates NEW batches)
+    // by scoring the EXISTING corpus in one pass. All counts are exact
+    // integers; the only float is the final per-doc division. Plan: the
+    // join key is md5(gram) — 16 fingerprint bytes shuffle instead of
+    // 60-char gram strings (the corpus_split_leakage tactic); both
+    // shuffles (first-occurrence min, join back) key on the fingerprint,
+    // never on documents, and the doc-keyed final agg co-partitions with
+    // the rest of the curation pipeline.
+    "text_ngram_novelty" -> Q(
+      (s, dir) => {
+        val g = wordGrams(table(s, dir, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), md5(col("gram").cast("binary")).as("fp"))
+          .distinct()
+        val first = g.groupBy("fp").agg(min("doc_id").as("first_doc"))
+        g.join(first.hint("shuffle_hash"), "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH grams AS ($gramSql),
+             |g AS (SELECT DISTINCT doc_id, md5(gram) AS fp FROM grams),
+             |f AS (SELECT fp, min(doc_id) AS first_doc FROM g GROUP BY fp)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 6) AS novelty
+             |FROM g JOIN f USING (fp) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "per-doc 8-gram novelty in corpus order: fingerprint-keyed first-occurrence join, exact counts"),
+
     // Train→eval n-gram leakage: which val/test documents share an 8-gram
     // fingerprint with ANY train document. The join key is md5(gram) — an
     // 8-gram fingerprint table is how decontamination runs at 100 TB

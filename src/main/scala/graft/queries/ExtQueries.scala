@@ -359,6 +359,80 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "quality scoring: length/punctuation/stopword ratios"),
 
+    // The published Gopher rule battery (Rae et al. 2021, Table A1) as
+    // per-document 0/1 flags + the overall gate — the rule set most
+    // production curation pipelines start from, distinct from
+    // text_quality's composite score: word count ∈ [50, 100k], mean word
+    // length ∈ [3, 10], symbol-to-word ratio ≤ 0.1 (# and ...), ≤ 90% of
+    // lines bullet-started, ≤ 30% ellipsis-ended, ≥ 80% of words contain
+    // a letter, ≥ 2 distinct Gopher stop-words. Every rule is an EXACT
+    // integer comparison (10·n_sym ≤ n_words instead of a float ratio), so
+    // the flags are bit-deterministic cross-engine with zero float math.
+    // Plan: scalar regexp counts ride the scan; the token stats are one
+    // doc-keyed explode+agg (the same single exchange as text_repetition);
+    // one doc-keyed join. Line rules use explicit (^|\n) groups — no
+    // multiline-flag semantics to diverge between Java and RE2.
+    "text_gopher_rules" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val scal = docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("#")).as("n_hash"),
+          regexp_count(col("text"), lit("\\.\\.\\.")).as("n_ell"),
+          (regexp_count(col("text"), lit("\n")) + 1).as("n_lines"),
+          regexp_count(col("text"), lit("(^|\n)[ \t]*[-*•]")).as("n_bullet"),
+          regexp_count(col("text"), lit("\\.\\.\\.[ \t]*(\n|\\z)")).as("n_ellend"))
+        TextStats.gopherTokenStats(docs).join(scal, "doc_id")
+          .select(col("doc_id"), col("n_words"),
+            when(col("n_words").between(50, 100000), 1).otherwise(0).as("r_wordcount"),
+            when(col("sum_len") >= col("n_words") * 3 &&
+              col("sum_len") <= col("n_words") * 10, 1).otherwise(0).as("r_meanlen"),
+            when((col("n_hash") + col("n_ell")) * 10 <= col("n_words"), 1)
+              .otherwise(0).as("r_symbol"),
+            when(col("n_bullet") * 10 <= col("n_lines") * 9, 1).otherwise(0).as("r_bullet"),
+            when(col("n_ellend") * 10 <= col("n_lines") * 3, 1).otherwise(0).as("r_ellipsis"),
+            when(col("n_alpha") * 5 >= col("n_words") * 4, 1).otherwise(0).as("r_alpha"),
+            when(col("n_stop") >= 2, 1).otherwise(0).as("r_stop"))
+          .withColumn("gopher_pass",
+            col("r_wordcount") * col("r_meanlen") * col("r_symbol") *
+              col("r_bullet") * col("r_ellipsis") * col("r_alpha") * col("r_stop"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(length(t)) AS BIGINT) AS sum_len,
+             |    CAST(count(*) FILTER (WHERE regexp_matches(t, '[a-z]')) AS BIGINT) AS n_alpha,
+             |    CAST(count(DISTINCT CASE WHEN t IN ('the','be','to','of','and','that','have','with')
+             |                             THEN t END) AS BIGINT) AS n_stop
+             |  FROM toks GROUP BY doc_id),
+             |sc AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '#')) AS n_hash,
+             |    len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+             |    len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+             |    len(regexp_extract_all(text, '(^|\n)[ \t]*[-*•]')) AS n_bullet,
+             |    len(regexp_extract_all(text, '\.\.\.[ \t]*(\n|\z)')) AS n_ellend
+             |  FROM documents)
+             |SELECT doc_id, n_words,
+             |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS r_wordcount,
+             |  CAST(CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 10 THEN 1 ELSE 0 END AS INTEGER) AS r_meanlen,
+             |  CAST(CASE WHEN (n_hash + n_ell) * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER) AS r_symbol,
+             |  CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS INTEGER) AS r_bullet,
+             |  CAST(CASE WHEN n_ellend * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS INTEGER) AS r_ellipsis,
+             |  CAST(CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INTEGER) AS r_alpha,
+             |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS r_stop,
+             |  CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+             |     * (CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 10 THEN 1 ELSE 0 END)
+             |     * (CASE WHEN (n_hash + n_ell) * 10 <= n_words THEN 1 ELSE 0 END)
+             |     * (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END)
+             |     * (CASE WHEN n_ellend * 10 <= n_lines * 3 THEN 1 ELSE 0 END)
+             |     * (CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END)
+             |     * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS gopher_pass
+             |FROM w JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin),
+      "Gopher rule battery: 7 exact-integer quality gates per document, zero float math"),
+
     // Unigram language-model scoring — the CCNet/KenLM-shaped quality
     // signal: train token frequencies ON the corpus (one groupBy), then
     // score every document by its average per-token negative
@@ -2855,6 +2929,69 @@ object ExtQueries {
               |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
               |ORDER BY id_a, id_b""".stripMargin),
       "pHash near-dup over media payloads: stub decode, real banding — oracle re-derives the band join itself"),
+
+    // Source-mix diversity per language (+ a '*' overall row) — the
+    // metric tracked alongside corpus_mix_plan so a refresh can't quietly
+    // collapse a language onto one crawl: Simpson concentration
+    // λ = Σ(nᵢ/N)² and effective source count 1/λ in EXACT fixed point
+    // (⌊Σnᵢ²·10⁶/N²⌋ over DECIMAL(38,0)/HUGEINT — no float enters the
+    // index), plus Shannon entropy H = ln N − (Σ nᵢ·ln nᵢ)/N where the
+    // float term-sum folds in source order on both engines (the
+    // text_lm_score discipline: array_sort+aggregate ↔ list(ORDER BY)+
+    // list_sum) so the double is bit-identical before rounding. Plan: ONE
+    // (lang, source) count over the scan is the only data-sized shuffle;
+    // everything after runs on a ≤ |langs|·|sources| frame.
+    "corpus_diversity" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        def leg(grouped: org.apache.spark.sql.RelationalGroupedDataset) = grouped
+          .agg(count(lit(1)).as("k_sources"), sum("n").as("n_docs"),
+            sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sumsq"),
+            aggregate(
+              transform(array_sort(collect_list(struct(col("source"), col("n")))),
+                e => e.getField("n").cast("double") *
+                  log(e.getField("n").cast("double"))),
+              lit(0.0), (a, x) => a + x).as("tsum"))
+        val perLang = leg(base.groupBy("lang"))
+        val overall = leg(base.groupBy("source").agg(sum("n").as("n"))
+          .withColumn("lang", lit("*")).groupBy("lang"))
+        perLang.unionByName(overall)
+          .select(col("lang"), col("k_sources"), col("n_docs").cast("long").as("n_docs"),
+            expr("(sumsq * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)")
+              .cast("long").as("simpson6"),
+            expr("(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000000) div sumsq")
+              .cast("long").as("eff6"),
+            round(log(col("n_docs").cast("double")) - col("tsum") / col("n_docs"), 6)
+              .as("shannon"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |leg AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS k_sources,
+             |    CAST(sum(n) AS BIGINT) AS n_docs,
+             |    sum(CAST(n AS HUGEINT) * n) AS sumsq,
+             |    list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+             |                  ORDER BY source)) AS tsum
+             |  FROM base GROUP BY lang),
+             |base2 AS (SELECT source, CAST(sum(n) AS BIGINT) AS n
+             |          FROM base GROUP BY source),
+             |leg2 AS (
+             |  SELECT '*' AS lang, CAST(count(*) AS BIGINT) AS k_sources,
+             |    CAST(sum(n) AS BIGINT) AS n_docs,
+             |    sum(CAST(n AS HUGEINT) * n) AS sumsq,
+             |    list_sum(list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+             |                  ORDER BY source)) AS tsum
+             |  FROM base2),
+             |u AS (SELECT * FROM leg UNION ALL SELECT * FROM leg2)
+             |SELECT lang, k_sources, n_docs,
+             |  CAST((sumsq * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson6,
+             |  CAST((CAST(n_docs AS HUGEINT) * n_docs * 1000000) // sumsq AS BIGINT) AS eff6,
+             |  round(ln(CAST(n_docs AS DOUBLE)) - tsum / n_docs, 6) AS shannon
+             |FROM u ORDER BY lang""".stripMargin),
+      "source-mix diversity per lang: exact fixed-point Simpson/effective-sources, order-folded Shannon"),
 
     // Per-language corpus health report — the one-page rollup a curation
     // pipeline publishes with every snapshot: volume, size profile, and

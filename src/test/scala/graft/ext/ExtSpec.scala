@@ -470,6 +470,78 @@ class ExtSpec extends SparkSpec {
     assert(out(0)._2 == 5L && out(3)._2 == 10L)
   }
 
+  test("text_gopher_rules: each rule trips on its designed violator and only there") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopherfix").toString
+    // 60 normal words incl. several Gopher stops — passes everything.
+    val good = ("the cat sat on the mat with a dog and that bird have " +
+      "seen many things of note here today ").trim
+    val goodDoc = (good + " ") * 3 // 66 words, mean len ~3.2
+    // 10 words only → r_wordcount fails (everything else passes or is moot).
+    val short = "the cat and the dog have fun with that mat"
+    // 60 long tokens → r_meanlen fails (len 16 > 10); no stops → r_stop fails.
+    val longTok = Seq.fill(60)("abcdefghijklmnop").mkString(" ")
+    // 10 lines, all bullet-started → r_bullet fails (10·10 > 9·10).
+    val bullets = Seq.fill(10)("- item of the list and that thing have with").mkString("\n")
+    // every line ends in ... → r_ellipsis fails; many ... → r_symbol fails.
+    val ellip = Seq.fill(10)("the story of and that have with trails off...").mkString("\n")
+    // 60 numeric tokens + 2 stops → r_alpha fails (alpha frac ≈ 0.03).
+    val nums = (Seq.fill(60)("12345") ++ Seq("the", "of")).mkString(" ")
+    Seq((0L, goodDoc), (1L, short), (2L, longTok), (3L, bullets),
+      (4L, ellip), (5L, nums))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_gopher_rules")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("r_wordcount"), r.getAs[Int]("r_meanlen"),
+          r.getAs[Int]("r_symbol"), r.getAs[Int]("r_bullet"),
+          r.getAs[Int]("r_ellipsis"), r.getAs[Int]("r_alpha"),
+          r.getAs[Int]("r_stop"), r.getAs[Int]("gopher_pass"))).toMap
+    assert(out(0L) == ((1, 1, 1, 1, 1, 1, 1, 1)), out(0L).toString)
+    assert(out(1L)._1 == 0 && out(1L)._8 == 0)
+    assert(out(2L)._2 == 0 && out(2L)._7 == 0)
+    assert(out(3L)._4 == 0 && out(3L)._5 == 1)
+    assert(out(4L)._5 == 0 && out(4L)._3 == 0)
+    assert(out(5L)._6 == 0 && out(5L)._7 == 1)
+  }
+
+  test("text_ngram_novelty: copy scores 0, half-new doc scores 0.5, first doc scores 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelfix").toString
+    val base = "a b c d e f g h i" // 9 tokens → two 8-grams
+    Seq((0L, base), (1L, base), (2L, "a b c d e f g h z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(0L) == ((2L, 2L, 1.0)), out.toString)
+    assert(out(1L) == ((2L, 0L, 0.0)), out.toString)
+    assert(out(2L) == ((2L, 1L, 0.5)), out.toString)
+  }
+
+  test("corpus_diversity: hand fixture — exact Simpson/eff fixed point, Shannon to 6dp, overall row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_divfix").toString
+    // en: s1×3, s2×1 → simpson6 = 10e6/16 = 625000, eff6 = 16e6/10 =
+    // 1600000, H = ln4 − 3ln3/4 = 0.562335. de: s1×2 → λ = 1, H = 0.
+    // overall: s1×5, s2×1 → simpson6 = 26e6/36 = 722222, eff6 = 1384615,
+    // H = ln6 − 5ln5/6 = 0.450561.
+    val rows = (0 until 3).map(i => (i.toLong, "t", "en", "s1")) ++
+      Seq((3L, "t", "en", "s2"), (4L, "t", "de", "s1"), (5L, "t", "de", "s1"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("corpus_diversity")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("k_sources"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("simpson6"), r.getAs[Long]("eff6"),
+          r.getAs[Double]("shannon"))).toMap
+    assert(out("en") == ((2L, 4L, 625000L, 1600000L, 0.562335)), out.toString)
+    assert(out("de") == ((1L, 2L, 1000000L, 1000000L, 0.0)), out.toString)
+    assert(out("*") == ((2L, 6L, 722222L, 1384615L, 0.450561)), out.toString)
+  }
+
   test("text_chunk: boundary math — 128-token windows, remainder in the last chunk") {
     val out = graft.SparkEntry.queries("text_chunk")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
