@@ -435,10 +435,7 @@ object Dedup {
       maxHamming: Int = 3,
       persistCand: DataFrame => DataFrame = identity): DataFrame = {
     val (ha, hb) = (s"${hashCol}_a", s"${hashCol}_b")
-    val chunked = hashed.select(col("doc_id"), col(hashCol),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col(hashCol), 16 * c).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("chunk", "cval")))
+    val chunked = hashChunks(hashed, hashCol)
     val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col(hashCol).as(ha))
     val b = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_b"), col(hashCol).as(hb))
     // candidates (with both 64-bit hashes) are the oracle seam: DuckDB
@@ -447,6 +444,43 @@ object Dedup {
       a.join(b, Seq("chunk", "cval")).filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
         .select("id_a", "id_b", ha, hb))
+      .withColumn("hamming", bit_count(col(ha).bitwiseXOR(col(hb))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 4×16-bit pigeonhole chunks of a 64-bit hash column — the shared
+    * banding of [[bandedHammingPairs]] and [[bandedHammingPairsDelta]]. */
+  private def hashChunks(hashed: DataFrame, hashCol: String): DataFrame =
+    hashed.select(col("doc_id"), col(hashCol),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col(hashCol), 16 * c).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk", "cval")))
+
+  /** O(delta) incremental form of [[bandedHammingPairs]]: pairs with at
+    * least one side in `delta`, probed against `base ∪ delta` — the
+    * per-batch work of a standing Hamming index (base×base pairs were
+    * emitted by earlier batches and are never recomputed). Both
+    * orientations of a delta×delta pair collide on the same banded
+    * bucket; the id-ordered dropDuplicates collapses them, which also
+    * makes the probe insensitive to replay-duplicated index rows (the
+    * at-least-once contract every index consumer here honors). */
+  def bandedHammingPairsDelta(base: DataFrame, delta: DataFrame,
+      hashCol: String, maxHamming: Int = 3): DataFrame = {
+    val (ha, hb) = (s"${hashCol}_a", s"${hashCol}_b")
+    val all = hashChunks(base.unionByName(delta), hashCol)
+      .select(col("chunk"), col("cval"), col("doc_id").as("id_x"), col(hashCol).as("h_x"))
+    val d = hashChunks(delta, hashCol)
+      .select(col("chunk"), col("cval"), col("doc_id").as("id_d"), col(hashCol).as("h_d"))
+    d.join(all.hint("shuffle_hash"), Seq("chunk", "cval"))
+      .filter(col("id_d") =!= col("id_x"))
+      .select(
+        least(col("id_d"), col("id_x")).as("id_a"),
+        greatest(col("id_d"), col("id_x")).as("id_b"),
+        when(col("id_d") < col("id_x"), col("h_d")).otherwise(col("h_x")).as(ha),
+        when(col("id_d") < col("id_x"), col("h_x")).otherwise(col("h_d")).as(hb))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col(ha).bitwiseXOR(col(hb))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

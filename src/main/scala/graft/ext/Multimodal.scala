@@ -120,6 +120,35 @@ object Multimodal {
     }.toDF("doc_id", "phash")
   }
 
+  /** Read schema of the standing pHash index ([[phashIngestBatch]]). */
+  val PhashSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash",
+        org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of pHash near-dup maintenance at ingest: hash the
+    * batch's payloads once, emit the batch's near-dup pairs against the
+    * standing hash index (O(delta) — base×base pairs were earlier
+    * batches' output), and merge the batch's hashes into the index.
+    * Exactly-once by the shared [[IngestRecipe.applyBatch]] armor:
+    * per-batch partition-overwrite output + anti-join pre-crash base, so
+    * a crash-replay can neither double pairs nor pair the batch against
+    * its own half-merged rows. `batch` needs (doc_id, text) — text bytes
+    * stand in for the payload per [[mediaTable]]'s contract. */
+  def phashIngestBatch(batch: DataFrame, indexPath: String,
+      pairsOutPath: String, batchId: Long, maxHamming: Int = 3): Unit = {
+    import batch.sparkSession.implicits._
+    val h = phashTable(mediaTable(batch.select("doc_id", "text")).as[MediaRow])
+      .localCheckpoint()
+    IngestRecipe.applyBatch(h.select(col("doc_id")), batchId, pairsOutPath,
+      Seq(IngestRecipe.IndexPart(s"$indexPath/hashes", PhashSchema, h))) {
+      case Seq(base) => Dedup.bandedHammingPairsDelta(base, h, "phash", maxHamming)
+      case _ => throw new MatchError("one index part expected")
+    }
+  }
+
   /** Metadata-only view — SQL-expressible, oracle-checked: payload size and
     * type stats without decoding (and, at scale, without even reading the
     * payload pages when the parquet layout splits columns). */

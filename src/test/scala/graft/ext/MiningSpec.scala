@@ -245,6 +245,44 @@ class MiningSpec extends SparkSpec {
       "artifact-served boilerplate screen diverged from the inline form")
     assert(rows("dedup_semantic_indexed") == rows("dedup_semantic"),
       "artifact-served semantic screen diverged from the inline form")
+    assert(rows("multimodal_phash_indexed") == rows("multimodal_phash"),
+      "index-served pHash screen diverged from the inline form")
+  }
+
+  test("phashIngestBatch: cross-batch pairs found, replay is output-stable, probe is O(delta)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_phash_ingest")
+    val idx = root.resolve("idx").toString
+    val pairs = root.resolve("pairs").toString
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    // batch 0: docs 1 and 2 (unrelated); batch 1: doc 3 = one-byte
+    // perturbation of doc 1 — its pair partner entered the index only via
+    // batch 0's merge, so finding (1,3) is the cross-batch evidence.
+    val b0 = Seq((1L, base),
+      (2L, "completely different bytes with other content here " * 5))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "X" + base.drop(1))).toDF("doc_id", "text")
+    Multimodal.phashIngestBatch(b0, idx, pairs, batchId = 0L)
+    Multimodal.phashIngestBatch(b1, idx, pairs, batchId = 1L)
+    def allPairs: Seq[(Long, Long, Int)] =
+      spark.read.parquet(pairs).select("id_a", "id_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val got = allPairs
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 3L)),
+      s"expected exactly the cross-batch pair (1,3), got $got")
+    assert(got.head._3 <= 1)
+    // crash-replay of batch 1: the batch_id partition overwrite + anti-join
+    // pre-crash base must leave the pair OUTPUT byte-stable (the index may
+    // grow duplicate rows — consumers are dropDuplicates-insensitive).
+    Multimodal.phashIngestBatch(b1, idx, pairs, batchId = 1L)
+    assert(allPairs == got, "replayed batch changed the pairs output")
+    // O(delta): a batch re-probed against the (now 5-row) index must not
+    // re-emit base-vs-base pairs — only pairs touching the batch.
+    val b2 = Seq((4L, "X" + base.drop(1))).toDF("doc_id", "text")
+    Multimodal.phashIngestBatch(b2, idx, pairs, batchId = 2L)
+    val after = allPairs
+    assert(after.map(p => (p._1, p._2)) == Seq((1L, 3L), (1L, 4L), (3L, 4L)),
+      s"batch-2 probe must add only batch-touching pairs, got $after")
   }
 
   test("replay-duplicated index rows cannot change the indexed screens or the boilerplate rollup") {
