@@ -344,6 +344,22 @@ object StreamingOps {
           batchId, threshold)
       }
 
+  /** Perceptual-hash near-dup at ingest — foreachBatch wiring for
+    * [[graft.ext.Multimodal.phashIngestBatch]]: each media micro-batch is
+    * hashed once, probed O(delta) against the standing hash index
+    * (pairs land under `batch_id=<id>` with overwrite — replay-
+    * idempotent), and its hashes merge into the index. The asset-decode
+    * cost is paid exactly once per payload, at ingest. */
+  def phashIngestStream(docs: DataFrame, indexPath: String,
+      pairsOutPath: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Multimodal.phashIngestBatch(batch, indexPath,
+          pairsOutPath, batchId, maxHamming)
+      }
+
   /** Semantic dedup at ingest — foreachBatch wiring for
     * [[graft.ext.Dedup.semanticIngestBatch]]: each embedding micro-batch
     * is probed against the standing cluster-partitioned assignment index

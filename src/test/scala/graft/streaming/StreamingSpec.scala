@@ -632,6 +632,64 @@ class StreamingSpec extends SparkSpec {
       "drop/witness orientation broken: standing must witness, newcomer must drop")
   }
 
+  test("phash ingest stream: micro-batched pairs == sequential fold == one-shot batch screen") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Registry.table(spark, dir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    // batch 2 = re-encoded re-crawls (1M+, first byte perturbed) of every
+    // 10th batch-1 doc: each pair partner entered the index only via the
+    // stream's own merge step — the cross-batch evidence.
+    val recrawl = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(lit("X"), expr("substring(text, 2)")))
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft_phash_stream")
+    // sequential batch fold — the reference semantics
+    val foldIdx = root.resolve("fold_idx").toString
+    val foldPairs = root.resolve("fold_pairs").toString
+    graft.ext.Multimodal.phashIngestBatch(docs, foldIdx, foldPairs, 0L)
+    graft.ext.Multimodal.phashIngestBatch(recrawl, foldIdx, foldPairs, 1L)
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_phash_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stage.resolve(name))
+      assert(stage.resolve(name).toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(docs, "a.parquet", t0 - 60000)
+    writeOne(recrawl, "b.parquet", t0)
+    val incIdx = root.resolve("inc_idx").toString
+    val incPairs = root.resolve("inc_pairs").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.phashIngestStream(stream, incIdx, incPairs)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def pairSet(p: String): Set[(Long, Long, Int)] =
+      spark.read.parquet(p).select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = pairSet(incPairs); val fold = pairSet(foldPairs)
+    assert(inc == fold, s"stream pairs diverged from the sequential fold: " +
+      s"only-stream=${(inc -- fold).take(3)} only-fold=${(fold -- inc).take(3)}")
+    assert(inc.exists { case (a, b, _) => a < 1000000L && b >= 1000000L },
+      "no cross-batch pair: batch 2 never probed batch 1's merged hashes")
+    // INDEPENDENT oracle: every pair (a,b) is emitted by batch max(grp)'s
+    // delta×(base∪delta) probe, so the ingest union must equal the
+    // one-shot banded screen over the full corpus — no restriction needed.
+    import spark.implicits._
+    val oneShot = graft.ext.Dedup.bandedHammingPairs(
+      graft.ext.Multimodal.phashTable(
+        graft.ext.Multimodal.mediaTable(docs.unionByName(recrawl))
+          .as[graft.ext.Multimodal.MediaRow]), "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == oneShot, s"ingest union diverged from the one-shot screen: " +
+      s"only-ingest=${(inc -- oneShot).take(3)} only-batch=${(oneShot -- inc).take(3)}")
+  }
+
   test("source audit stream: multi-batch snapshot == batch audit; replay is idempotent") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Registry.table(spark, dir, "documents")
