@@ -481,6 +481,55 @@ object CurationQueries {
              |GROUP BY d.split ORDER BY d.split""".stripMargin),
       "train→eval 8-gram fingerprint leakage audit over the corpus_split assignment"),
 
+    // Cross-SOURCE 8-gram overlap matrix — the dedup-planning read before
+    // buying/merging a new crawl: how much of source B's content is
+    // already in A (mirror sites, syndication, common boilerplate)?
+    // Containment = |A∩B| / min(|A|,|B|) over distinct gram fingerprints,
+    // all exact integers until one final division. Same md5-fingerprint
+    // discipline as corpus_split_leakage (16 bytes shuffle, not gram
+    // strings); the fp self-join fans out at most |sources|² rows per
+    // fingerprint, so a boilerplate gram shared by every source costs a
+    // bounded 5×5, never a doc-count blowup. Missing (a,b) row = zero
+    // shared grams, identically absent in both engines.
+    "corpus_overlap" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val fps = wordGrams(docs.select("doc_id", "text"))
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .select(col("source"), md5(col("gram").cast("binary")).as("fp"))
+          .distinct()
+        val sizes = fps.groupBy("source").agg(count(lit(1)).as("n"))
+        fps.as("a")
+          .join(fps.as("b").hint("shuffle_hash"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_shared"),
+            round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+              .as("containment"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH grams AS ($gramSql),
+             |fps AS (SELECT DISTINCT d.source, md5(g.gram) AS fp
+             |        FROM grams g JOIN documents d USING (doc_id)),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |          FROM fps GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+             |  round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+             |FROM pairs
+             |JOIN sizes sa ON sa.source = src_a
+             |JOIN sizes sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin),
+      "cross-source 8-gram overlap matrix: fingerprint containment, dedup-planning read"),
+
     // DSIR-shaped importance resampling: hashed unigram features (64
     // md5 buckets), per-bucket fixed-point frequency ratio
     // target/source (target = the English sub-corpus), doc score =

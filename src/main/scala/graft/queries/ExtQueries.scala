@@ -341,6 +341,16 @@ object ExtQueries {
     * aggregates (per-label micro-unit snapshot sums and counts) — one
     * shared text so the engines run bit-identical double math. NULL
     * (never an error) when a snapshot is empty or a norm is zero. */
+  /** Final float expressions for `embed_dim_audit` — mean and variance
+    * over the exact per-dim integer aggregates (micro-unit s/q2 and the
+    * exact variance numerator n·Σq² − (Σq)²); shared verbatim with the
+    * twin so the doubles are bit-identical before rounding. */
+  private def dimMean: String =
+    "round(CAST(s AS DOUBLE) / n_vals / 1000000.0, 6)"
+  private def dimVar: String =
+    """round(CAST(varnum AS DOUBLE)
+      |      / (CAST(n_vals AS DOUBLE) * n_vals) / 1000000000000.0, 6)""".stripMargin
+
   private def driftCos: String =
     """CASE WHEN n_a > 0 AND n_b > 0 AND saa > 0 AND sbb > 0
       |     THEN round(CAST(dot AS DOUBLE)
@@ -1976,6 +1986,56 @@ object ExtQueries {
     // Shape: one posexplode (rows × dims, map-side combinable partial
     // aggregation), one broadcast of the per-label count table, two hash
     // aggregations — no window, no pairwise join; linear at 100 TB.
+    // Per-DIMENSION embedding health audit — the pre-flight read before
+    // building PQ codebooks or IVF cells: a dead dimension (every value
+    // quantizes to 0) wastes a PQ sub-quantizer, an exploding one
+    // dominates every distance. Per dim over the whole table: value
+    // count, zero count, exact micro-unit min/max/sum/sum-of-squares;
+    // mean and variance are ONE shared float expression over those exact
+    // integers (the embed_drift discipline — components fixed-pointed
+    // BEFORE any sum, n·Σq² − (Σq)² in DECIMAL(38,0)/HUGEINT). Plan: one
+    // posexplode + one dim-keyed combinable aggregation — linear scan,
+    // |dims| output rows, no joins.
+    "embed_dim_audit" -> Q(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vals"),
+          sum(when(col("qv") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min("qv").as("min6"), max("qv").as("max6"),
+          sum("qv").as("s"),
+          sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("q2"))
+        .withColumn("varnum",
+          expr("CAST(n_vals AS DECIMAL(38,0)) * q2 - CAST(s AS DECIMAL(38,0)) * s"))
+        .select(col("dim"), col("n_vals"), col("n_zero"),
+          col("min6"), col("max6"),
+          expr(dimMean).as("mean"), expr(dimVar).as("variance"),
+          when(col("n_zero") === col("n_vals"), 1).otherwise(0).as("dead"))
+        .orderBy("dim"),
+      Some(s"""WITH comp AS (
+              |  SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+              |    unnest(CAST(embedding AS DOUBLE[])) AS v
+              |  FROM embeddings),
+              |q AS (SELECT CAST(dim AS INTEGER) AS dim,
+              |        CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS qv FROM comp),
+              |a AS (
+              |  SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+              |    CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              |    min(qv) AS min6, max(qv) AS max6,
+              |    CAST(sum(qv) AS BIGINT) AS s,
+              |    sum(CAST(qv AS HUGEINT) * qv) AS q2
+              |  FROM q GROUP BY dim),
+              |b AS (
+              |  SELECT *, CAST(n_vals AS HUGEINT) * q2 - CAST(s AS HUGEINT) * s AS varnum
+              |  FROM a)
+              |SELECT dim, n_vals, n_zero, min6, max6, $dimMean AS mean,
+              |  $dimVar AS variance,
+              |  CAST(CASE WHEN n_zero = n_vals THEN 1 ELSE 0 END AS INTEGER) AS dead
+              |FROM b ORDER BY dim""".stripMargin),
+      "per-dimension embedding audit: exact micro-unit moments, dead/exploding-dim flags"),
+
     "embed_drift" -> Q(
       (s, dir) => {
         val base = table(s, dir, "embeddings")

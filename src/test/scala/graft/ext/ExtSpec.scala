@@ -542,6 +542,44 @@ class ExtSpec extends SparkSpec {
     assert(out("*") == ((2L, 6L, 722222L, 1384615L, 0.450561)), out.toString)
   }
 
+  test("embed_dim_audit: hand fixture — exact moments per dim, dead dim flagged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dimfix").toString
+    // dim 0: {1.0, 3.0} → mean 2, var 1; dim 1: all zero → dead.
+    Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(3.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("embed_dim_audit")(spark, dir)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n_vals"), r.getAs[Long]("n_zero"),
+          r.getAs[Long]("min6"), r.getAs[Long]("max6"),
+          r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+          r.getAs[Int]("dead"))).toMap
+    assert(out(0) == ((2L, 0L, 1000000L, 3000000L, 2.0, 1.0, 0)), out.toString)
+    assert(out(1) == ((2L, 2L, 0L, 0L, 0.0, 0.0, 1)), out.toString)
+  }
+
+  test("corpus_overlap: identical sources contain each other fully, partial overlap scores 0.5, disjoint source absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_overlapfix").toString
+    val base = "a b c d e f g h i" // grams g1, g2
+    Seq((0L, base, "s1"), (1L, base, "s2"),
+      (2L, "q r s t u v w x y", "s3"),
+      (3L, "a b c d e f g h z", "s4")) // shares g1 with s1/s2
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("corpus_overlap")(spark, dir)
+      .collect().map(r => ((r.getAs[String]("src_a"), r.getAs[String]("src_b")),
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))))
+    assert(out.map(_._1).toSeq == Seq(("s1", "s2"), ("s1", "s4"), ("s2", "s4")),
+      out.toSeq.toString)
+    val m = out.toMap
+    assert(m(("s1", "s2")) == ((2L, 2L, 2L, 1.0)))
+    assert(m(("s1", "s4")) == ((2L, 2L, 1L, 0.5)))
+    assert(m(("s2", "s4")) == ((2L, 2L, 1L, 0.5)))
+  }
+
   test("text_chunk: boundary math — 128-token windows, remainder in the last chunk") {
     val out = graft.SparkEntry.queries("text_chunk")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
