@@ -276,7 +276,15 @@ class MiningSpec extends SparkSpec {
     // grow duplicate rows — consumers are dropDuplicates-insensitive).
     Multimodal.phashIngestBatch(b1, idx, pairs, batchId = 1L)
     assert(allPairs == got, "replayed batch changed the pairs output")
-    // O(delta): a batch re-probed against the (now 5-row) index must not
+    // the generic compaction resets the replay's duplicate index rows
+    // (doc 3 appended twice) without touching any consumer output
+    assert(spark.read.parquet(s"$idx/hashes").count() == 4L,
+      "replay should have left a duplicate doc-3 row")
+    IngestRecipe.compact(spark, s"$idx/hashes", Multimodal.PhashSchema)
+    assert(spark.read.parquet(s"$idx/hashes").count() == 3L,
+      "compact must collapse the replay-duplicated index rows")
+    assert(allPairs == got, "compaction changed the pairs output")
+    // O(delta): a later batch probed against the standing index must not
     // re-emit base-vs-base pairs — only pairs touching the batch.
     val b2 = Seq((4L, "X" + base.drop(1))).toDF("doc_id", "text")
     Multimodal.phashIngestBatch(b2, idx, pairs, batchId = 2L)
