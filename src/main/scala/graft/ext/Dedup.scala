@@ -375,7 +375,7 @@ object Dedup {
     * the artifact) — no pre-seeding step required.
     *
     * The whole overwrite/anti-join/append armor is the shared
-    * [[IngestRecipe.applyBatch]] seam (one recipe, four ingest paths). */
+    * [[IngestRecipe.applyBatch]] seam (one recipe, five ingest paths). */
   def dedupIngestBatch(batch: DataFrame, indexPath: String,
       pairsOutPath: String, batchId: Long, threshold: Double = 0.7): Unit = {
     val b = batch.select("doc_id", "text").localCheckpoint()
@@ -434,6 +434,7 @@ object Dedup {
   def bandedHammingPairs(hashed: DataFrame, hashCol: String,
       maxHamming: Int = 3,
       persistCand: DataFrame => DataFrame = identity): DataFrame = {
+    requireLosslessBanding(maxHamming)
     val (ha, hb) = (s"${hashCol}_a", s"${hashCol}_b")
     val chunked = hashChunks(hashed, hashCol)
     val a = chunked.select(col("chunk"), col("cval"), col("doc_id").as("id_a"), col(hashCol).as(ha))
@@ -449,6 +450,15 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
+
+  /** The 4-band pigeonhole is lossless only for Hamming ≤ 3 (4 bands
+    * cannot all absorb ≤ 3 flipped bits); a larger threshold would
+    * SILENTLY drop pairs whose flips spread one-per-band, so refuse it
+    * loudly instead. */
+  private def requireLosslessBanding(maxHamming: Int): Unit =
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band pigeonhole guarantee " +
+        "(lossless only for Hamming <= 3); widen the banding before raising it")
 
   /** 4×16-bit pigeonhole chunks of a 64-bit hash column — the shared
     * banding of [[bandedHammingPairs]] and [[bandedHammingPairsDelta]]. */
@@ -468,6 +478,7 @@ object Dedup {
     * at-least-once contract every index consumer here honors). */
   def bandedHammingPairsDelta(base: DataFrame, delta: DataFrame,
       hashCol: String, maxHamming: Int = 3): DataFrame = {
+    requireLosslessBanding(maxHamming)
     val (ha, hb) = (s"${hashCol}_a", s"${hashCol}_b")
     val all = hashChunks(base.unionByName(delta), hashCol)
       .select(col("chunk"), col("cval"), col("doc_id").as("id_x"), col(hashCol).as("h_x"))

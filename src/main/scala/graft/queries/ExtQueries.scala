@@ -50,24 +50,35 @@ object ExtQueries {
       graft.ext.Similarity.buildIvfIndex(table(s, dir, "embeddings"), ivfNlist(s, dir), path)
     }
 
-  /** The pHash screen's corpus: documents plus a planted "re-crawl" of
-    * every 10th doc — same length, first byte perturbed — so the md5
-    * screen provably misses what the perceptual hash catches. Shared by
+  /** Documents plus the simulated "re-crawl": every 10th doc re-appears
+    * offset past max(doc_id), its text transformed by `perturb`
+    * (identity for the exact-md5 screen; a first-byte flip for the pHash
+    * screen, standing in for a re-encode artifact). ONE definition of
+    * the re-crawl convention so the md5 and pHash screens — and the
+    * standing pHash index build — simulate the SAME corpus. */
+  private def withRecrawl(docs: org.apache.spark.sql.DataFrame,
+      perturb: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): org.apache.spark.sql.DataFrame = {
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val recrawled = docs.filter(col("doc_id") % 10 === 0)
+      .crossJoin(broadcast(mx))
+      .withColumn("doc_id", col("doc_id") + col("mx") + lit(1L))
+      .withColumn("text", perturb(col("text")))
+      .drop("mx")
+    docs.unionByName(recrawled)
+  }
+
+  /** The pHash screen's hash table over the perturbed re-crawl corpus —
+    * the one-byte flip gives different md5 bytes but Hamming ≤ 1 pHashes,
+    * so the screen provably catches what the md5 screen misses. Shared by
     * the inline and indexed registrations (and the index build), so the
     * two forms hash the SAME corpus. */
   private def phashHashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents")
-    val mx = docs.agg(max("doc_id").as("mx"))
-    val recrawled = docs.filter(col("doc_id") % 10 === 0)
-      .crossJoin(broadcast(mx))
-      .withColumn("doc_id", col("doc_id") + col("mx") + lit(1L))
-      .withColumn("text",
-        concat(lit("X"), substring(col("text"), 2, Int.MaxValue)))
-      .drop("mx")
     Multimodal.phashTable(
-      Multimodal.mediaTable(docs.unionByName(recrawled))
+      Multimodal.mediaTable(withRecrawl(table(s, dir, "documents"),
+        t => concat(lit("X"), substring(t, 2, Int.MaxValue))))
         .as[Multimodal.MediaRow])
   }
 
@@ -337,10 +348,6 @@ object ExtQueries {
       |    (rate_ppm + 999999) // 1000000 AS epochs
       |  FROM by_source CROSS JOIN tot)""".stripMargin
 
-  /** Final float expressions for `embed_drift`, over the EXACT integer
-    * aggregates (per-label micro-unit snapshot sums and counts) — one
-    * shared text so the engines run bit-identical double math. NULL
-    * (never an error) when a snapshot is empty or a norm is zero. */
   /** Final float expressions for `embed_dim_audit` — mean and variance
     * over the exact per-dim integer aggregates (micro-unit s/q2 and the
     * exact variance numerator n·Σq² − (Σq)²); shared verbatim with the
@@ -351,6 +358,11 @@ object ExtQueries {
     """round(CAST(varnum AS DOUBLE)
       |      / (CAST(n_vals AS DOUBLE) * n_vals) / 1000000000000.0, 6)""".stripMargin
 
+
+  /** Final float expressions for `embed_drift`, over the EXACT integer
+    * aggregates (per-label micro-unit snapshot sums and counts) — one
+    * shared text so the engines run bit-identical double math. NULL
+    * (never an error) when a snapshot is empty or a norm is zero. */
   private def driftCos: String =
     """CASE WHEN n_a > 0 AND n_b > 0 AND saa > 0 AND sbb > 0
       |     THEN round(CAST(dot AS DOUBLE)
@@ -1972,20 +1984,6 @@ object ExtQueries {
       Some(annRescoreSql("sim_knn_graph_cand")),
       "all-pairs k-NN graph via IVF blocking: per-vector top-5, bounded per-group heaps"),
 
-    // Embedding drift between two corpus snapshots — per-label centroid
-    // cosine + L2 shift, the monitor a pipeline reads after a re-embed or
-    // corpus refresh (did any label's region move?). vec_id parity stands
-    // in for the before/after snapshot key (in production that is a
-    // partition column). Exactness discipline: components are fixed-
-    // pointed to micro-units BEFORE any sum, so the per-(label,dim)
-    // snapshot sums are exact integers in both engines and the ONLY float
-    // math is one final expression over those integers, shared verbatim
-    // with the twin (driftCos/driftShift). Pair products ride
-    // DECIMAL(38,0)/HUGEINT — sa·sb overflows int64 once a snapshot holds
-    // ~10⁴ unit vectors — and ANSI mode makes a 38-digit overflow loud.
-    // Shape: one posexplode (rows × dims, map-side combinable partial
-    // aggregation), one broadcast of the per-label count table, two hash
-    // aggregations — no window, no pairwise join; linear at 100 TB.
     // Per-DIMENSION embedding health audit — the pre-flight read before
     // building PQ codebooks or IVF cells: a dead dimension (every value
     // quantizes to 0) wastes a PQ sub-quantizer, an exploding one
@@ -2035,6 +2033,21 @@ object ExtQueries {
               |  CAST(CASE WHEN n_zero = n_vals THEN 1 ELSE 0 END AS INTEGER) AS dead
               |FROM b ORDER BY dim""".stripMargin),
       "per-dimension embedding audit: exact micro-unit moments, dead/exploding-dim flags"),
+
+    // Embedding drift between two corpus snapshots — per-label centroid
+    // cosine + L2 shift, the monitor a pipeline reads after a re-embed or
+    // corpus refresh (did any label's region move?). vec_id parity stands
+    // in for the before/after snapshot key (in production that is a
+    // partition column). Exactness discipline: components are fixed-
+    // pointed to micro-units BEFORE any sum, so the per-(label,dim)
+    // snapshot sums are exact integers in both engines and the ONLY float
+    // math is one final expression over those integers, shared verbatim
+    // with the twin (driftCos/driftShift). Pair products ride
+    // DECIMAL(38,0)/HUGEINT — sa·sb overflows int64 once a snapshot holds
+    // ~10⁴ unit vectors — and ANSI mode makes a 38-digit overflow loud.
+    // Shape: one posexplode (rows × dims, map-side combinable partial
+    // aggregation), one broadcast of the per-label count table, two hash
+    // aggregations — no window, no pairwise join; linear at 100 TB.
 
     "embed_drift" -> Q(
       (s, dir) => {
@@ -2970,20 +2983,13 @@ object ExtQueries {
     // then always the genuine original. One groupBy on a 128-bit key;
     // the payload bytes never shuffle (only the digest does).
     "multimodal_dedup" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val mx = docs.agg(max("doc_id").as("mx"))
-        val recrawled = docs.filter(col("doc_id") % 10 === 0)
-          .crossJoin(broadcast(mx))
-          .withColumn("doc_id", col("doc_id") + col("mx") + lit(1L))
-          .drop("mx")
-        Multimodal.mediaTable(docs.unionByName(recrawled))
+      (s, dir) =>
+        Multimodal.mediaTable(withRecrawl(table(s, dir, "documents")))
           .groupBy(md5(col("payload")).as("payload_md5"))
           .agg(count(lit(1)).as("n"),
             min("doc_id").as("keep_id"), max("doc_id").as("max_dup_id"))
           .filter(col("n") > 1)
-          .orderBy("payload_md5")
-      },
+          .orderBy("payload_md5"),
       Some("""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
              |corpus AS (
              |  SELECT doc_id, text FROM documents

@@ -584,11 +584,19 @@ object StatsQueries {
     // arithmetic: per-group (n_g, Σx, Σx²) are combinable int64 sums, the
     // between/within sums of squares are micro-unit fixed point
     // (q6_g = ⌊Σx_g²·10⁶ / n_g⌋ — floor division, identical in both
-    // engines, per-group error < 1 micro-unit) in DECIMAL(38,0)/HUGEINT
-    // so Σx² · 10⁶ survives any corpus size; the only float math is the
-    // final F / η² expression. Plan: ONE map-side-combinable groupBy
-    // over the scan, then a second agg over k rows — no window, no join;
-    // at 100 TB this is a single shuffle of k source-rows.
+    // engines, per-group error < 1 micro-unit) in DECIMAL(38,0)/HUGEINT.
+    // The floor divisions stay in DECIMAL via the remainder identity
+    // ⌊a/b⌋ = (a − a % b)/b — SQL `div` returns int64 and its QUOTIENT
+    // (~n_g·mean²·10⁶) overflows long at ~9M docs/source, far below
+    // target scale; the DECIMAL form is exact until Σx_g²·10⁶ passes
+    // 10³⁸ (≈3·10¹⁵ chars in one source), where ANSI raises loudly.
+    // ssb6 is clamped at 0 in both engines: per-group flooring can push
+    // the subtraction to ≈ −k micro-units when true between-group
+    // variance is 0, and a negative F/η² is mathematically impossible.
+    // Only float math: the final F / η² expression. Plan: ONE map-side-
+    // combinable groupBy over the scan, then a second agg over k rows —
+    // no window, no join; at 100 TB this is a single shuffle of k
+    // source-rows.
     "stats_anova" -> Q(
       (s, dir) => {
         val g = table(s, dir, "documents")
@@ -596,13 +604,14 @@ object StatsQueries {
           .agg(count(lit(1)).as("ng"),
             sum("n_chars").as("sg"),
             sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("qg"))
-          .withColumn("q6g",
-            expr("(CAST(sg AS DECIMAL(38,0)) * sg * 1000000) div ng"))
+          .withColumn("a6", expr("CAST(sg AS DECIMAL(38,0)) * sg * 1000000"))
+          .withColumn("q6g", expr("CAST((a6 - a6 % ng) / ng AS DECIMAL(38,0))"))
         g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
             sum("sg").as("stot"), sum("qg").as("qtot"),
             sum("q6g").as("qb"))
+          .withColumn("b6", expr("CAST(stot AS DECIMAL(38,0)) * stot * 1000000"))
           .withColumn("ssb6",
-            expr("qb - (CAST(stot AS DECIMAL(38,0)) * stot * 1000000) div n"))
+            expr("greatest(qb - CAST((b6 - b6 % n) / n AS DECIMAL(38,0)), 0)"))
           .withColumn("ssw6", expr("qtot * 1000000 - qb"))
           .select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
             expr("(CAST(stot AS DECIMAL(38,0)) * 10000) div n").cast("long")
@@ -627,7 +636,8 @@ object StatsQueries {
               |  FROM g),
               |ss AS (
               |  SELECT k, n, stot,
-              |    qb - (CAST(stot AS HUGEINT) * stot * 1000000) // n AS ssb6,
+              |    greatest(qb - (CAST(stot AS HUGEINT) * stot * 1000000) // n,
+              |             0) AS ssb6,
               |    qtot * 1000000 - qb AS ssw6
               |  FROM t)
               |SELECT k, n, CAST((CAST(stot AS HUGEINT) * 10000) // n AS BIGINT) AS mean4,

@@ -342,6 +342,41 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Double]("eta_sq") == 0.0)
   }
 
+  test("stats_anova: equal-mean groups with flooring skew clamp to F=0, never negative") {
+    // a {1,0,0} (q6g floors to 333333) and b {1,1,0,0,0,0} (666666):
+    // qb = 999999 < ⌊stot²·10⁶/n⌋ = 1000000 — without the clamp this
+    // emits F ≈ −4e-6. Clamped: F = 0, eta² = 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft_anovaclamp").toString
+    (Seq((0L, "a", 1L), (1L, "a", 0L), (2L, "a", 0L)) ++
+      Seq((3L, "b", 1L), (4L, "b", 1L)) ++
+      (5L to 8L).map(i => (i, "b", 0L)))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("stats_anova")(spark, dir).collect().head
+    assert(r.getAs[Double]("f_stat") == 0.0, r.toString)
+    assert(r.getAs[Double]("eta_sq") == 0.0, r.toString)
+  }
+
+  test("stats_anova: per-group micro-unit squares beyond int64 stay exact (DECIMAL floor division)") {
+    // sg = 10 · 10⁹ = 10¹⁰ per group → sg²·10⁶/ng = 10²⁵ ≫ 2⁶³: the old
+    // `div` (long-returning) form overflowed here; the DECIMAL remainder
+    // form must return the exact F for two equal-variance groups.
+    val dir = java.nio.file.Files.createTempDirectory("graft_anovabig").toString
+    val big = 1000000000L
+    ((0 until 10).map(i => (i.toLong, "a", big + (i % 2))) ++
+      (10 until 20).map(i => (i.toLong, "b", 2 * big + (i % 2))))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("stats_anova")(spark, dir).collect().head
+    // SSB = 20·(5e8)² = 5e18·10⁶ micro; SSW = 20·0.25 = 5 → 5·10⁶ micro;
+    // F = (SSB/1)/(SSW/18) = 18·1e18 = 1.8e19.
+    assert(r.getAs[Long]("n") == 20L)
+    // ssb6/ssw6 are exact integers (5·10²⁴ / 5·10⁶); the final double is
+    // within ulps of F = 1.8e19
+    assert(math.abs(r.getAs[Double]("f_stat") / 1.8e19 - 1.0) < 1e-12, r.toString)
+    assert(r.getAs[Double]("eta_sq") == 1.0, r.toString)
+  }
+
   test("stats_autocorr: linear series r=1, constant series NULL, short series has no lag-7 row") {
     val dir = java.nio.file.Files.createTempDirectory("graft_acfix").toString
     // type x daily counts 1,2,3,4,5 → lag-1 r = 1 over 4 pairs; type y
