@@ -695,6 +695,52 @@ object ExtQueries {
              |FROM scored ORDER BY doc_id""".stripMargin),
       "language-ID heuristic via stopword-marker hit counts"),
 
+    // Confusion matrix of the langid layer against the upstream label —
+    // the evaluation a pipeline runs BEFORE trusting langid-gated
+    // filtering at scale: per (true lang, predicted lang) doc counts and
+    // the within-true-lang share (diagonal share = recall). Exact counts;
+    // the share is one float division of exact integers. Plan: one
+    // (lang, pred) groupBy over the scan, then a broadcast join of the
+    // ≤|langs| per-lang totals — windowless, two tiny rows-out aggs.
+    "text_langid_eval" -> Q(
+      (s, dir) => {
+        val pred = table(s, dir, "documents")
+          .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
+        val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        cells.join(broadcast(totals), "lang")
+          .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+            round(col("n").cast("double") / col("n_lang"), 6).as("row_frac"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that|it|for|with)\b')) AS INTEGER) AS s_en,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\b')) AS INTEGER) AS s_de,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|que|de|un|una|por)\b')) AS INTEGER) AS s_es,
+             |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|que|des|une|pour|dans)\b')) AS INTEGER) AS s_fr,
+             |    CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS s_zh
+             |  FROM documents),
+             |pred AS (
+             |  SELECT lang,
+             |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+             |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+             |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+             |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+             |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+             |         ELSE 'zh' END AS pred_lang
+             |  FROM scored),
+             |cells AS (
+             |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM pred GROUP BY 1, 2),
+             |totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+             |           FROM pred GROUP BY 1)
+             |SELECT lang, pred_lang, n, n_lang,
+             |  round(CAST(n AS DOUBLE) / n_lang, 6) AS row_frac
+             |FROM cells JOIN totals USING (lang)
+             |ORDER BY lang, pred_lang""".stripMargin),
+      "langid confusion matrix vs upstream labels: exact counts, per-true-lang recall shares"),
+
     // Corpus-level n-gram mining: bigram extraction reuses the codegen
     // shingle-row path (posexplode + window lead), then a count + top-k.
     "text_top_bigrams" -> Q(

@@ -580,6 +580,27 @@ class ExtSpec extends SparkSpec {
     assert(m(("s2", "s4")) == ((2L, 2L, 1L, 0.5)))
   }
 
+  test("text_langid_eval: correct docs land on the diagonal, a mislabeled doc shows as off-diagonal mass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_langevalfix").toString
+    // two true-en docs predicted en; one doc LABELED de but written in
+    // English → row (de, en); one marker-free doc → (en, und).
+    Seq((0L, "the cat and the dog of it", "en"),
+      (1L, "it is the best of the lot", "en"),
+      (2L, "the quick brown fox and the hen", "de"),
+      (3L, "zzz qqq xxx", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_langid_eval")(spark, dir)
+      .collect().map(r => ((r.getAs[String]("lang"), r.getAs[String]("pred_lang")),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_lang"), r.getAs[Double]("row_frac"))))
+      .toMap
+    assert(out(("en", "en")) == ((2L, 3L, 0.666667)), out.toString)
+    assert(out(("en", "und")) == ((1L, 3L, 0.333333)), out.toString)
+    assert(out(("de", "en")) == ((1L, 1L, 1.0)), out.toString)
+    assert(out.size == 3, out.toString)
+  }
+
   test("text_chunk: boundary math — 128-token windows, remainder in the last chunk") {
     val out = graft.SparkEntry.queries("text_chunk")(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
