@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Insert-only delta maintenance of a JOIN view (classic IVM algebra):
+    * V_new = A_new ⋈ B_new decomposes as
+    *
+    *   V_old  ∪  (ΔA ⋈ B_old)  ∪  (A_old ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+    *
+    * — the three delta quadrants are disjoint from V_old and from each
+    * other (each row lands in exactly one quadrant by which side of its
+    * inputs is new), so plain UNION ALL is exact. Returns the maintained
+    * view; `cond` is the join predicate. Scale shape: the nightly refresh
+    * scans ONLY the deltas against the old sides — each quadrant join is
+    * delta-sized on at least one input, `shuffle_hash`-pinned so a
+    * data-dependent delta can never blow a broadcast build. (Deletes /
+    * updates need keyed retraction — [[applyUpserts]] territory — this is
+    * the append-only form an immutable-fact pipeline uses.) */
+  def deltaJoinView(vOld: DataFrame, aOld: DataFrame, dA: DataFrame,
+      bOld: DataFrame, dB: DataFrame, cond: Column): DataFrame = {
+    def q(a: DataFrame, b: DataFrame) = a.join(b.hint("shuffle_hash"), cond)
+    vOld.unionByName(q(dA, bOld))
+      .unionByName(q(aOld, dB))
+      .unionByName(q(dA, dB))
+  }
+
   /** Latest update per key: rank-1 `row_number` under `orderCols`
     * (DESC-first, with a unique tiebreaker column last for determinism).
     * This is CDC log compaction — O(updates) with one key shuffle,

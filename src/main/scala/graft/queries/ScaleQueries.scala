@@ -789,6 +789,49 @@ object ScaleQueries {
              |FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderstatus""".stripMargin),
       "incremental MV maintenance: history partial-agg artifact + delta merge ≡ recompute"),
 
+    // Incremental maintenance of a JOIN view — the IVM algebra
+    // mv_incremental's partial-agg merge cannot express: the enriched
+    // orders⋈customer view maintained under simultaneous inserts to BOTH
+    // sides via the delta-join identity V_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    // ΔA⋈ΔB (quadrants disjoint by construction — plain UNION ALL, no
+    // dedup pass). Deltas are deterministic corpus slices (orders from
+    // 1997-06 on; every 97th customer), so all four quadrants are
+    // non-empty and the oracle's FULL-join recompute breaks on any
+    // missed or double-counted quadrant. The output is a per-(segment,
+    // status) rollup of the maintained view: small, but sensitive to
+    // every view row through the exact DECIMAL revenue sum. Scale shape:
+    // the refresh scans only the deltas against the old sides; every
+    // quadrant join is delta-sized on ≥1 input and shuffle_hash-pinned.
+    "mv_join_delta" -> Q(
+      (s, dir) => {
+        val orders = table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate")
+        val cust = table(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+        val cut = to_date(lit("1997-06-01"))
+        val aOld = orders.filter(col("o_orderdate") < cut)
+        val dA = orders.filter(col("o_orderdate") >= cut)
+        val bOld = cust.filter(col("c_custkey") % 97 =!= 0)
+        val dB = cust.filter(col("c_custkey") % 97 === 0)
+        val cond = col("o_custkey") === col("c_custkey")
+        val vOld = aOld.join(bOld.hint("shuffle_hash"), cond)
+        Upsert.deltaJoinView(vOld, aOld, dA, bOld, dB, cond)
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .select(col("c_mktsegment"), col("o_orderstatus"), col("n_orders"),
+            round(col("rev").cast("double"), 2).as("revenue"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             |    AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""".stripMargin),
+      "delta-join view maintenance: 4-quadrant IVM union ≡ full-join recompute"),
+
     // Snapshot diff (the change-data-feed shape): two table versions
     // compared with ONE key-keyed full-outer join, classifying each key
     // as insert / delete / update. Snapshot B is derived deterministically

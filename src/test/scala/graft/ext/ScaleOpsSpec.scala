@@ -67,6 +67,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spans < global, s"z-layout should tighten partkey spans: $spans vs $global")
   }
 
+  test("deltaJoinView: 4-quadrant union equals the full join, every quadrant contributes") {
+    import graft.ext.Upsert
+    val d = sf("sf0.001")
+    val orders = table(spark, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = table(spark, d, "customer").select("c_custkey")
+    val cut = to_date(lit("1997-06-01"))
+    val aOld = orders.filter(col("o_orderdate") < cut)
+    val dA = orders.filter(col("o_orderdate") >= cut)
+    val bOld = cust.filter(col("c_custkey") % 97 =!= 0)
+    val dB = cust.filter(col("c_custkey") % 97 === 0)
+    val cond = col("o_custkey") === col("c_custkey")
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("o_orderkey", "c_custkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val vOld = aOld.join(bOld, cond)
+    val maintained = Upsert.deltaJoinView(vOld, aOld, dA, bOld, dB, cond)
+    assert(keys(maintained) == keys(orders.join(cust, cond)),
+      "delta-maintained view must equal the full-join recompute row-for-row")
+    // the identity is only exercised if every quadrant is non-empty here
+    for ((nm, q) <- Seq("vOld" -> vOld, "dA><bOld" -> dA.join(bOld, cond),
+        "aOld><dB" -> aOld.join(dB, cond), "dA><dB" -> dA.join(dB, cond)))
+      assert(q.limit(1).count() == 1L, s"quadrant $nm is empty — fixture degenerate")
+  }
+
   // -------------------------------------------------------- bloom prune
   test("bloom prune: zero false negatives, real pruning, plan-visible filter") {
     val cust = table(spark, sf("sf0.001"), "customer")
