@@ -33,7 +33,7 @@ object Upsert {
     * scans ONLY the deltas against the old sides — each quadrant join is
     * delta-sized on at least one input, `shuffle_hash`-pinned so a
     * data-dependent delta can never blow a broadcast build. (Deletes /
-    * updates need keyed retraction — [[applyUpserts]] territory — this is
+    * updates need keyed retraction — [[merge]] territory — this is
     * the append-only form an immutable-fact pipeline uses.) */
   def deltaJoinView(vOld: DataFrame, aOld: DataFrame, dA: DataFrame,
       bOld: DataFrame, dB: DataFrame, cond: Column): DataFrame = {
