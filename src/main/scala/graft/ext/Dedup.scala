@@ -559,6 +559,13 @@ object Dedup {
       lastSum = s
       it += 1
     }
+    // an exhausted cap means labels are STILL MOVING — returning them
+    // would hand downstream keep-one-per-cluster a wrong partition of the
+    // corpus. Fail loudly; the caller raises maxIter (rounds needed =
+    // component diameter, so only chain-shaped duplicate graphs hit this).
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in maxIter=$maxIter rounds — " +
+        "the pair graph has a component with diameter > maxIter; raise maxIter")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
