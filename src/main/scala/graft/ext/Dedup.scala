@@ -520,7 +520,13 @@ object Dedup {
     * Output: (doc_id, cluster_id = component-min doc_id, cluster_size),
     * only for docs that appear in some pair (singletons aren't duplicates).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  // maxIter is a runaway-loop backstop, NOT a cost knob: the stationary-
+  // label-sum check exits the loop the first round after the fixpoint, so
+  // a converged graph never runs extra rounds regardless of the cap. 32
+  // covers any plausible near-dup chain (the sf0.1 synthetic corpus
+  // already produces a ~11-round component; a cap of 10 threw on it),
+  // while a component needing >32 hops still fails loudly below.
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
     // every round is localCheckpoint'd: the iterated union/join otherwise
     // grows the LOGICAL PLAN exponentially (persist() caches data but not
     // lineage — a 10-round plan tree OOMs Spark's own explain-string

@@ -28,9 +28,12 @@ class ClustersPropSpec extends SparkSpec {
     parent.keys.map(v => v -> find(v)).toMap
   }
 
-  private def clustersOf(edges: Seq[(Long, Long)], maxIter: Int = 10): Map[Long, Long] = {
+  /** None = exercise the library's own default cap. */
+  private def clustersOf(edges: Seq[(Long, Long)],
+      maxIter: Option[Int] = None): Map[Long, Long] = {
     import spark.implicits._
-    Dedup.duplicateClusters(edges.toDF("id_a", "id_b"), maxIter)
+    val df = edges.toDF("id_a", "id_b")
+    maxIter.fold(Dedup.duplicateClusters(df))(Dedup.duplicateClusters(df, _))
       .select("doc_id", "cluster_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -47,16 +50,17 @@ class ClustersPropSpec extends SparkSpec {
     }
   }
 
-  test("duplicateClusters: 30-node path converges or fails loudly, never silently wrong") {
-    // diameter 29 > default maxIter: label propagation CANNOT finish.
-    // The contract is a loud error (caller raises maxIter), not wrong
-    // clusters that a downstream keep-one-per-cluster would act on.
+  test("duplicateClusters: long path fails loudly at a tight cap, never silently wrong") {
+    // diameter 29 > an explicit cap of 10: label propagation CANNOT
+    // finish. The contract is a loud error (caller raises maxIter), not
+    // wrong clusters that downstream keep-one-per-cluster would act on.
     val path = (0L until 29L).map(i => (i, i + 1))
-    val loud = intercept[IllegalStateException] { clustersOf(path) }
+    val loud = intercept[IllegalStateException] { clustersOf(path, Some(10)) }
     assert(loud.getMessage.contains("maxIter"),
       s"error must name the knob: ${loud.getMessage}")
-    // with enough rounds the same chain converges to one component
-    assert(clustersOf(path, maxIter = 40) == unionFind(path),
+    // the DEFAULT backstop must absorb this chain (stationarity exits
+    // early, so the higher default costs converged graphs nothing)
+    assert(clustersOf(path) == unionFind(path),
       "path graph must collapse to a single min-labeled component")
   }
 }
