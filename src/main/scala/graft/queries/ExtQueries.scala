@@ -1326,6 +1326,50 @@ object ExtQueries {
              |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
       "exact cosine top-k (broadcast queries, per-query window)"),
 
+    // RANGE (radius) similarity search — the other retrieval primitive:
+    // where top-k answers "the best k whatever their quality", range
+    // search answers "EVERYTHING within τ" (the contract dedup and
+    // recall-sensitive retrieval actually need — a top-k can silently
+    // truncate a dense neighborhood and fabricate neighbors in a sparse
+    // one). Exact form: broadcast the query set and score in ONE corpus
+    // scan — no shuffle, no window; selection is a filter, so the plan
+    // is embarrassingly parallel and AQE-free by construction. The
+    // filter compares the ROUNDED cosine (both engines round-half-up at
+    // 6dp to identical doubles — the same cross-engine contract the
+    // top-k family ranks on). Zero-norm vectors are filtered BEFORE
+    // scoring on BOTH sides: under ANSI mode a zero divisor is an ERROR
+    // (not NaN), and even as NaN both engines order it above every
+    // double, so an unguarded τ-filter would pass it. At 100 TB the
+    // same filter composes behind the IVF screen exactly like
+    // sim_topk_ivf_indexed (probe matching cells, then this predicate) —
+    // with the residual caveat that bucket screens bound RECALL, which
+    // index_tuning_sweep measures.
+    "sim_range_search" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      Some("""WITH nz AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+             |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM nz WHERE vec_id < 8)
+             |SELECT q_id, vec_id AS neighbor_id, cos
+             |FROM (SELECT q_id, vec_id,
+             |        round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                     CAST(embedding AS DOUBLE[])), 6) AS cos
+             |      FROM q JOIN nz ON vec_id <> q_id)
+             |WHERE cos >= 0.3
+             |ORDER BY q_id, neighbor_id""".stripMargin),
+      "radius (range) similarity search: every neighbor with cosine ≥ τ in one broadcast-join scan"),
+
     // FILTERED vector search — the production ANN variant every serving
     // stack ships (Qdrant/Vespa/pgvector "filtered search"): top-k among
     // only the vectors whose DOCUMENT metadata passes a predicate. The

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.queries.Registry.table
@@ -704,7 +705,84 @@ object StatsQueries {
               |  FROM pairs GROUP BY 1, 2)
               |SELECT event_type, lag, np AS n_pairs, $pearsonR AS r
               |FROM m ORDER BY event_type, lag""".stripMargin),
-      "lag-1/lag-7 autocorrelation of daily event counts: equi-join lag alignment, exact integer pair sums"))
+      "lag-1/lag-7 autocorrelation of daily event counts: equi-join lag alignment, exact integer pair sums"),
+
+    // CUSUM changepoint detection over the daily event-count series, per
+    // event type — the sequential drift detector (Page 1954) behind
+    // ingest-volume monitors: PSI/KS compare two frozen windows, CUSUM
+    // flags WHEN a sustained shift starts. The textbook recursion
+    // S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ − κ) is not a combinable aggregate, but
+    // it has the exact closed form S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over
+    // the prefix sums Pᵢ of (xᵢ − μ − κ) — two stacked window passes
+    // (prefix sum, running min) on the SAME type-partitioned frame, so
+    // the whole detector is one WindowExec over the tiny (type, day)
+    // series. Everything is exact int64 micro-units: μ6 = ⌊Σc·10⁶/n⌋,
+    // slack κ = μ/20 (5% of level), and the alarm threshold h = 5σ under
+    // the Poisson count model (σ² = μ) compares S² against 25·μ6·10⁶ in
+    // DECIMAL(38,0)/HUGEINT so no sqrt ever runs. Plan: ONE combinable
+    // (type, day) count over the scan is the only data-sized shuffle;
+    // the window state is |days| rows per type. CusumSpec pins the
+    // closed form against the scalar recursion and a planted level
+    // shift. */
+    "stats_cusum" -> Q(
+      (s, dir) => cusum(Registry.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, d, c,
+             |    (sum(c) OVER (PARTITION BY event_type) * 1000000)
+             |      // count(*) OVER (PARTITION BY event_type) AS mu6
+             |  FROM daily),
+             |k AS (SELECT event_type, d, c, mu6,
+             |        c * 1000000 - mu6 - (mu6 // 20) AS dp,
+             |        mu6 - c * 1000000 - (mu6 // 20) AS dn
+             |      FROM m),
+             |p AS (SELECT event_type, d, c, mu6,
+             |        sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+             |      FROM k WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sfin AS (SELECT event_type, d, c, mu6,
+             |        pp - least(0, min(pp) OVER w) AS sp,
+             |        pn - least(0, min(pn) OVER w) AS sn
+             |      FROM p WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, d, c,
+             |  CAST(sp AS BIGINT) AS cusum_pos6, CAST(sn AS BIGINT) AS cusum_neg6,
+             |  (CAST(sp AS HUGEINT) * sp > CAST(mu6 AS HUGEINT) * 25000000
+             |   OR CAST(sn AS HUGEINT) * sn > CAST(mu6 AS HUGEINT) * 25000000) AS alarm
+             |FROM sfin ORDER BY event_type, d""".stripMargin),
+      "two-sided CUSUM drift detector: closed-form prefix-sum/running-min windows, exact micro-units"))
+
+  /** CUSUM over any (event_type, d, c) daily series — exposed for the
+    * recursion-equivalence and planted-shift specs. See the registration
+    * comment for the closed form and fixed-point conventions. */
+  private[graft] def cusum(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("event_type")
+    val wOrd = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu6", expr(
+        "(sum(c) OVER (PARTITION BY event_type) * 1000000)" +
+          " div count(*) OVER (PARTITION BY event_type)"))
+      .withColumn("dp", col("c") * 1000000L - col("mu6") - expr("mu6 div 20"))
+      .withColumn("dn", col("mu6") - col("c") * 1000000L - expr("mu6 div 20"))
+      .withColumn("pp", sum("dp").over(wOrd))
+      .withColumn("pn", sum("dn").over(wOrd))
+      .withColumn("sp", col("pp") - least(lit(0L), min("pp").over(wOrd)))
+      .withColumn("sn", col("pn") - least(lit(0L), min("pn").over(wOrd)))
+      .select(col("event_type"), col("d"), col("c"),
+        col("sp").as("cusum_pos6"), col("sn").as("cusum_neg6"),
+        (expr("CAST(sp AS DECIMAL(38,0)) * sp") >
+            expr("CAST(mu6 AS DECIMAL(38,0)) * 25000000") ||
+          expr("CAST(sn AS DECIMAL(38,0)) * sn") >
+            expr("CAST(mu6 AS DECIMAL(38,0)) * 25000000")).as("alarm"))
+      .orderBy("event_type", "d")
+  }
 
   /** Replicate count for [[stats_bootstrap]] — fixed so the CI's order
     * statistics (2nd/47th) are well-defined constants in both engines. */

@@ -874,4 +874,30 @@ class ExtSpec extends SparkSpec {
     assert(idx.map(_._2).toSet == (0L until n).toSet, "index not contiguous 0..n-1")
     assert(run(base.repartition(17)) == idx, "index depends on input partitioning")
   }
+
+  test("range search: complete within tau, nothing below, zero vectors and self excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangefix").toString
+    // q0 = [1,0]: cos 1.0 (id 2), ~0.707 (id 3), 0.0 (id 4), -1.0 (id 5);
+    // id 6 is the zero vector (NaN cosine — must NOT pass the τ filter
+    // even though both engines order NaN above every double)
+    Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(2f, 0f), 0), (3L, Array(1f, 1f), 0),
+      (4L, Array(0f, 3f), 0), (5L, Array(-1f, 0f), 0),
+      (6L, Array(0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("sim_range_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._3 >= 0.3), s"below-τ neighbor leaked: ${out.toSeq}")
+    assert(out.forall(r => r._1 != r._2), "self pair leaked")
+    assert(!out.exists(_._2 == 6L), "zero vector (NaN cosine) leaked past τ")
+    // completeness for q0: exactly {2 (cos 1), 3 (cos .707107)} — a top-1
+    // would truncate this neighborhood; range search must not
+    assert(out.filter(_._1 == 0L).map(r => r._2 -> r._3).toSeq
+      == Seq(2L -> 1.0, 3L -> 0.707107), s"q0 neighborhood: ${out.toSeq}")
+    // q4 ([0,3]) ∥ q1 ([0,1]): the parallel pair appears from BOTH ends
+    assert(out.contains((4L, 1L, 1.0)) && out.contains((1L, 4L, 1.0)))
+  }
 }

@@ -715,4 +715,107 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows("events")._2 == evPurged)
     assert(rows.values.forall(_._2 > 0), "forget-set must actually hit rows")
   }
+
+  // -------------------------------------------------------- winnowing
+  private def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Scalar reference winnowing: distinct (hash, pos) selected as the min
+    * of each w-window of k-gram hashes, ties broken rightmost. */
+  private def refWinnow(tokens: Seq[String], k: Int = 4, w: Int = 5): Set[(String, Int)] = {
+    val grams = tokens.sliding(k).filter(_.size == k).zipWithIndex
+      .map { case (g, i) => (md5hex(g.mkString(" ")), i + 1) }.toVector
+    if (grams.size < w) Set.empty
+    else grams.sliding(w).map(_.minBy { case (h, p) => (h, -p) }).toSet
+  }
+
+  test("winnowing: shared run of k+w-1 tokens guarantees a shared fingerprint") {
+    val run = (1 to 8).map(i => s"s$i").mkString(" ") // k+w-1 = 8 tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 b2 b3 b4 b5 b6 $run"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"), // unique tokens
+      (4L, "v1 v2 v3 v4 v5"), // 5 tokens: 2 grams < w windows → 0 fps
+      (5L, "w1 w2 w3")        // < k tokens → no grams, absent
+    ).toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.winnowingStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the winnowing guarantee: both planted docs share ≥1 fingerprint
+    assert(out(1L)._3 >= 1L, s"doc1 must share a fingerprint: ${out(1L)}")
+    assert(out(2L)._3 >= 1L, s"doc2 must share a fingerprint: ${out(2L)}")
+    assert(out(3L)._3 == 0L, s"unique doc shares nothing: ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, 0L)), s"sub-w doc emits no fingerprints: ${out(4L)}")
+    assert(!out.contains(5L), "sub-k docs emit no grams (mirrors the oracle)")
+    // density: fingerprints never exceed full windows (n_grams - w + 1)
+    assert(out(1L)._2 <= out(1L)._1 - 4, s"doc1 density: ${out(1L)}")
+  }
+
+  test("winnowing: distributed counts == scalar reference on a collision-rich corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"t$i") // tiny vocab forces hash ties
+    val planted = (1 to 10).map(i => s"p$i") // ≥ k+w-1 run shared by ids % 3 == 0
+    val corpus = (1L to 20L).map { id =>
+      val n = 3 + rnd.nextInt(30)
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      id -> (if (id % 3 == 0) body ++ planted else body)
+    }
+    val docs = corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.winnowingStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fpsByDoc = corpus.map { case (id, t) => id -> refWinnow(t) }.toMap
+    val hashDocs = fpsByDoc.toSeq
+      .flatMap { case (id, fps) => fps.map(f => f._1 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    corpus.foreach { case (id, t) =>
+      val nGrams = math.max(t.size - 3, 0).toLong
+      if (nGrams == 0) assert(!out.contains(id), s"doc $id must be absent")
+      else {
+        val fps = fpsByDoc(id)
+        val shared = fps.count(f => hashDocs(f._1).size >= 2).toLong
+        assert(out(id) == ((nGrams, fps.size.toLong, shared)),
+          s"doc $id: got ${out(id)} want ($nGrams, ${fps.size}, $shared)")
+      }
+    }
+    // the corpus must actually exercise sharing and tie-breaks
+    assert(out.values.exists(_._3 > 0), "fixture must produce shared fingerprints")
+  }
+
+  test("winnow pairs: matches scalar reference; 1-fp pairs dropped; hub fingerprints capped") {
+    val run16 = (1 to 16).map(i => s"r$i").mkString(" ") // long run → ≥2 shared fps
+    val run8 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val hub = (1 to 10).map(i => s"h$i").mkString(" ")
+    val docs =
+      Seq((1L, s"a1 a2 a3 $run16"), (2L, s"b1 b2 b3 b4 $run16"), // strong pair
+        (3L, s"c1 c2 c3 c4 c5 $run8"), (4L, s"d1 d2 d3 d4 d5 d6 $run8"), // weak pair
+        (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")) ++ // unique
+        (100L to 160L).map(i => (i, hub)) // 61 identical docs → every fp df=61 > cap
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.queries.CurationQueries.winnowPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // scalar reference: winnow each doc, pair on shared hashes with the
+    // same df ∈ [2, 50] cap and n_shared ≥ 2 gate
+    val fpsByDoc = docs.map { case (id, t) =>
+      id -> refWinnow(t.trim.split("\\s+").toSeq).map(_._1)
+    }.toMap
+    val dfreq = fpsByDoc.toSeq.flatMap { case (id, fs) => fs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fpsByDoc(a) intersect fpsByDoc(b))
+        .count(h => dfreq(h) >= 2 && dfreq(h) <= 50)
+      if shared >= 2
+    } yield {
+      val (na, nb) = (fpsByDoc(a).size.toLong, fpsByDoc(b).size.toLong)
+      (a, b) -> ((shared.toLong, na, nb,
+        BigDecimal(shared.toDouble / math.min(na, nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    assert(out == expected, s"got $out\nwant $expected")
+    assert(out.contains((1L, 2L)), "the 16-token run must pair")
+    assert(!out.keySet.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "hub-fingerprint docs must not pair (df cap)")
+    assert(!out.contains((3L, 4L)) || expected((3L, 4L))._1 >= 2L)
+  }
 }

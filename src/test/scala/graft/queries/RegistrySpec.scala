@@ -60,13 +60,14 @@ class RegistrySpec extends AnyFunSuite {
     // +join_asof_nearest → 213; +text_gopher_rules, +text_ngram_novelty,
     // +corpus_diversity → 216; +multimodal_phash_indexed → 217;
     // +embed_dim_audit, +corpus_overlap → 219; +text_langid_eval → 220;
-    // +mv_join_delta → 221):
+    // +mv_join_delta → 221; +text_winnowing → 222; +stats_cusum → 223;
+    // +sim_range_search → 224; +dedup_winnow_pairs → 225):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 221 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 225 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")

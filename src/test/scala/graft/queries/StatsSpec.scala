@@ -419,4 +419,53 @@ class StatsSpec extends SparkSpec {
     assert(out(1)._3 == 0.894427 && out(2)._3 == 0.894427)
     assert(out(1)._2 == 0L && out(2)._2 == 1L) // cos tie → vec_id order
   }
+
+  // ------------------------------------------------------------- cusum
+  /** Scalar CUSUM recursion reference — the textbook form the closed
+    * form must reproduce: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + c·10⁶ − μ6 − κ6). */
+  private def refCusum(cs: Seq[Long]): Seq[(Long, Long, Boolean)] = {
+    val n = cs.size
+    val mu6 = cs.sum * 1000000L / n
+    val k6 = mu6 / 20
+    val thresh = BigInt(mu6) * 25000000L
+    var sp = 0L; var sn = 0L
+    cs.map { c =>
+      sp = math.max(0L, sp + c * 1000000L - mu6 - k6)
+      sn = math.max(0L, sn + mu6 - c * 1000000L - k6)
+      (sp, sn, BigInt(sp) * sp > thresh || BigInt(sn) * sn > thresh)
+    }
+  }
+
+  test("stats_cusum: closed form == scalar recursion (shifted, noisy, constant series)") {
+    val rnd = new scala.util.Random(7)
+    val series = Map(
+      "shift" -> ((1 to 30).map(_ => 100L) ++ (1 to 20).map(_ => 150L)),
+      "noisy" -> (1 to 50).map(_ => 90L + rnd.nextInt(21)),
+      "flat"  -> (1 to 50).map(_ => 100L))
+    val rows = series.toSeq.flatMap { case (ty, cs) =>
+      cs.zipWithIndex.map { case (c, i) =>
+        (ty, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), c)
+      }
+    }
+    val out = graft.queries.StatsQueries.cusum(rows.toDF("event_type", "d", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    series.foreach { case (ty, cs) =>
+      val ref = refCusum(cs)
+      cs.indices.foreach { i =>
+        val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString
+        assert(out((ty, d)) == ref(i),
+          s"$ty day $i: got ${out((ty, d))} want ${ref(i)}")
+      }
+    }
+    // behavioral pins: the flat series never alarms; the shifted series'
+    // UPPER side first crosses only after the level shift (day 31+)
+    assert(refCusum(series("flat")).forall(!_._3), "flat series must not alarm")
+    val shiftRef = refCusum(series("shift"))
+    val mu6 = series("shift").sum * 1000000L / 50
+    val firstUp = shiftRef.indexWhere(s => BigInt(s._1) * s._1 > BigInt(mu6) * 25000000L)
+    assert(firstUp >= 30, s"upper CUSUM must fire only post-shift, got day $firstUp")
+    assert(firstUp > 0, "the planted shift must actually fire the upper side")
+  }
 }
