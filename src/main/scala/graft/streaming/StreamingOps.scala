@@ -376,6 +376,24 @@ object StreamingOps {
           dropsOutPath, batchId, threshold)
       }
 
+  /** Drift monitoring at ingest — foreachBatch wiring for
+    * [[graft.ext.Monitor.cusumIngestBatch]]: each micro-batch of
+    * FINALIZED daily counts (the upstream append-mode watermarked 1-day
+    * window emits a day once its watermark passes) folds into the
+    * standing day-fact ledger, its CUSUM alarm rows land under
+    * `batch_id=<id>` with overwrite (replay-idempotent), and
+    * `Monitor.snapshot` serves the full alarm history at any point.
+    * μ is the frozen `baselineMu` — the prospective-monitoring contract. */
+  def cusumStream(daily: DataFrame, baselineMu: DataFrame,
+      ledgerPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    daily.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Monitor.cusumIngestBatch(batch, baselineMu,
+          ledgerPath, outPath, batchId)
+      }
+
   /** Incremental per-source corpus audit at ingest — foreachBatch wiring
     * for [[graft.ext.SourceAudit]]: each micro-batch lands its narrow
     * fact rows under `batch_id=<id>` (overwrite → replay-idempotent; the

@@ -1066,6 +1066,99 @@ class StreamingSpec extends SparkSpec {
     assert(laterSteps.nonEmpty,
       "split produced no cross-boundary funnel steps — state continuity unexercised")
   }
+
+  test("cusum monitor: 3-batch fold == batch query; replay idempotent; loud on missing baseline") {
+    import org.apache.spark.sql.functions._
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    // frozen baseline = the batch query's own self-referential μ, so the
+    // monitor must reproduce stats_cusum EXACTLY (shared cusumCore)
+    val mu = graft.ext.Monitor.baseline(daily)
+    val root = java.nio.file.Files.createTempDirectory("graft_cusum")
+    val ledger = root.resolve("ledger").toString
+    val out = root.resolve("out").toString
+    // cold start: snapshot over a not-yet-created ledger is empty
+    assert(graft.ext.Monitor.snapshot(spark, ledger, mu).collect().isEmpty)
+    // three chronological day-range batches
+    val days = daily.select("d").distinct().orderBy("d").collect().map(_.getDate(0))
+    assert(days.length >= 3, "fixture needs ≥3 days")
+    val cuts = Seq(days(days.length / 3), days(2 * days.length / 3))
+    val batches = Seq(
+      daily.filter(col("d") < lit(cuts(0))),
+      daily.filter(col("d") >= lit(cuts(0)) && col("d") < lit(cuts(1))),
+      daily.filter(col("d") >= lit(cuts(1))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.ext.Monitor.cusumIngestBatch(b, mu, ledger, out, i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "d", "c", "cusum_pos6", "cusum_neg6", "alarm")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(t => (t._1, t._2)).toSeq
+    val want = rows(graft.SparkEntry.queries("stats_cusum")(spark, dir))
+    assert(rows(graft.ext.Monitor.snapshot(spark, ledger, mu)) == want,
+      "ledger snapshot diverged from the batch query")
+    // per-batch exactly-once outputs union to the same series
+    assert(rows(spark.read.parquet(out)) == want,
+      "union of batch_id outputs diverged from the batch query")
+    // at-least-once replay with perturbed physical layout: nothing moves
+    graft.ext.Monitor.cusumIngestBatch(
+      batches(1).orderBy(desc("d")).repartition(7), mu, ledger, out, 1L)
+    assert(rows(graft.ext.Monitor.snapshot(spark, ledger, mu)) == want,
+      "replaying a batch changed the monitor state")
+    assert(rows(spark.read.parquet(out)) == want,
+      "replaying a batch changed its exactly-once output")
+    // a type with no baseline row must fail loudly, not emit garbage
+    val noMu = mu.filter(col("event_type") =!= "view")
+    val thrown = intercept[IllegalArgumentException] {
+      graft.ext.Monitor.cusumIngestBatch(
+        daily.filter(col("event_type") === "view").limit(1),
+        noMu, ledger, out, 99L)
+    }
+    assert(thrown.getMessage.contains("baseline"))
+  }
+
+  test("cusum stream: foreachBatch wiring lands the same alarm history") {
+    import org.apache.spark.sql.functions._
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val mu = graft.ext.Monitor.baseline(daily)
+    val root = java.nio.file.Files.createTempDirectory("graft_cusum_stream")
+    val ledger = root.resolve("ledger").toString
+    val out = root.resolve("out").toString
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    val mid = daily.select("d").distinct().orderBy("d").collect()
+      .map(_.getDate(0)).apply(daily.select("d").distinct().count().toInt / 2)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cusum_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(daily.filter(col("d") < lit(mid)), "a.parquet", t0 - 60000)
+    writeOne(daily.filter(col("d") >= lit(mid)), "b.parquet", t0)
+    val stream = spark.readStream
+      .schema("event_type STRING, d DATE, c LONG")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.cusumStream(stream, mu, ledger, out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "d", "c", "cusum_pos6", "cusum_neg6", "alarm")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(t => (t._1, t._2)).toSeq
+    val want = rows(graft.SparkEntry.queries("stats_cusum")(spark, dir))
+    assert(rows(graft.ext.Monitor.snapshot(spark, ledger, mu)) == want)
+    assert(rows(spark.read.parquet(out)) == want)
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture
