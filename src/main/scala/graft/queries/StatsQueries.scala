@@ -755,34 +755,75 @@ object StatsQueries {
              |  (CAST(sp AS HUGEINT) * sp > CAST(mu6 AS HUGEINT) * 25000000
              |   OR CAST(sn AS HUGEINT) * sn > CAST(mu6 AS HUGEINT) * 25000000) AS alarm
              |FROM sfin ORDER BY event_type, d""".stripMargin),
-      "two-sided CUSUM drift detector: closed-form prefix-sum/running-min windows, exact micro-units"))
+      "two-sided CUSUM drift detector: closed-form prefix-sum/running-min windows, exact micro-units"),
+
+    // Forecast-baseline evaluation over the daily event-count series —
+    // the calibration read behind volume alerting: before a monitor
+    // compares today's ingest to "expected", measure how predictable the
+    // series even IS under the two standard no-model baselines (naive =
+    // yesterday, seasonal-naive = same weekday last week; Hyndman's
+    // forecasting-practice floor — any real model must beat these).
+    // Per (type, baseline): MAE and sMAPE in exact fixed point — per-day
+    // absolute errors are integers, the sMAPE ratio 2·|e|·10⁶/(c+pred)
+    // floors identically in both engines (c+pred ≥ 2: both legs are
+    // existing daily counts), and only display scaling remains. Plan:
+    // ONE combinable (type, day) count over the scan, then equi-join lag
+    // alignment on the tiny daily series (the stats_autocorr shape — no
+    // window, no global sort) and a |types|·2-row rollup.
+    "events_forecast_eval" -> Q(
+      (s, dir) => forecastEval(Registry.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |legs AS (
+             |  SELECT a.event_type, l.model, a.c, b.c AS pred
+             |  FROM daily a
+             |  JOIN (SELECT 1 AS lag, 'naive' AS model
+             |        UNION ALL SELECT 7, 'seasonal') l ON true
+             |  JOIN daily b ON b.event_type = a.event_type
+             |    AND a.d = b.d + CAST(l.lag AS INTEGER))
+             |SELECT event_type, model, CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST((sum(abs(c - pred)) * 1000000) // count(*) AS BIGINT) AS mae6,
+             |  CAST(sum((abs(c - pred) * 2000000) // (c + pred))
+             |       // count(*) AS BIGINT) AS smape6
+             |FROM legs GROUP BY 1, 2 ORDER BY event_type, model""".stripMargin),
+      "naive/seasonal-naive forecast baseline eval: exact fixed-point MAE + sMAPE per type"))
+
+  /** Forecast-baseline eval over any (event_type, d, c) daily series —
+    * exposed for the hand-fixture spec. */
+  private[graft] def forecastEval(daily: DataFrame): DataFrame = {
+    val legs = Seq(1 -> "naive", 7 -> "seasonal").map { case (l, m) =>
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.d") === date_add(col("b.d"), l))
+        .select(col("a.event_type").as("event_type"), lit(m).as("model"),
+          col("a.c").as("c"), col("b.c").as("pred"))
+    }
+    legs.reduce(_ unionAll _)
+      .withColumn("ae", abs(col("c") - col("pred")))
+      .groupBy("event_type", "model")
+      .agg(count(lit(1)).as("n_days"),
+        expr("(sum(ae) * 1000000) div count(*)").as("mae6"),
+        expr("sum((ae * 2000000) div (c + pred)) div count(*)").as("smape6"))
+      .orderBy("event_type", "model")
+  }
 
   /** CUSUM over any (event_type, d, c) daily series — exposed for the
-    * recursion-equivalence and planted-shift specs. See the registration
-    * comment for the closed form and fixed-point conventions. */
-  private[graft] def cusum(daily: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy("event_type")
-    val wOrd = Window.partitionBy("event_type").orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
-      .withColumn("mu6", expr(
+    * recursion-equivalence and planted-shift specs. The retrospective
+    * form: μ6 is the series' OWN fixed-point mean per type, attached via
+    * one partitioned window, then the shared arithmetic core
+    * ([[graft.ext.Monitor.cusumCore]] — verbatim the expression the
+    * streaming ingest monitor runs, so batch/stream parity holds by
+    * construction). */
+  private[graft] def cusum(daily: DataFrame): DataFrame =
+    graft.ext.Monitor.cusumCore(
+      daily.withColumn("mu6", expr(
         "(sum(c) OVER (PARTITION BY event_type) * 1000000)" +
-          " div count(*) OVER (PARTITION BY event_type)"))
-      .withColumn("dp", col("c") * 1000000L - col("mu6") - expr("mu6 div 20"))
-      .withColumn("dn", col("mu6") - col("c") * 1000000L - expr("mu6 div 20"))
-      .withColumn("pp", sum("dp").over(wOrd))
-      .withColumn("pn", sum("dn").over(wOrd))
-      .withColumn("sp", col("pp") - least(lit(0L), min("pp").over(wOrd)))
-      .withColumn("sn", col("pn") - least(lit(0L), min("pn").over(wOrd)))
-      .select(col("event_type"), col("d"), col("c"),
-        col("sp").as("cusum_pos6"), col("sn").as("cusum_neg6"),
-        (expr("CAST(sp AS DECIMAL(38,0)) * sp") >
-            expr("CAST(mu6 AS DECIMAL(38,0)) * 25000000") ||
-          expr("CAST(sn AS DECIMAL(38,0)) * sn") >
-            expr("CAST(mu6 AS DECIMAL(38,0)) * 25000000")).as("alarm"))
+          " div count(*) OVER (PARTITION BY event_type)")))
       .orderBy("event_type", "d")
-  }
 
   /** Replicate count for [[stats_bootstrap]] — fixed so the CI's order
     * statistics (2nd/47th) are well-defined constants in both engines. */

@@ -61,13 +61,14 @@ class RegistrySpec extends AnyFunSuite {
     // +corpus_diversity → 216; +multimodal_phash_indexed → 217;
     // +embed_dim_audit, +corpus_overlap → 219; +text_langid_eval → 220;
     // +mv_join_delta → 221; +text_winnowing → 222; +stats_cusum → 223;
-    // +sim_range_search → 224; +dedup_winnow_pairs → 225):
+    // +sim_range_search → 224; +dedup_winnow_pairs → 225;
+    // +events_forecast_eval → 226):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 225 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 226 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")

@@ -468,4 +468,29 @@ class StatsSpec extends SparkSpec {
     assert(firstUp >= 30, s"upper CUSUM must fire only post-shift, got day $firstUp")
     assert(firstUp > 0, "the planted shift must actually fire the upper side")
   }
+
+  test("events_forecast_eval: hand series — constant is perfectly predicted, period-7 by seasonal only") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // "flat": constant 10 for 15 days → both baselines exact (mae 0)
+    // "weekly": period-7 pattern 10,10,10,10,10,10,40 → seasonal-naive
+    //   exact; naive misses at both edges of each spike
+    val weekly = (0 until 21).map(i => if (i % 7 == 6) 40L else 10L)
+    val rows = (0 until 15).map(i => ("flat", day(i), 10L)) ++
+      weekly.zipWithIndex.map { case (c, i) => ("weekly", day(i), c) }
+    val out = graft.queries.StatsQueries.forecastEval(
+      rows.toDF("event_type", "d", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("flat", "naive")) == ((14L, 0L, 0L)))
+    assert(out(("flat", "seasonal")) == ((8L, 0L, 0L)))
+    assert(out(("weekly", "seasonal")) == ((14L, 0L, 0L)),
+      s"seasonal-naive must nail a period-7 series: ${out(("weekly", "seasonal"))}")
+    // naive on weekly: 20 lag-1 pairs, error 30 at each spike edge
+    // (2 edges per week × ~3 weeks): days 6,7,13,14,20 → |e|=30, 15 others 0
+    // hand: n=20, sum|e| = 5*30 = 150 → mae6 = 150*1e6/20 = 7_500_000
+    // smape per spike-edge day: 2*30*1e6 // (40+10) = 1_200_000; sum = 6e6
+    // → smape6 = 6_000_000 // 20 = 300_000
+    assert(out(("weekly", "naive")) == ((20L, 7500000L, 300000L)),
+      s"naive on weekly: ${out(("weekly", "naive"))}")
+  }
 }
