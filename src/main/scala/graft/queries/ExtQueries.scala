@@ -1470,6 +1470,51 @@ object ExtQueries {
       Some(annRescoreSql("sim_topk_ivf_idx_cand")),
       "ANN top-k over the cluster-partitioned IVF index (partition-pruned probe)"),
 
+    // RANGE search served from the same standing index — the at-scale
+    // composition sim_range_search's registration points to: the
+    // multiprobe cell screen bounds the scan to nprobe/nlist of the
+    // corpus, then the exact τ-verify runs only over those candidates
+    // (persisted via OracleAux; DuckDB re-scores + re-filters the SAME
+    // set, so a screen bug that leaks or fabricates candidates breaks
+    // the hash). RECALL is bounded by the probe width — a true neighbor
+    // in an unprobed cell is missed by design; that loss is exactly what
+    // index_tuning_sweep measures per nprobe, and the spec pins
+    // screened ⊆ exact with matching scores. Zero-norm vectors are
+    // nz-filtered in BOTH engines (same ANSI/NaN hazard as the exact
+    // form).
+    "sim_range_ivf" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        val cand = OracleAux.persist(dir, "sim_range_ivf_cand")(
+          Similarity.ivfIndexCandidates(idx, e, nlist = ivfNlist(s, dir)))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        cand.join(e.hint("shuffle_hash"), "vec_id")
+          .join(broadcast(queries), "q_id")
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      Some(s"""WITH nz AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+             |cand AS (SELECT q_id, vec_id FROM read_parquet(${OracleAux.duckGlob("sim_range_ivf_cand")})),
+             |scored AS (
+             |  SELECT c.q_id, c.vec_id,
+             |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+             |  FROM cand c
+             |  JOIN nz q ON q.vec_id = c.q_id
+             |  JOIN nz e ON e.vec_id = c.vec_id)
+             |SELECT q_id, vec_id AS neighbor_id, cos FROM scored
+             |WHERE cos >= 0.3 ORDER BY q_id, neighbor_id""".stripMargin),
+      "range search over the partition-pruned IVF index: cell screen + exact τ-verify"),
+
     // Incremental maintenance of the cluster-partitioned IVF index as a
     // REGISTERED operator: base index from the even vectors (frozen
     // 16-centroid quantizer), then the odd vectors merge in as one upsert

@@ -900,4 +900,18 @@ class ExtSpec extends SparkSpec {
     // q4 ([0,3]) ∥ q1 ([0,1]): the parallel pair appears from BOTH ends
     assert(out.contains((4L, 1L, 1.0)) && out.contains((1L, 4L, 1.0)))
   }
+
+  test("range search via IVF screen: subset of exact with matching scores, non-trivial at sf0.001") {
+    val d = sf("sf0.001")
+    def pairs(name: String) = graft.SparkEntry.queries(name)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs("sim_range_search")
+    val screened = pairs("sim_range_ivf")
+    assert(screened.keySet.subsetOf(exact.keySet),
+      s"screen fabricated pairs: ${screened.keySet -- exact.keySet}")
+    screened.foreach { case (k, c) =>
+      assert(exact(k) == c, s"score mismatch at $k: screened $c vs exact ${exact(k)}")
+    }
+    assert(screened.nonEmpty, "screen found nothing — fixture too sparse to exercise recall")
+  }
 }
