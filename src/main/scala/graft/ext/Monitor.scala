@@ -75,6 +75,23 @@ object Monitor {
     .groupBy("event_type")
     .agg(expr("(sum(c) * 1000000) div count(*)").as("mu6"))
 
+  /** Duplicate-tolerant ledger read with a LOUD conflict guard: replay
+    * duplicates are bit-identical rows (full-row dropDuplicates absorbs
+    * them deterministically), but two rows disagreeing on the same
+    * (type, day)'s count can only come from misuse — two different
+    * batches shipping the same day — and a subset-keyed dedup would pick
+    * one NONDETERMINISTICALLY. Ledger-scale data, so the check is one
+    * tiny aggregate. */
+  private def readLedger(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val rows = ParquetIO.readOrEmpty(spark, path, ledgerSchema).dropDuplicates()
+    val conflicts = rows.groupBy("event_type", "d").count()
+      .filter(col("count") > 1).count()
+    require(conflicts == 0,
+      s"cusum ledger $path: $conflicts (event_type, day) key(s) carry conflicting counts")
+    rows
+  }
+
   /** One finalized-daily-counts micro-batch through the CUSUM monitor,
     * exactly-once on the [[IngestRecipe]] seam:
     *   - anti-join the standing ledger against the batch's (type, day)
@@ -97,7 +114,16 @@ object Monitor {
       facts.select("event_type", "d"), batchId, outPath,
       Seq(IngestRecipe.IndexPart(ledgerPath, ledgerSchema, facts))) {
       case Seq(base) =>
-        val all = base.dropDuplicates("event_type", "d").unionByName(facts)
+        // base is already anti-joined on the batch's keys; full-row dedup
+        // absorbs replay duplicates, and conflicting counts on one
+        // (type, day) — only possible through misuse — fail loudly here
+        // exactly like [[readLedger]] (a subset-keyed dedup would pick a
+        // survivor nondeterministically)
+        val all = base.dropDuplicates().unionByName(facts)
+        val conflicts = all.groupBy("event_type", "d").count()
+          .filter(col("count") > 1).count()
+        require(conflicts == 0,
+          s"cusumIngestBatch: $conflicts (event_type, day) key(s) carry conflicting counts")
         cusumCore(all.join(broadcast(baselineMu), "event_type"))
           .join(facts.select("event_type", "d"), Seq("event_type", "d"),
             "left_semi")
@@ -109,8 +135,7 @@ object Monitor {
     * the standing ledger (duplicate-tolerant read). */
   def snapshot(spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
       baselineMu: DataFrame): DataFrame =
-    cusumCore(ParquetIO.readOrEmpty(spark, ledgerPath, ledgerSchema)
-      .dropDuplicates("event_type", "d")
+    cusumCore(readLedger(spark, ledgerPath)
       .join(broadcast(baselineMu), "event_type"))
       .orderBy("event_type", "d")
 }

@@ -1119,6 +1119,27 @@ class StreamingSpec extends SparkSpec {
     assert(thrown.getMessage.contains("baseline"))
   }
 
+  test("cusum monitor: conflicting counts for one (type, day) fail loudly, never pick a survivor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cusum_conflict")
+    val ledger = root.resolve("ledger").toString
+    val out = root.resolve("out").toString
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val mu = Seq(("x", 10000000L)).toDF("event_type", "mu6")
+    graft.ext.Monitor.cusumIngestBatch(
+      Seq(("x", d1, 10L)).toDF("event_type", "d", "c"), mu, ledger, out, 0L)
+    // a DIFFERENT batch re-shipping the same day with a different count is
+    // misuse: the anti-join replaces it silently in that batch's output,
+    // but both rows land in the ledger — every subsequent read must refuse
+    graft.ext.Monitor.cusumIngestBatch(
+      Seq(("x", d1, 999L)).toDF("event_type", "d", "c"), mu, ledger, out, 1L)
+    val thrown = intercept[IllegalArgumentException] {
+      graft.ext.Monitor.snapshot(spark, ledger, mu).collect()
+    }
+    assert(thrown.getMessage.contains("conflicting"), thrown.getMessage)
+  }
+
   test("cusum stream: foreachBatch wiring lands the same alarm history") {
     import org.apache.spark.sql.functions._
     val daily = events(spark, dir)
