@@ -91,6 +91,77 @@ object Shards {
        |         + (instr('0123456789abcdef', substring(ht, 4, 1)) - 1)) AS BIGINT) AS checksum16
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Token-balance audit of two shard layouts: the HASH baseline
+    * ([[assignShards]] — random placement, balanced in expectation only)
+    * against the token-BALANCED sorted round-robin (docs ranked by token
+    * count descending, shard = rank mod n — the classic LPT-flavored
+    * greedy that bounds max-shard overshoot even under long-tailed doc
+    * lengths, which is what sequence-packing efficiency downstream
+    * cares about). Per (method, shard): doc count, token mass, and the
+    * exact ppm share of total tokens. The global ordinal comes from
+    * [[Indexing.globalIndex]] (range shuffle + zipWithIndex), NEVER an
+    * unpartitioned window — ranking is the 100 TB hazard here, and the
+    * sort key is one lexicographic string (zero-padded token complement
+    * ‖ zero-padded doc_id; bounds: tokens < 10⁷, doc_id < 10¹⁸ — far
+    * above any real corpus, same documented-pad contract as winnowing's
+    * position complement). The per-method total join broadcasts a 2-row
+    * aggregate. */
+  def balanceAudit(docs: DataFrame, nShards: Int,
+      seed: String = "#shard42"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096]: $nShards")
+    val withTok = docs.select(col("doc_id"), col("text"))
+      .withColumn("tok", TextStats.wsTokenCount(col("text")).cast("long"))
+    val keyed = withTok.withColumn("k",
+      concat(lpad((lit(9999999L) - col("tok")).cast("string"), 7, "0"),
+        lpad(col("doc_id").cast("string"), 18, "0")))
+    val balanced = Indexing.globalIndex(keyed, "k")
+      .withColumn("shard", (col("global_idx") % nShards).cast("int"))
+      .withColumn("method", lit("balanced"))
+    val hashed = assignShards(withTok, nShards, seed)
+      .withColumn("method", lit("hash"))
+    val perShard = Seq(balanced, hashed)
+      .map(_.groupBy("method", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_mass")))
+      .reduce(_ unionByName _)
+    val totals = perShard.groupBy("method").agg(sum("tok_mass").as("tot"))
+    perShard.join(broadcast(totals), "method")
+      .select(col("method"), col("shard"), col("n_docs"), col("tok_mass"),
+        expr("(tok_mass * 1000000) div tot").as("share_ppm"))
+      .orderBy("method", "shard")
+  }
+
+  /** DuckDB twin of [[balanceAudit]] — the oracle side may use the
+    * global window (no plan constraints there); same total order, same
+    * md5 fold, same fixed-point share. */
+  def balanceAuditSql(nShards: Int, seed: String = "#shard42"): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |bal AS (
+       |  SELECT 'balanced' AS method,
+       |    CAST((row_number() OVER (ORDER BY tok DESC, doc_id) - 1) % $nShards AS INTEGER) AS shard,
+       |    tok
+       |  FROM d),
+       |hs AS (
+       |  SELECT 'hash' AS method,
+       |    CAST(((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$seed'), 1, 1)) - 1) * 4096
+       |         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$seed'), 2, 1)) - 1) * 256
+       |         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$seed'), 3, 1)) - 1) * 16
+       |         + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || '$seed'), 4, 1)) - 1)) % $nShards AS INTEGER) AS shard,
+       |    tok
+       |  FROM d),
+       |u AS (
+       |  SELECT method, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS tok_mass
+       |  FROM (SELECT * FROM bal UNION ALL SELECT * FROM hs)
+       |  GROUP BY 1, 2),
+       |t AS (SELECT method, sum(tok_mass) AS tot FROM u GROUP BY 1)
+       |SELECT method, shard, n_docs, tok_mass,
+       |  CAST((tok_mass * 1000000) // tot AS BIGINT) AS share_ppm
+       |FROM u JOIN t USING (method) ORDER BY method, shard""".stripMargin
+
   /** Materialize the shard layout: repartition ON the shard id (the one
     * full shuffle), order within each partition by the shuffle key (so a
     * shard file streams in its final, shuffled-once order), write

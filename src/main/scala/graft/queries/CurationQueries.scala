@@ -779,6 +779,18 @@ object CurationQueries {
       Some(graft.ext.Shards.shardStatsSql(10)),
       "deterministic global shuffle into 10 training shards with per-shard manifest"),
 
+    // Token-balance audit of the two shard layouts — hash placement
+    // (random, balanced only in expectation) vs sorted round-robin
+    // (LPT-flavored, bounded overshoot under long-tailed doc lengths).
+    // The read before choosing a layout when packing efficiency matters;
+    // see [[graft.ext.Shards.balanceAudit]] for why the global ordinal is
+    // Indexing.globalIndex (range shuffle + zipWithIndex), never an
+    // unpartitioned window.
+    "shards_balance_audit" -> Q(
+      (s, dir) => graft.ext.Shards.balanceAudit(table(s, dir, "documents"), 10),
+      Some(graft.ext.Shards.balanceAuditSql(10)),
+      "token-balance audit: hash vs sorted-round-robin sharding, exact ppm shares"),
+
     // The REMOVAL step of substring dedup (Lee et al. 2022) — where
     // text_ngram_dupspans only measures cross-document duplicated-span
     // mass, this rewrites each document with those spans excised: a token

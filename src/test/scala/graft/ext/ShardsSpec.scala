@@ -101,4 +101,38 @@ class ShardsSpec extends SparkSpec {
         s"shard $s not in shuffle-key order")
     }
   }
+
+  test("balance audit: balanced leg == scalar round-robin reference; hash leg == shardStats") {
+    import spark.implicits._
+    // skewed fixture: one giant doc + a long tail, plus ties on token
+    // count (the doc_id tiebreak must decide deterministically)
+    val docs = ((1L to 12L).map(i => (i, Seq.fill(5)("t").mkString(" "))) :+
+      (99L, Seq.fill(100)("g").mkString(" "))).toDF("doc_id", "text")
+    val n = 4
+    val out = graft.ext.Shards.balanceAudit(docs, n).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // scalar reference for the balanced leg: rank by (tok desc, id asc)
+    val toks = ((1L to 12L).map(_ -> 5L) :+ (99L -> 100L))
+    val ranked = toks.sortBy { case (id, t) => (-t, id) }.zipWithIndex
+    val byShard = ranked.groupBy(_._2 % n).view
+      .mapValues(rs => (rs.size.toLong, rs.map(_._1._2).sum)).toMap
+    val tot = toks.map(_._2).sum
+    (0 until n).foreach { s =>
+      val (nd, tm) = byShard(s)
+      assert(out(("balanced", s)) == ((nd, tm, tm * 1000000L / tot)),
+        s"balanced shard $s: ${out(("balanced", s))} want ($nd, $tm)")
+    }
+    // the giant doc dominates: balanced puts it alone on shard 0 with the
+    // max share; hash can land it anywhere — cross-check hash totals
+    // against the independent shardStats implementation
+    val hs = graft.ext.Shards.shardStats(docs, n).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    hs.foreach { case (s, (nd, tm)) =>
+      assert(out(("hash", s)) == ((nd, tm, tm * 1000000L / tot)),
+        s"hash shard $s diverges from shardStats")
+    }
+    assert(out(("balanced", 0))._2 == 100L + 3 * 5L,
+      "shard 0 gets ranks 0,4,8,12: the giant plus three 5-token docs")
+  }
 }
