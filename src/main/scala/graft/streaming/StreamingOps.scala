@@ -376,6 +376,21 @@ object StreamingOps {
           dropsOutPath, batchId, threshold)
       }
 
+  /** Winnow (MOSS) near-dup screening at ingest — foreachBatch wiring for
+    * [[graft.ext.Winnow.ingestBatch]]: each document micro-batch is
+    * fingerprinted once (per-doc narrow work), probed O(delta·postings)
+    * against the standing fingerprint index, its batch-touching pairs
+    * land under `batch_id=<id>` with overwrite (replay-idempotent), and
+    * its fingerprints merge into the index. */
+  def winnowIngestStream(docs: DataFrame, indexPath: String,
+      pairsOutPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Winnow.ingestBatch(batch, indexPath, pairsOutPath, batchId)
+      }
+
   /** Drift monitoring at ingest — foreachBatch wiring for
     * [[graft.ext.Monitor.cusumIngestBatch]]: each micro-batch of
     * FINALIZED daily counts (the upstream append-mode watermarked 1-day

@@ -738,7 +738,7 @@ class ScaleOpsSpec extends SparkSpec {
       (4L, "v1 v2 v3 v4 v5"), // 5 tokens: 2 grams < w windows → 0 fps
       (5L, "w1 w2 w3")        // < k tokens → no grams, absent
     ).toDF("doc_id", "text")
-    val out = graft.queries.CurationQueries.winnowingStats(docs).collect()
+    val out = graft.ext.Winnow.stats(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     // the winnowing guarantee: both planted docs share ≥1 fingerprint
     assert(out(1L)._3 >= 1L, s"doc1 must share a fingerprint: ${out(1L)}")
@@ -760,7 +760,7 @@ class ScaleOpsSpec extends SparkSpec {
       id -> (if (id % 3 == 0) body ++ planted else body)
     }
     val docs = corpus.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
-    val out = graft.queries.CurationQueries.winnowingStats(docs).collect()
+    val out = graft.ext.Winnow.stats(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val fpsByDoc = corpus.map { case (id, t) => id -> refWinnow(t) }.toMap
     val hashDocs = fpsByDoc.toSeq
@@ -790,7 +790,7 @@ class ScaleOpsSpec extends SparkSpec {
         (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")) ++ // unique
         (100L to 160L).map(i => (i, hub)) // 61 identical docs → every fp df=61 > cap
     val df = docs.toDF("doc_id", "text")
-    val out = graft.queries.CurationQueries.winnowPairs(df).collect()
+    val out = graft.ext.Winnow.pairs(df).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     // scalar reference: winnow each doc, pair on shared hashes with the
@@ -817,5 +817,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 >= 100L && p._2 >= 100L),
       "hub-fingerprint docs must not pair (df cap)")
     assert(!out.contains((3L, 4L)) || expected((3L, 4L))._1 >= 2L)
+  }
+
+  test("winnow ingest: 2-batch fold == full pairs restricted to batch-touching; replay idempotent") {
+    val run = (1 to 16).map(i => s"s$i").mkString(" ")
+    val b1 = Seq(
+      (1L, s"a1 a2 a3 $run"),
+      (2L, s"b1 b2 b3 b4 $run"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    val b2 = Seq(
+      (10L, s"c1 c2 $run"), // pairs cross-batch with 1 AND 2
+      (11L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_winnow_ing")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    Winnow.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L)
+    Winnow.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    val want = rows(Winnow.pairs(all))
+    // every pair in this fixture touches some batch at its arrival, so
+    // the per-batch outputs union to exactly the full run
+    assert(rows(spark.read.parquet(out)) == want,
+      "incremental pair union diverged from the full run")
+    // the fixture must exercise cross-batch pairing (10 pairs with 1 and 2)
+    assert(want.exists(p => p._1 < 10L && p._2 >= 10L),
+      "no cross-batch pair — fixture degenerate")
+    // the standing index serves the same pairs as the inline form
+    val served = rows(Winnow.pairsFrom(
+      spark.read.schema(Winnow.IndexSchema).parquet(idx)))
+    assert(served == want, "index-served pairs diverged from inline")
+    // perturbed-layout replay of batch 1: outputs and serving unchanged
+    Winnow.ingestBatch(
+      b2.toDF("doc_id", "text").orderBy(desc("doc_id")).repartition(5),
+      idx, out, 1L)
+    assert(rows(spark.read.parquet(out)) == want, "replay changed batch output")
+    assert(rows(Winnow.pairsFrom(
+      spark.read.schema(Winnow.IndexSchema).parquet(idx))) == want,
+      "replay-duplicated index rows leaked into served pairs")
   }
 }
