@@ -478,5 +478,59 @@ object MiningQueries {
               |  JOIN dsz d ON d.doc_id = i.id_d
               |  JOIN bsz b ON b.doc_id = i.id_b)
               |WHERE jaccard >= 0.7 ORDER BY id_d, id_b""".stripMargin),
-      "incremental MinHash dedup: delta batch vs persisted corpus LSH index"))
+      "incremental MinHash dedup: delta batch vs persisted corpus LSH index"),
+
+    // Per-user contribution capping — the memorization/influence bound a
+    // training pipeline applies before aggregating user-generated data
+    // (keep each user's 20 EARLIEST events, ts then event_id tie-break,
+    // so no single account dominates a statistic or a training slice;
+    // the same per-user capping DP-SGD-style pipelines run as their
+    // sensitivity-bounding step). Reports, per event type and overall,
+    // how much volume the cap removes. Plan: the cap is the custom
+    // TopKPerGroup heap node, NOT a row_number window — per-partition
+    // k-heaps combine map-side, so a hot user (the exact pathology the
+    // cap exists for) costs O(n log k) with no single-task full sort;
+    // the rollup is one combinable groupBy, and the overall '*' row
+    // re-aggregates the per-type rows (type-cardinality data).
+    "events_contribution_cap" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val capped = graft.plans.TopKPerGroup(
+            ev.select("user_id", "ts", "event_id", "event_type"),
+            20, Seq("user_id"), Seq(("ts", true), ("event_id", true)))
+          .groupBy("event_type").agg(count(lit(1)).as("capped_events"))
+        val perType = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("raw_events"))
+          .join(capped, Seq("event_type"), "left")
+          .select(col("event_type"), col("raw_events"),
+            coalesce(col("capped_events"), lit(0L)).as("capped_events"))
+        val overall = perType.groupBy(lit("*").as("event_type"))
+          .agg(sum("raw_events").as("raw_events"),
+            sum("capped_events").as("capped_events"))
+        perType.unionByName(overall)
+          .select(col("event_type"), col("raw_events"), col("capped_events"),
+            round(col("capped_events").cast("double") / col("raw_events"), 4)
+              .as("keep_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |cap AS (SELECT event_type, count(*) AS capped_events
+             |        FROM ranked WHERE rn <= 20 GROUP BY 1),
+             |per_type AS (
+             |  SELECT r.event_type, count(*) AS raw_events,
+             |    coalesce(any_value(c.capped_events), 0) AS capped_events
+             |  FROM events r LEFT JOIN cap c ON c.event_type = r.event_type
+             |  GROUP BY r.event_type),
+             |unioned AS (
+             |  SELECT * FROM per_type
+             |  UNION ALL
+             |  SELECT '*', CAST(sum(raw_events) AS BIGINT),
+             |    CAST(sum(capped_events) AS BIGINT) FROM per_type)
+             |SELECT event_type, raw_events, capped_events,
+             |  round(capped_events / CAST(raw_events AS DOUBLE), 4) AS keep_rate
+             |FROM unioned ORDER BY event_type""".stripMargin),
+      "per-user contribution cap (20 earliest events): kept volume per event type"))
 }

@@ -996,6 +996,41 @@ object ScaleQueries {
              |  count(*) FILTER (user_id IN (SELECT user_id FROM forget))
              |FROM daily
              |ORDER BY dataset""".stripMargin),
-      "GDPR forget-set erasure audit: broadcast anti/semi joins per dataset")
+      "GDPR forget-set erasure audit: broadcast anti/semi joins per dataset"),
+
+    // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    // al. 2007) — the privacy screen a release pipeline runs BEFORE
+    // publishing user-derived tables: every quasi-identifier equivalence
+    // class (nation × market segment) with its population and the
+    // diversity of the sensitive attribute (account-balance band,
+    // floor(bal/2000) — the same IEEE double op in both engines), plus
+    // the k<5 / l<3 re-identification risk flags. compliance_forget
+    // erases named users; this measures whether the REMAINING rows still
+    // leak identity by intersection. Plan: one combinable groupBy over
+    // the QI key (class count is bounded by the QI domain, never row
+    // count) — countDistinct expands to the standard two-phase exact
+    // plan; at 100 TB the QI-keyed shuffle carries one row per
+    // (class, band), not per person.
+    "privacy_kanon" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .withColumn("band", floor(col("c_acctbal") / 2000).cast("int"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("band")).as("l_div"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("class_size"), col("l_div"),
+          when(col("class_size") < 5, 1).otherwise(0).as("k5_risk"),
+          when(col("l_div") < 3, 1).otherwise(0).as("l3_risk"))
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS class_size,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS INTEGER)) AS BIGINT) AS l_div,
+             |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INTEGER) AS k5_risk,
+             |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 2000) AS INTEGER)) < 3
+             |    THEN 1 ELSE 0 END AS INTEGER) AS l3_risk
+             |FROM customer
+             |GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+      "k-anonymity/l-diversity audit per quasi-identifier class with risk flags")
   )
 }
