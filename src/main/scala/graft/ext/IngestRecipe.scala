@@ -64,6 +64,39 @@ object IngestRecipe {
     }
   }
 
+  /** [[applyBatch]] variant for paths whose index merge is a PROJECTION
+    * OF THE PROBE'S OWN OUTPUT (e.g. the contribution-cap ledger gains
+    * exactly the kept rows the probe selected): same steps 1–2, then the
+    * just-written `batch_id=<id>` partition is read back (schema-pinned)
+    * and `merge` maps it to the index components to append. The read-back
+    * exists only after step 2, so the merge frame can't be built by the
+    * caller up front (Spark analyzes reads eagerly), and appending a
+    * plan that re-reads the index path itself would self-read-while-
+    * writing — this variant is the safe shape for output-derived merges.
+    * Replay behavior is unchanged: output overwrite is idempotent, the
+    * re-appended merge rows are identical duplicates consumers must
+    * distinct-collapse. */
+  def applyBatchMergeFromOutput(batchKeys: DataFrame, batchId: Long,
+      outPath: String, outSchema: StructType,
+      probeParts: Seq[(String, StructType)])
+      (probe: Seq[DataFrame] => DataFrame)
+      (merge: DataFrame => Seq[IndexPart]): Unit = {
+    val spark = batchKeys.sparkSession
+    val keyCols = batchKeys.columns.toSeq
+    val bases = probeParts.map { case (path, schema) =>
+      ParquetIO.readOrEmpty(spark, path, schema)
+        .join(batchKeys, keyCols, "left_anti")
+    }
+    writeBatchOutput(probe(bases), outPath, batchId)
+    val outBack = spark.read.schema(outSchema)
+      .parquet(s"$outPath/batch_id=$batchId")
+    merge(outBack).foreach { p =>
+      val w = p.rows.write.mode("append")
+      (if (p.partitionBy.nonEmpty) w.partitionBy(p.partitionBy: _*) else w)
+        .parquet(p.path)
+    }
+  }
+
   /** Periodic compaction of a replay-duplicated standing index: full-row
     * dropDuplicates, rewrite, atomic-ish swap. Consumers stay CORRECT
     * without it (duplicate tolerance is their contract); compaction

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Exact set-similarity join and bounded-memory frequency mining — the two
   * candidate-pruning patterns a 100 TB curation pipeline needs when the
@@ -328,5 +329,64 @@ object Mining {
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .orderBy(desc("support"), col("tok_a"), col("tok_b"))
+  }
+
+  // ------------------------------------------- contribution cap at ingest
+  /** Standing contribution-cap ledger: the kept events, keyed by the
+    * globally-unique event id (the [[IngestRecipe]] anti-join key). Size
+    * is bounded by cap × users, never event volume. */
+  val CapLedgerSchema: types.StructType = types.StructType(Seq(
+    types.StructField("event_id", types.LongType),
+    types.StructField("user_id", types.LongType)))
+
+  /** Schema of the exactly-once kept-events batch output. */
+  val CapKeptSchema: types.StructType = types.StructType(Seq(
+    types.StructField("event_id", types.LongType),
+    types.StructField("user_id", types.LongType),
+    types.StructField("ts", types.TimestampType),
+    types.StructField("event_type", types.StringType),
+    types.StructField("value", types.DoubleType)))
+
+  /** One event micro-batch through the per-user contribution cap — the
+    * at-ingest form of `events_contribution_cap` (at 100 TB the cap is
+    * enforced as data ARRIVES, never by re-ranking full history): each
+    * user keeps their first `cap` events in arrival order (within a
+    * batch: ts then event_id, the batch query's order), counted against
+    * the standing ledger of already-kept events. Kept rows land under
+    * `batch_id=<id>` with overwrite (exactly-once); the ledger then gains
+    * the kept (event_id, user_id) rows by re-reading that just-written
+    * output (a lazy schema-pinned read, so the append never self-reads
+    * the ledger path it writes). When batches arrive in ts order the
+    * folded kept set equals the batch query's earliest-`cap` set
+    * (spec-pinned); out-of-order arrival degrades to first-ARRIVED-`cap`,
+    * the honest streaming contract. Replay armor: the quota probe is
+    * countDistinct per user (duplicate-tolerant) over the anti-joined
+    * pre-crash base, and a crash-after-output replay re-appends identical
+    * ledger rows that same countDistinct collapses
+    * ([[IngestRecipe.compact]] is the standing repair).
+    *
+    * Plan: TopKPerGroup prunes the batch to ≤ cap rows per user with
+    * map-side combinable heaps (a hot user costs O(n log cap), no
+    * per-user sort), the ledger count is one combinable agg over a
+    * cap-bounded table, and the quota join is user-keyed. */
+  def capIngestBatch(batch: DataFrame, ledgerPath: String, keptOutPath: String,
+      batchId: Long, cap: Int = 20): Unit = {
+    val rows = batch.select("event_id", "user_id", "ts", "event_type", "value")
+    IngestRecipe.applyBatchMergeFromOutput(
+      rows.select("event_id"), batchId, keptOutPath, CapKeptSchema,
+      Seq(ledgerPath -> CapLedgerSchema)) {
+      case Seq(base) =>
+        val nBase = base.groupBy("user_id")
+          .agg(countDistinct(col("event_id")).as("n_base"))
+        graft.plans.TopKPerGroup(rows, cap, Seq("user_id"),
+            Seq(("ts", true), ("event_id", true)))
+          .join(nBase.hint("shuffle_hash"), Seq("user_id"), "left")
+          .filter(col("rn") <= lit(cap.toLong) - coalesce(col("n_base"), lit(0L)))
+          .select("event_id", "user_id", "ts", "event_type", "value")
+          .orderBy("event_id")
+    } { kept =>
+      Seq(IngestRecipe.IndexPart(ledgerPath, CapLedgerSchema,
+        kept.select("event_id", "user_id")))
+    }
   }
 }

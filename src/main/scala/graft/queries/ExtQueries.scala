@@ -3236,6 +3236,62 @@ object ExtQueries {
              |FROM u ORDER BY lang""".stripMargin),
       "source-mix diversity per lang: exact fixed-point Simpson/effective-sources, order-folded Shannon"),
 
+    // Source-volume concentration — the Pareto view beside
+    // corpus_diversity's entropy: the Gini coefficient of per-source
+    // character volume (rank-weighted closed form 2·Σi·xᵢ/(n·Σx) −
+    // (n+1)/n over the ascending-sorted volumes) plus top-1/top-3 volume
+    // shares — the "is one crawl dominating the mix" check a mixture
+    // planner reads before corpus_mix_plan rebalances. Rank sums S and
+    // totals T stay exact BIGINT (i·xᵢ ≤ sources·chars, far inside
+    // int64), so the final doubles are bit-identical cross-engine. Plan:
+    // one combinable source groupBy; ranking runs as an array fold over
+    // the source-cardinality list (tiny, metadata-scale — NEVER an
+    // unpartitioned window), ties broken (vol, source) with the
+    // descending fold mirrored exactly in the oracle.
+    "corpus_concentration" -> Q(
+      (s, dir) => {
+        val sorted = array_sort(collect_list(struct(col("vol"), col("source"))))
+        table(s, dir, "documents")
+          .groupBy("source").agg(sum("n_chars").as("vol"))
+          .agg(sorted.as("a"))
+          .select(
+            size(col("a")).cast("long").as("n"),
+            aggregate(col("a"), lit(0L),
+              (acc, x) => acc + x.getField("vol")).as("t"),
+            aggregate(transform(col("a"), (x, i) =>
+                (i + 1).cast("long") * x.getField("vol")),
+              lit(0L), (acc, x) => acc + x).as("s"),
+            element_at(col("a"), -1).getField("vol").as("t1"),
+            aggregate(transform(slice(reverse(col("a")), 1, 3),
+                x => x.getField("vol")),
+              lit(0L), (acc, x) => acc + x).as("t3"))
+          .select(col("n").as("n_sources"), col("t").as("total_chars"),
+            round(lit(2.0) * col("s") / (col("n") * col("t").cast("double"))
+              - (col("n") + lit(1)) / col("n").cast("double"), 4).as("gini"),
+            round(col("t1") / col("t").cast("double"), 4).as("top1_share"),
+            round(col("t3") / col("t").cast("double"), 4).as("top3_share"))
+      },
+      Some("""WITH v AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS vol
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT vol, row_number() OVER (ORDER BY vol, source) AS i FROM v),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(vol) AS BIGINT) AS t,
+             |        CAST(sum(i * vol) AS BIGINT) AS s FROM r),
+             |tops AS (SELECT
+             |    CAST(sum(vol) FILTER (WHERE rk <= 1) AS BIGINT) AS t1,
+             |    CAST(sum(vol) FILTER (WHERE rk <= 3) AS BIGINT) AS t3
+             |  FROM (SELECT vol,
+             |          row_number() OVER (ORDER BY vol DESC, source DESC) AS rk
+             |        FROM v))
+             |SELECT n AS n_sources, t AS total_chars,
+             |  round(2.0 * s / (n * CAST(t AS DOUBLE))
+             |    - (n + 1) / CAST(n AS DOUBLE), 4) AS gini,
+             |  round(t1 / CAST(t AS DOUBLE), 4) AS top1_share,
+             |  round(t3 / CAST(t AS DOUBLE), 4) AS top3_share
+             |FROM agg, tops""".stripMargin),
+      "source-volume concentration: exact rank-sum Gini + top-1/top-3 shares"),
+
     // Per-language corpus health report — the one-page rollup a curation
     // pipeline publishes with every snapshot: volume, size profile, and
     // exact-dup rate from the content fingerprint. One grouped aggregate;

@@ -23,6 +23,52 @@ object StatsQueries {
 
   val all: Map[String, Q] = Map(
 
+    // Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier
+    // 1958) — the time-to-churn estimator a retention pipeline publishes.
+    // Lifetime = days between a user's first and last event; every user
+    // is observed to their last event and censored only at the data's
+    // end, so the KM product ∏(1 − dⱼ/nⱼ) TELESCOPES to the exact
+    // survival fraction (n_risk − churned)/N — no sequential product,
+    // no floating accumulation: every number here is a ratio of exact
+    // BIGINT counts, so both engines agree bit-for-bit before rounding.
+    // Plan: one combinable user-keyed agg (event-scale), then the
+    // lifetime histogram (day-domain-sized, ~tens of rows) feeds a
+    // broadcast range self-join for the at-risk suffix counts — the same
+    // tiny-aggregate range-join shape as stats_kstest's bucket offsets;
+    // nothing downstream of the first agg scales with event volume.
+    "events_survival" -> Q(
+      (s, dir) => {
+        val life = Registry.events(s, dir).groupBy("user_id")
+          .agg(datediff(max(col("ts").cast("date")),
+            min(col("ts").cast("date"))).cast("long").as("lifetime_d"))
+        val byL = life.groupBy("lifetime_d").agg(count(lit(1)).as("churned"))
+        val n = byL.agg(sum("churned").as("n_users"))
+        byL.as("x")
+          .join(broadcast(byL.as("y")),
+            col("y.lifetime_d") >= col("x.lifetime_d"))
+          .groupBy(col("x.lifetime_d").as("lifetime_d"))
+          .agg(sum(col("y.churned")).as("n_risk"),
+            max(col("x.churned")).as("churned"))
+          .crossJoin(broadcast(n))
+          .select(col("lifetime_d"), col("n_risk"), col("churned"),
+            round((col("n_risk") - col("churned")).cast("double")
+              / col("n_users"), 4).as("survival"))
+          .orderBy("lifetime_d")
+      },
+      Some("""WITH life AS (
+             |  SELECT user_id,
+             |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS lifetime_d
+             |  FROM events GROUP BY 1),
+             |byl AS (SELECT lifetime_d, count(*) AS churned FROM life GROUP BY 1),
+             |n AS (SELECT CAST(sum(churned) AS BIGINT) AS n_users FROM byl)
+             |SELECT x.lifetime_d, CAST(sum(y.churned) AS BIGINT) AS n_risk,
+             |  CAST(any_value(x.churned) AS BIGINT) AS churned,
+             |  round((sum(y.churned) - any_value(x.churned))
+             |    / CAST(any_value(n_users) AS DOUBLE), 4) AS survival
+             |FROM byl x JOIN byl y ON y.lifetime_d >= x.lifetime_d CROSS JOIN n
+             |GROUP BY x.lifetime_d ORDER BY x.lifetime_d""".stripMargin),
+      "Kaplan–Meier survival over user lifetimes (end-censoring telescopes to exact counts)"),
+
     // Per-group ordinary least squares fit from one combinable moment
     // aggregate: n, Σx, Σy, Σxy, Σx², Σy² per group, closed-form
     // slope/intercept/R² on the 3-row result. The classic "fit a trend

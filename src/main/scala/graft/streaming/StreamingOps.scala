@@ -391,6 +391,22 @@ object StreamingOps {
         graft.ext.Winnow.ingestBatch(batch, indexPath, pairsOutPath, batchId)
       }
 
+  /** Per-user contribution capping at ingest — foreachBatch wiring for
+    * [[graft.ext.Mining.capIngestBatch]]: each event micro-batch keeps
+    * only the rows within each user's standing quota (first-arrived
+    * `cap`, ts then event_id within a batch), lands them exactly-once
+    * under `batch_id=<id>`, and merges the kept ids into the
+    * cap-bounded ledger. */
+  def capIngestStream(events: DataFrame, ledgerPath: String,
+      keptOutPath: String, cap: Int = 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Mining.capIngestBatch(batch, ledgerPath, keptOutPath,
+          batchId, cap)
+      }
+
   /** Drift monitoring at ingest — foreachBatch wiring for
     * [[graft.ext.Monitor.cusumIngestBatch]]: each micro-batch of
     * FINALIZED daily counts (the upstream append-mode watermarked 1-day

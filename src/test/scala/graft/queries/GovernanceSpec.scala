@@ -70,4 +70,43 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ref == Map("view" -> 40L, "click" -> 3L))
   }
+
+  test("capIngestBatch: ts-ordered fold == batch earliest-cap; replay idempotent; cold start") {
+    import graft.ext.Mining
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // cap=5. user 1: 3 events in batch 0 + 4 in batch 1 → keeps 3 + 2
+    // (cross-batch quota); user 2: 7 events in batch 0 → keeps 5 within
+    // one batch; user 3: arrives only in batch 1.
+    val b0 = (1 to 3).map(i => (100L + i, 1L, ts(i), "view", 1.0)) ++
+      (1 to 7).map(i => (200L + i, 2L, ts(i), "view", 1.0))
+    val b1 = (4 to 7).map(i => (100L + i, 1L, ts(i), "click", 1.0)) ++
+      Seq((300L, 3L, ts(9), "purchase", 2.0))
+    def df(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)]) =
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft_caping")
+    val ledger = root.resolve("ledger").toString
+    val out = root.resolve("kept").toString
+    Mining.capIngestBatch(df(b0), ledger, out, 0L, cap = 5) // cold start
+    Mining.capIngestBatch(df(b1), ledger, out, 1L, cap = 5)
+    def keptIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // batch reference: earliest-5 per user over the full ts-ordered log
+    val w5 = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val want = df(b0 ++ b1).withColumn("rn", row_number().over(w5))
+      .filter(col("rn") <= 5).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds == want, "ts-ordered ingest fold diverged from batch cap")
+    assert(keptIds.filter(id => id >= 101L && id <= 107L)
+        == Seq(101L, 102L, 103L, 104L, 105L),
+      s"user 1 must keep 3 from batch 0 + first 2 of batch 1: $keptIds")
+    // replay batch 1 with perturbed layout: output and ledger serving unchanged
+    Mining.capIngestBatch(df(b1).orderBy(desc("event_id")).repartition(4),
+      ledger, out, 1L, cap = 5)
+    assert(keptIds == want, "replay changed the kept set")
+    // a third batch still sees correct (duplicate-collapsed) quotas:
+    // user 2 is at 5/5, so its new event must be dropped
+    Mining.capIngestBatch(df(Seq((250L, 2L, ts(30), "view", 1.0))),
+      ledger, out, 2L, cap = 5)
+    assert(keptIds == want, "post-replay quota counting broke (duplicate ledger rows?)")
+  }
 }

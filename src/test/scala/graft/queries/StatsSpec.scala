@@ -493,4 +493,46 @@ class StatsSpec extends SparkSpec {
     assert(out(("weekly", "naive")) == ((20L, 7500000L, 300000L)),
       s"naive on weekly: ${out(("weekly", "naive"))}")
   }
+
+  test("events_survival: curve equals the KM product on a hand lifetime set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    // lifetimes: users 1,2 → 0 days; user 3 → 2; user 4 → 5 (N=4)
+    Seq((1L, 1L, ts(0)), (2L, 2L, ts(3)),
+        (3L, 3L, ts(0)), (4L, 3L, ts(2)),
+        (5L, 4L, ts(1)), (6L, 4L, ts(4)), (7L, 4L, ts(6)))
+      .toDF("event_id", "user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("events_survival")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // KM product telescopes to exact fractions:
+    // t=0: (1-2/4)=0.5; t=2: 0.5·(1-1/2)=0.25; t=5: 0.25·(1-1/1)=0
+    assert(out.toSeq == Seq(
+      0L -> ((4L, 2L, 0.5)),
+      2L -> ((2L, 1L, 0.25)),
+      5L -> ((1L, 1L, 0.0))))
+  }
+
+  test("corpus_concentration: hand Gini on skewed and uniform source mixes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    // volumes 10/20/70: S=1·10+2·20+3·70=260, T=100, n=3 →
+    // gini = 2·260/300 − 4/3 = 0.4; top1 = 0.7, top3 = 1.0
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "c", 40L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("corpus_concentration")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 100L)
+    assert(r.getDouble(2) == 0.4, s"gini: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.7 && r.getDouble(4) == 1.0)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    // perfectly uniform mix → gini exactly 0
+    Seq((1L, "a", 50L), (2L, "b", 50L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val u = graft.SparkEntry.queries("corpus_concentration")(spark, dir2)
+      .collect().head
+    assert(u.getDouble(2) == 0.0 && u.getDouble(3) == 0.5 && u.getDouble(4) == 1.0)
+  }
 }

@@ -1180,6 +1180,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(graft.ext.Monitor.snapshot(spark, ledger, mu)) == want)
     assert(rows(spark.read.parquet(out)) == want)
   }
+
+  test("cap ingest stream: ts-split file stream keeps the batch query's earliest-cap set") {
+    import org.apache.spark.sql.functions._
+    val ev = events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("graft_cap_stream")
+    val ledger = root.resolve("ledger").toString
+    val out = root.resolve("kept").toString
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    val mid = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .collect()(0).getDouble(0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cap_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    // two ts-ordered files → maxFilesPerTrigger=1 gives two micro-batches
+    val t0 = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts").cast("double") < mid), "a.parquet", t0 - 60000)
+    writeOne(ev.filter(col("ts").cast("double") >= mid), "b.parquet", t0)
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.capIngestStream(stream, ledger, out, cap = 5)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val want = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "streamed cap diverged from the batch earliest-cap set")
+    // ledger is cap-bounded: ≤ 5 distinct kept events per user
+    val over = spark.read.parquet(ledger).groupBy("user_id")
+      .agg(countDistinct("event_id").as("n")).filter(col("n") > 5).count()
+    assert(over == 0L, "ledger exceeded the cap for some user")
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture
