@@ -105,4 +105,37 @@ object Analytics {
       .select(col("h"), col("event_type"), col("rev_filled"))
       .orderBy("h", "event_type")
   }
+
+  /** Reliability diagram + expected calibration error over a scored,
+    * binary-labeled frame ("id", "score" ∈ [0,1], "label" ∈ {0,1}) — the
+    * model-eval every learned curation filter needs before its threshold
+    * is trusted at corpus scale. Ten equal-width confidence bins (bin 9
+    * absorbs score = 1.0); per bin: population, mean confidence and
+    * positive rate in exact MICRO-UNITS (scores enter as
+    * round(score·10⁶) BIGINTs, so every mean is integer division —
+    * bit-identical cross-engine, no floating accumulation), and the
+    * |conf − acc| gap. The trailing bin = −1 row is the corpus rollup
+    * whose gap column is the population-weighted ECE. Plan: one
+    * combinable 10-ary groupBy; the rollup re-aggregates the 10-row
+    * result — nothing after the first agg scales with data. */
+  def calibrationReport(scored: DataFrame): DataFrame = {
+    val perBin = scored
+      .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"),
+        round(col("score") * 1000000).cast("long").as("score6"),
+        col("label").cast("long").as("label"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("score6").as("cs"),
+        sum("label").as("np"))
+      .select(col("bin"), col("n"),
+        expr("cs div n").as("conf6"),
+        expr("(np * 1000000) div n").as("acc6"))
+      .withColumn("gap6", abs(col("conf6") - col("acc6")))
+    val total = perBin
+      .groupBy(lit(-1L).as("bin"))
+      .agg(sum("n").as("n"),
+        expr("sum(conf6 * n) div sum(n)").as("conf6"),
+        expr("sum(acc6 * n) div sum(n)").as("acc6"),
+        expr("sum(gap6 * n) div sum(n)").as("gap6"))
+    perBin.unionByName(total).orderBy("bin")
+  }
 }

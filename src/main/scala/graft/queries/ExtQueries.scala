@@ -588,6 +588,64 @@ object ExtQueries {
               |ORDER BY doc_id""".stripMargin),
       "linear quality classifier: broadcast weight table, exact integer sums, sigmoid gate"),
 
+    // Calibration of that quality score (reliability diagram + ECE,
+    // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8
+    // score right 80% of the time? Label here is the harness proxy
+    // lang='en' (in production: human/weak labels); the MACHINERY is
+    // [[graft.ext.Analytics.calibrationReport]]: scores enter as
+    // round(score·10⁶) micro-units so every bin mean is integer
+    // division, bit-identical cross-engine; bin −1 is the rollup whose
+    // gap column is the population-weighted ECE (a weighted mean of the
+    // per-bin integer-div gaps — the quantization is part of the
+    // contract, mirrored exactly by the oracle). One combinable 10-ary
+    // groupBy after the scoring join; the rollup re-aggregates 10 rows.
+    "quality_calibration" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val weights = qualityWeights(dir, toks)
+        val scored = toks.join(broadcast(weights), "tok")
+          .groupBy("doc_id").agg(sum("w_millionths").as("w_sum"))
+          .select(col("doc_id"), round(lit(1.0) / (lit(1.0)
+            + exp(-col("w_sum").cast("double") / lit(1000000.0))), 6).as("score"))
+        graft.ext.Analytics.calibrationReport(
+          scored.join(docs.select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
+            .select(col("doc_id").as("id"), col("score"), col("label")))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_weights")})),
+              |toks AS (
+              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id,
+              |    round(1.0 / (1.0 + exp(-CAST(sum(w_millionths) AS DOUBLE) / 1000000.0)), 6) AS score
+              |  FROM toks JOIN w USING (tok) GROUP BY doc_id),
+              |b AS (
+              |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+              |    CAST(round(score * 1000000) AS BIGINT) AS score6,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+              |  FROM sc JOIN documents USING (doc_id)),
+              |pb AS (
+              |  SELECT bin, count(*) AS n, CAST(sum(score6) AS BIGINT) AS cs,
+              |    CAST(sum(label) AS BIGINT) AS np
+              |  FROM b GROUP BY bin),
+              |rows_ AS (
+              |  SELECT bin, n, cs // n AS conf6, (np * 1000000) // n AS acc6,
+              |    abs(cs // n - (np * 1000000) // n) AS gap6
+              |  FROM pb),
+              |tot AS (
+              |  SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n) AS BIGINT) AS n,
+              |    CAST(sum(conf6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS conf6,
+              |    CAST(sum(acc6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS acc6,
+              |    CAST(sum(gap6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS gap6
+              |  FROM rows_)
+              |SELECT bin, n, conf6, acc6, gap6 FROM rows_
+              |UNION ALL SELECT bin, n, conf6, acc6, gap6 FROM tot
+              |ORDER BY bin""".stripMargin),
+      "reliability diagram + ECE of the quality score, exact micro-unit bin means"),
+
     // TF-IDF term weighting — the classic retrieval/keyword feature over
     // the corpus: one explode, a (doc, tok) partial-agg'd count, a
     // broadcast document-frequency join (vocab ≪ corpus), and a per-doc

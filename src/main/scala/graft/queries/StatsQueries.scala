@@ -69,6 +69,102 @@ object StatsQueries {
              |GROUP BY x.lifetime_d ORDER BY x.lifetime_d""".stripMargin),
       "Kaplan–Meier survival over user lifetimes (end-censoring telescopes to exact counts)"),
 
+    // Spearman rank correlation of line-item quantity vs extended price —
+    // the monotonic-association twin of stats_covariance's Pearson (the
+    // robust screen when the relationship is nonlinear or heavy-tailed).
+    // Ranks are EXACT average ranks carried as 2·rank integers
+    // (2·cum_before + cnt + 1 — fractional .5 ties stay integral), built
+    // per variable from its value histogram with the kstest two-level
+    // prefix sum: bucket totals → broadcast range-join offsets (bounded
+    // 1024-row frame at ANY scale) → bucket-partitioned intra-cumsum —
+    // never an unpartitioned window, never a row-level sort. Rank moments
+    // accumulate in DECIMAL(38,0)/HUGEINT (Σr²≈4n³ needs int128 past
+    // ~10⁶ rows); the closed form divides as doubles, identical IEEE ops
+    // in both engines. Joins back to rows are value-keyed equi-joins on
+    // histogram-sized tables. Scale invariant: ranks are per-variable
+    // global, but all global coordination lives in the 1024-bucket
+    // offsets frame, so parallelism is unbounded by row count.
+    "stats_spearman" -> Q(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val li = table(s, dir, "lineitem")
+          .select(col("l_quantity").cast("double").as("q"),
+            col("l_extendedprice").cast("double").as("p"))
+        def rank2(c: String): DataFrame = {
+          // one pruned-column scalar probe (the pack_sequences pattern);
+          // null min/max = empty table → any constant range works
+          val mm = li.agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+            .collect()(0)
+          val lo = Option(mm.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+          val hi = Option(mm.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+          val byV = li.select(col(c).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("cnt"))
+            .withColumn("bucket",
+              floor((col("v") - lit(lo)) * 1024 / lit(hi - lo + 1)).cast("long"))
+          val totals = byV.groupBy("bucket").agg(sum("cnt").as("tc"))
+          val offsets = totals.as("x")
+            .join(broadcast(totals.as("y")),
+              col("y.bucket") < col("x.bucket"), "left")
+            .groupBy(col("x.bucket").as("bucket"))
+            .agg(coalesce(sum(col("y.tc")), lit(0L)).as("off"))
+          val w = W.partitionBy("bucket").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+          byV.join(broadcast(offsets), "bucket")
+            .withColumn("cum", col("off") + sum("cnt").over(w))
+            .select(col("v"),
+              (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).as("r2"))
+        }
+        val ranked = li
+          .join(rank2("q").withColumnRenamed("v", "q")
+            .withColumnRenamed("r2", "rq").hint("shuffle_hash"), "q")
+          .join(rank2("p").withColumnRenamed("v", "p")
+            .withColumnRenamed("r2", "rp").hint("shuffle_hash"), "p")
+        ranked.agg(count(lit(1)).as("n"),
+            sum(expr("CAST(rq AS DECIMAL(38,0))")).as("sq"),
+            sum(expr("CAST(rp AS DECIMAL(38,0))")).as("sp"),
+            sum(expr("CAST(rq AS DECIMAL(38,0)) * rq")).as("sqq"),
+            sum(expr("CAST(rp AS DECIMAL(38,0)) * rp")).as("spp"),
+            sum(expr("CAST(rq AS DECIMAL(38,0)) * rp")).as("sqp"))
+          .select(col("n"),
+            round((col("n").cast("double") * col("sqp").cast("double")
+                - col("sq").cast("double") * col("sp").cast("double"))
+              / sqrt((col("n").cast("double") * col("sqq").cast("double")
+                  - col("sq").cast("double") * col("sq").cast("double"))
+                * (col("n").cast("double") * col("spp").cast("double")
+                  - col("sp").cast("double") * col("sp").cast("double"))), 6)
+              .as("spearman"))
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(l_quantity AS DOUBLE) AS q,
+             |    CAST(l_extendedprice AS DOUBLE) AS p
+             |  FROM lineitem),
+             |qh AS (SELECT q AS v, count(*) AS cnt FROM li GROUP BY q),
+             |qr AS (SELECT v,
+             |    2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+             |      + cnt + 1 AS r2
+             |  FROM qh),
+             |ph AS (SELECT p AS v, count(*) AS cnt FROM li GROUP BY p),
+             |pr AS (SELECT v,
+             |    2 * (sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+             |      + cnt + 1 AS r2
+             |  FROM ph),
+             |rk AS (
+             |  SELECT CAST(qr.r2 AS HUGEINT) AS rq, CAST(pr.r2 AS HUGEINT) AS rp
+             |  FROM li JOIN qr ON qr.v = li.q JOIN pr ON pr.v = li.p),
+             |m AS (
+             |  SELECT count(*) AS n, sum(rq) AS sq, sum(rp) AS sp,
+             |    sum(rq * rq) AS sqq, sum(rp * rp) AS spp, sum(rq * rp) AS sqp
+             |  FROM rk)
+             |SELECT n,
+             |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+             |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+             |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+             |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS spearman
+             |FROM m""".stripMargin),
+      "Spearman rank correlation (exact 2x-average-ranks, two-level prefix-sum ranking)"),
+
     // Per-group ordinary least squares fit from one combinable moment
     // aggregate: n, Σx, Σy, Σxy, Σx², Σy² per group, closed-form
     // slope/intercept/R² on the 3-row result. The classic "fit a trend

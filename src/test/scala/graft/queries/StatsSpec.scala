@@ -535,4 +535,36 @@ class StatsSpec extends SparkSpec {
       .collect().head
     assert(u.getDouble(2) == 0.0 && u.getDouble(3) == 0.5 && u.getDouble(4) == 1.0)
   }
+
+  test("stats_spearman: monotone ±1 and the hand tie case") {
+    def run(rows: Seq[(Double, Double)]): (Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_spear").toString
+      rows.toDF("l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = graft.SparkEntry.queries("stats_spearman")(spark, dir).collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    // any strictly monotone map is rank-perfect, even a nonlinear one
+    assert(run(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0))) == ((3L, 1.0)))
+    assert(run(Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0))) == ((3L, -1.0)))
+    // ties: q=(1,1,2) → 2·avg-ranks (3,3,6); p=(5,7,9) → (2,4,6);
+    // hand Pearson on ranks = 18/√432 = 0.866025
+    assert(run(Seq((1.0, 5.0), (1.0, 7.0), (2.0, 9.0))) == ((3L, 0.866025)))
+  }
+
+  test("calibrationReport: hand bins, score-1.0 absorption, weighted ECE row") {
+    import graft.ext.Analytics
+    val scored = Seq(
+      (1L, 0.05, 1L), (2L, 0.05, 0L),              // bin 0
+      (3L, 0.95, 1L), (4L, 0.95, 1L), (5L, 1.0, 0L)) // bin 9 (1.0 absorbed)
+      .toDF("id", "score", "label")
+    val out = Analytics.calibrationReport(scored).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((2L, 50000L, 500000L, 450000L)))
+    assert(out(9L) == ((3L, 966666L, 666666L, 300000L)))
+    // rollup: weighted means of the per-bin integer-div values
+    assert(out(-1L) == ((5L, 599999L, 599999L, 360000L)))
+    assert(out.size == 3)
+  }
 }
