@@ -998,6 +998,59 @@ object ScaleQueries {
              |ORDER BY dataset""".stripMargin),
       "GDPR forget-set erasure audit: broadcast anti/semi joins per dataset"),
 
+    // Degree distribution + power-law tail estimate of the co-purchase
+    // graph (Clauset/Shalizi/Newman 2009 MLE, discrete form with the
+    // standard d/(dmin−½) continuity correction, dmin=2) — the one-look
+    // shape check before any iterative graph algorithm is budgeted: a
+    // heavy power-law tail means hub-aware orientations (the
+    // graph_triangles layout) and cap-bounded joins are mandatory.
+    // Reads the same standing edge artifact as PageRank/triangles, so
+    // the degree table is one groupBy over a snapshot. The ln-sum for
+    // the MLE folds over the degree-DOMAIN list in sorted order (tiny —
+    // degree domain, not node count; DuckDB mirrors with an ORDER BY
+    // list fold), every other statistic is an exact BIGINT. Mean degree
+    // is fixed-point ×1000 integer division.
+    "graph_degree_stats" -> Q(
+      (s, dir) => {
+        val hist = copurchaseEdgesCached(s, dir)
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("c"))
+        hist
+          .agg(sum("c").as("n_nodes"),
+            sum(col("deg") * col("c")).as("deg_sum"),
+            max("deg").as("max_deg"),
+            coalesce(sum(when(col("deg") >= 2, col("c"))), lit(0L)).as("n_tail"),
+            aggregate(array_sort(collect_list(struct(col("deg"), col("c")))),
+              lit(0.0), (a, x) => a
+                + when(x.getField("deg") >= 2,
+                    x.getField("c").cast("double")
+                      * log(x.getField("deg").cast("double") / lit(1.5)))
+                  .otherwise(lit(0.0))).as("lsum"))
+          .select(col("n_nodes"),
+            expr("deg_sum div 2").as("n_edges"),
+            col("max_deg"),
+            expr("(deg_sum * 1000) div n_nodes").as("mean_deg_x1000"),
+            col("n_tail"),
+            round(lit(1.0) + col("n_tail") / col("lsum"), 4).as("alpha"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+             |e AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM li a JOIN li b USING (l_orderkey)
+             |  WHERE a.l_partkey <> b.l_partkey),
+             |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+             |h AS (SELECT deg, count(*) AS c FROM deg GROUP BY deg)
+             |SELECT CAST(sum(c) AS BIGINT) AS n_nodes,
+             |  CAST(sum(deg * c) AS BIGINT) // 2 AS n_edges,
+             |  CAST(max(deg) AS BIGINT) AS max_deg,
+             |  CAST((sum(deg * c) * 1000) // sum(c) AS BIGINT) AS mean_deg_x1000,
+             |  CAST(coalesce(sum(c) FILTER (WHERE deg >= 2), 0) AS BIGINT) AS n_tail,
+             |  round(1.0 + coalesce(sum(c) FILTER (WHERE deg >= 2), 0)
+             |    / list_sum(list(CASE WHEN deg >= 2
+             |        THEN c * ln(deg / 1.5) ELSE 0.0 END ORDER BY deg)), 4) AS alpha
+             |FROM h""".stripMargin),
+      "degree histogram summary + Clauset-MLE power-law tail exponent over the edge artifact"),
+
     // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
     // al. 2007) — the privacy screen a release pipeline runs BEFORE
     // publishing user-derived tables: every quasi-identifier equivalence

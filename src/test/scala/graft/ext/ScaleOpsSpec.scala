@@ -860,4 +860,24 @@ class ScaleOpsSpec extends SparkSpec {
       spark.read.schema(Winnow.IndexSchema).parquet(idx))) == want,
       "replay-duplicated index rows leaked into served pairs")
   }
+
+  test("graph_degree_stats: hand K3-plus-pendant graph matches the MLE closed form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degfix").toString
+    // order 10 buys parts {1,2,3} (a triangle), order 11 buys {3,4}:
+    // degrees 1→2, 2→2, 3→3, 4→1; hist {1:1, 2:2, 3:1}
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.SparkEntry.queries("graph_degree_stats")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 4L, "n_nodes")
+    assert(r.getLong(1) == 4L, "n_edges (directed 8 / 2)")
+    assert(r.getLong(2) == 3L, "max_deg")
+    assert(r.getLong(3) == 2000L, "mean_deg_x1000 = 8000/4")
+    assert(r.getLong(4) == 3L, "n_tail (deg >= 2)")
+    val lsum = 2.0 * math.log(2.0 / 1.5) + math.log(3.0 / 1.5)
+    val want = BigDecimal(1.0 + 3.0 / lsum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == want, s"alpha: ${r.getDouble(5)} vs $want")
+  }
 }

@@ -66,13 +66,14 @@ class RegistrySpec extends AnyFunSuite {
     // +shards_balance_audit → 228; +dedup_winnow_indexed → 229;
     // +privacy_kanon, +events_contribution_cap → 231;
     // +events_survival, +corpus_concentration → 233;
-    // +quality_calibration, +stats_spearman → 235):
+    // +quality_calibration, +stats_spearman → 235;
+    // +graph_degree_stats → 236):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 235 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 236 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")
