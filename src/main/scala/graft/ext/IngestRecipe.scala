@@ -50,19 +50,31 @@ object IngestRecipe {
     * batch's exactly-once output. */
   def applyBatch(batchKeys: DataFrame, batchId: Long, outPath: String,
       parts: Seq[IndexPart])(probe: Seq[DataFrame] => DataFrame): Unit = {
+    val bases = preCrashBases(batchKeys, parts.map(p => p.path -> p.schema))
+    writeBatchOutput(probe(bases), outPath, batchId)
+    appendParts(parts)
+  }
+
+  /** Step 1, shared: each standing component anti-joined against the
+    * batch's own keys — the pre-crash base a replay must probe. */
+  private def preCrashBases(batchKeys: DataFrame,
+      parts: Seq[(String, StructType)]): Seq[DataFrame] = {
     val spark = batchKeys.sparkSession
     val keyCols = batchKeys.columns.toSeq
-    val bases = parts.map { p =>
-      ParquetIO.readOrEmpty(spark, p.path, p.schema)
+    parts.map { case (path, schema) =>
+      ParquetIO.readOrEmpty(spark, path, schema)
         .join(batchKeys, keyCols, "left_anti")
     }
-    writeBatchOutput(probe(bases), outPath, batchId)
+  }
+
+  /** Step 3, shared: O(delta) append of the batch's rows to each index
+    * component (partitioned components land only in their footprint). */
+  private def appendParts(parts: Seq[IndexPart]): Unit =
     parts.foreach { p =>
       val w = p.rows.write.mode("append")
       (if (p.partitionBy.nonEmpty) w.partitionBy(p.partitionBy: _*) else w)
         .parquet(p.path)
     }
-  }
 
   /** [[applyBatch]] variant for paths whose index merge is a PROJECTION
     * OF THE PROBE'S OWN OUTPUT (e.g. the contribution-cap ledger gains
@@ -81,20 +93,11 @@ object IngestRecipe {
       probeParts: Seq[(String, StructType)])
       (probe: Seq[DataFrame] => DataFrame)
       (merge: DataFrame => Seq[IndexPart]): Unit = {
-    val spark = batchKeys.sparkSession
-    val keyCols = batchKeys.columns.toSeq
-    val bases = probeParts.map { case (path, schema) =>
-      ParquetIO.readOrEmpty(spark, path, schema)
-        .join(batchKeys, keyCols, "left_anti")
-    }
+    val bases = preCrashBases(batchKeys, probeParts)
     writeBatchOutput(probe(bases), outPath, batchId)
-    val outBack = spark.read.schema(outSchema)
+    val outBack = batchKeys.sparkSession.read.schema(outSchema)
       .parquet(s"$outPath/batch_id=$batchId")
-    merge(outBack).foreach { p =>
-      val w = p.rows.write.mode("append")
-      (if (p.partitionBy.nonEmpty) w.partitionBy(p.partitionBy: _*) else w)
-        .parquet(p.path)
-    }
+    appendParts(merge(outBack))
   }
 
   /** Periodic compaction of a replay-duplicated standing index: full-row

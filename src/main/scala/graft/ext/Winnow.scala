@@ -126,9 +126,12 @@ object Winnow {
     pairsFrom(fingerprints(docs, k, w), minShared, maxDf)
 
   /** Materialize the standing fingerprint index — the once-per-snapshot
-    * pass whose cost every later screen amortizes. */
+    * pass whose cost every later screen amortizes. Distinct on
+    * (doc_id, fh): the same hash selected at several positions (an
+    * internally repeated run) must store ONE posting, matching the
+    * pair semantics. */
   def buildIndex(docs: DataFrame, path: String, k: Int = 4, w: Int = 5): Unit =
-    fingerprints(docs, k, w).select("doc_id", "fh")
+    fingerprints(docs, k, w).select("doc_id", "fh").distinct()
       .write.mode("overwrite").parquet(path)
 
   /** One document micro-batch through the winnow screen, exactly-once on
@@ -150,7 +153,14 @@ object Winnow {
   def ingestBatch(batch: DataFrame, indexPath: String, pairsOutPath: String,
       batchId: Long, k: Int = 4, w: Int = 5,
       minShared: Int = 2, maxDf: Int = 50): Unit = {
+    // fingerprint ONCE (localCheckpoint: the probe references this frame
+    // four times and the index merge once — without materialization the
+    // text-reading selection pass would rerun per reference); distinct on
+    // (doc_id, fh) because a hash selected at several positions (an
+    // internally repeated run) must count as ONE posting, exactly as
+    // pairsFrom's distinct does in the inline/full run
     val batchFps = fingerprints(batch, k, w).select("doc_id", "fh")
+      .distinct().localCheckpoint()
     IngestRecipe.applyBatch(
       batch.select("doc_id"), batchId, pairsOutPath,
       Seq(IngestRecipe.IndexPart(indexPath, IndexSchema, batchFps))) {

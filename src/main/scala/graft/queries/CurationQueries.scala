@@ -869,22 +869,7 @@ object CurationQueries {
     // [[graft.ext.Winnow.pairsFrom]] for the hub cap and join shapes.
     "dedup_winnow_pairs" -> Q(
       (s, dir) => graft.ext.Winnow.pairs(table(s, dir, "documents")),
-      Some(s"""WITH $winnowFpsCte,
-             |fpd AS (SELECT DISTINCT doc_id, fh FROM fps),
-             |freq AS (SELECT fh, count(*) AS nd FROM fpd GROUP BY fh),
-             |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY doc_id),
-             |j AS (SELECT f.doc_id, f.fh FROM fpd f JOIN freq USING (fh)
-             |      WHERE nd BETWEEN 2 AND 50),
-             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |        CAST(count(*) AS BIGINT) AS n_shared
-             |      FROM j a JOIN j b ON a.fh = b.fh AND a.doc_id < b.doc_id
-             |      GROUP BY 1, 2 HAVING count(*) >= 2)
-             |SELECT doc_a, doc_b, n_shared,
-             |  CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
-             |  round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4) AS containment
-             |FROM p JOIN sizes sa ON sa.doc_id = doc_a
-             |       JOIN sizes sb ON sb.doc_id = doc_b
-             |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(winnowPairsSql),
       "MOSS pair detection: doc pairs sharing ≥2 winnowed fingerprints, containment-scored"),
 
     // The same pair detection SERVED from the standing fingerprint index
@@ -903,26 +888,34 @@ object CurationQueries {
         graft.ext.Winnow.pairsFrom(
           s.read.schema(graft.ext.Winnow.IndexSchema).parquet(p))
       },
-      Some(s"""WITH $winnowFpsCte,
-             |fpd AS (SELECT DISTINCT doc_id, fh FROM fps),
-             |freq AS (SELECT fh, count(*) AS nd FROM fpd GROUP BY fh),
-             |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY doc_id),
-             |j AS (SELECT f.doc_id, f.fh FROM fpd f JOIN freq USING (fh)
-             |      WHERE nd BETWEEN 2 AND 50),
-             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |        CAST(count(*) AS BIGINT) AS n_shared
-             |      FROM j a JOIN j b ON a.fh = b.fh AND a.doc_id < b.doc_id
-             |      GROUP BY 1, 2 HAVING count(*) >= 2)
-             |SELECT doc_a, doc_b, n_shared,
-             |  CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
-             |  round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4) AS containment
-             |FROM p JOIN sizes sa ON sa.doc_id = doc_a
-             |       JOIN sizes sb ON sb.doc_id = doc_b
-             |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(winnowPairsSql),
       "MOSS pair detection served from the standing winnow-fingerprint index")
   )
 
-  /** DuckDB twin of [[winnowFingerprints]] (k=4, w=5) — the CTE chain
+  /** The ONE pair-detection oracle shared verbatim by dedup_winnow_pairs
+    * and dedup_winnow_indexed — the indexed entry's "hash-identical to
+    * the inline form" contract is enforced by sharing the definition, so
+    * a one-sided edit is impossible. A `def` for the same
+    * initialization-order reason as [[winnowFpsCte]]. */
+  private def winnowPairsSql: String =
+    s"""WITH $winnowFpsCte,
+       |fpd AS (SELECT DISTINCT doc_id, fh FROM fps),
+       |freq AS (SELECT fh, count(*) AS nd FROM fpd GROUP BY fh),
+       |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpd GROUP BY doc_id),
+       |j AS (SELECT f.doc_id, f.fh FROM fpd f JOIN freq USING (fh)
+       |      WHERE nd BETWEEN 2 AND 50),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS BIGINT) AS n_shared
+       |      FROM j a JOIN j b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+       |  round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4) AS containment
+       |FROM p JOIN sizes sa ON sa.doc_id = doc_a
+       |       JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of [[graft.ext.Winnow.fingerprints]] (k=4, w=5) — the CTE chain
     * shared by the text_winnowing and dedup_winnow_pairs oracles, ending
     * in `fps(doc_id, sel, fh)` (and exposing `g` for gram totals).
     * A `def`: `val all` interpolates it at object init, and a trailing

@@ -640,7 +640,7 @@ object ExtQueries {
               |    CAST(sum(conf6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS conf6,
               |    CAST(sum(acc6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS acc6,
               |    CAST(sum(gap6 * n) AS BIGINT) // CAST(sum(n) AS BIGINT) AS gap6
-              |  FROM rows_)
+              |  FROM rows_ HAVING count(*) > 0)
               |SELECT bin, n, conf6, acc6, gap6 FROM rows_
               |UNION ALL SELECT bin, n, conf6, acc6, gap6 FROM tot
               |ORDER BY bin""".stripMargin),

@@ -528,7 +528,8 @@ object MiningQueries {
              |  SELECT * FROM per_type
              |  UNION ALL
              |  SELECT '*', CAST(sum(raw_events) AS BIGINT),
-             |    CAST(sum(capped_events) AS BIGINT) FROM per_type)
+             |    CAST(sum(capped_events) AS BIGINT) FROM per_type
+             |  HAVING count(*) > 0)
              |SELECT event_type, raw_events, capped_events,
              |  round(capped_events / CAST(raw_events AS DOUBLE), 4) AS keep_rate
              |FROM unioned ORDER BY event_type""".stripMargin),

@@ -90,13 +90,16 @@ object StatsQueries {
         val li = table(s, dir, "lineitem")
           .select(col("l_quantity").cast("double").as("q"),
             col("l_extendedprice").cast("double").as("p"))
+        // ONE pruned-two-column scalar probe for both variables' ranges
+        // (the pack_sequences pattern); null min/max = empty table → any
+        // constant range works
+        val mm = li.agg(min(col("q")), max(col("q")),
+          min(col("p")), max(col("p"))).collect()(0)
+        def bound(i: Int): Double =
+          Option(mm.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val bounds = Map("q" -> (bound(0), bound(1)), "p" -> (bound(2), bound(3)))
         def rank2(c: String): DataFrame = {
-          // one pruned-column scalar probe (the pack_sequences pattern);
-          // null min/max = empty table → any constant range works
-          val mm = li.agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
-            .collect()(0)
-          val lo = Option(mm.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-          val hi = Option(mm.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+          val (lo, hi) = bounds(c)
           val byV = li.select(col(c).as("v"))
             .groupBy("v").agg(count(lit(1)).as("cnt"))
             .withColumn("bucket",

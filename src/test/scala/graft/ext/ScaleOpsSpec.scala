@@ -821,9 +821,13 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("winnow ingest: 2-batch fold == full pairs restricted to batch-touching; replay idempotent") {
     val run = (1 to 16).map(i => s"s$i").mkString(" ")
+    // doc 2 carries the shared run TWICE (an internally repeated run):
+    // the same fingerprint hash is selected at two positions, and the
+    // ingest path must distinct-collapse it exactly like pairsFrom does
+    // (regression: a non-distinct batchFps inflated nd/n_shared/n_fp)
     val b1 = Seq(
       (1L, s"a1 a2 a3 $run"),
-      (2L, s"b1 b2 b3 b4 $run"),
+      (2L, s"b1 b2 b3 b4 $run x1 x2 x3 $run"),
       (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
     val b2 = Seq(
       (10L, s"c1 c2 $run"), // pairs cross-batch with 1 AND 2
