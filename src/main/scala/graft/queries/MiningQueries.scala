@@ -533,5 +533,97 @@ object MiningQueries {
              |SELECT event_type, raw_events, capped_events,
              |  round(capped_events / CAST(raw_events AS DOUBLE), 4) AS keep_rate
              |FROM unioned ORDER BY event_type""".stripMargin),
-      "per-user contribution cap (20 earliest events): kept volume per event type"))
+      "per-user contribution cap (20 earliest events): kept volume per event type"),
+
+    // Heavy-user concentration — the measurement that MOTIVATES the
+    // contribution cap: the Gini coefficient of per-user event volume
+    // plus the exact share of all events contributed by the top 1% /
+    // 10% of users. Unlike corpus_concentration (source domain,
+    // metadata-scale list fold), the USER domain is data-scale, so the
+    // ranking runs as the kstest/spearman two-level prefix sum over the
+    // count-value histogram: bucket totals → broadcast range-join
+    // offsets (bounded 1024-row frame) → bucket-partitioned cumsum —
+    // never an unpartitioned window. Ties carry exact 2×average-ranks
+    // (Σ m·r2·c ≡ 2Σ rank·volume, so the rank-sum Gini closed form
+    // holds unchanged), moments in DECIMAL(38,0)/HUGEINT; the top-k
+    // boundary lands inside ONE tied histogram row, where every user
+    // has the same count, so the partial-group share is exact integer
+    // arithmetic (k = ceil-divisions, never floats). One combinable
+    // user agg, then everything is histogram-sized.
+    "events_user_concentration" -> Q(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val uc = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+        val h = uc.groupBy("c").agg(count(lit(1)).as("m"))
+        val maxC = Option(uc.agg(max("c")).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(1L)
+        val width = math.max(1L, (maxC + 1024L) / 1024L)
+        val bk = h.withColumn("bucket", (col("c") / width).cast("long"))
+        val totals = bk.groupBy("bucket")
+          .agg(sum("m").as("tm"), sum(col("c") * col("m")).as("te"))
+        val offsets = totals.as("x")
+          .join(broadcast(totals.as("y")),
+            col("y.bucket") < col("x.bucket"), "left")
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(coalesce(sum(col("y.tm")), lit(0L)).as("om"),
+            coalesce(sum(col("y.te")), lit(0L)).as("oe"))
+        val w = W.partitionBy("bucket").orderBy("c")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val pre = bk.join(broadcast(offsets), "bucket")
+          .withColumn("cum_u", col("om") + sum("m").over(w))
+          .withColumn("cum_e", col("oe") + sum(col("c") * col("m")).over(w))
+          .withColumn("r2",
+            lit(2L) * (col("cum_u") - col("m")) + col("m") + 1L)
+        val tot = pre.agg(sum("m").as("n"),
+          sum(col("c") * col("m")).as("t"),
+          sum(expr("CAST(m AS DECIMAL(38,0)) * r2 * c")).as("s2"))
+        def topShare(divisor: Int, name: String) = pre
+          .crossJoin(broadcast(tot))
+          .withColumn("k", expr(s"(n + ${divisor - 1}) div $divisor"))
+          .filter(col("n") - col("cum_u") + col("m") >= col("k")
+            && col("n") - col("cum_u") < col("k"))
+          .select(round(((col("t") - col("cum_e"))
+              + (col("k") - (col("n") - col("cum_u"))) * col("c"))
+            .cast("double") / col("t"), 6).as(name))
+        tot
+          .select(col("n").as("n_users"), col("t").as("n_events"),
+            round(col("s2").cast("double")
+                / (col("n").cast("double") * col("t").cast("double"))
+              - (col("n") + lit(1)) / col("n").cast("double"), 6).as("gini"))
+          .crossJoin(topShare(100, "top1pct_share"))
+          .crossJoin(topShare(10, "top10pct_share"))
+      },
+      Some("""WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |h AS (SELECT c, count(*) AS m FROM uc GROUP BY c),
+             |pre AS (
+             |  SELECT c, m,
+             |    sum(m) OVER w AS cum_u,
+             |    sum(c * m) OVER w AS cum_e,
+             |    2 * (sum(m) OVER w - m) + m + 1 AS r2
+             |  FROM h
+             |  WINDOW w AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (
+             |  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t,
+             |    sum(CAST(m AS HUGEINT) * r2 * c) AS s2
+             |  FROM pre),
+             |t1 AS (
+             |  SELECT round(((t - cum_e)
+             |      + (((n + 99) // 100) - (n - cum_u)) * c)
+             |    / CAST(t AS DOUBLE), 6) AS top1pct_share
+             |  FROM pre, tot
+             |  WHERE n - cum_u + m >= (n + 99) // 100
+             |    AND n - cum_u < (n + 99) // 100),
+             |t10 AS (
+             |  SELECT round(((t - cum_e)
+             |      + (((n + 9) // 10) - (n - cum_u)) * c)
+             |    / CAST(t AS DOUBLE), 6) AS top10pct_share
+             |  FROM pre, tot
+             |  WHERE n - cum_u + m >= (n + 9) // 10
+             |    AND n - cum_u < (n + 9) // 10)
+             |SELECT n AS n_users, t AS n_events,
+             |  round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             |    - (n + 1) / CAST(n AS DOUBLE), 6) AS gini,
+             |  top1pct_share, top10pct_share
+             |FROM tot, t1, t10""".stripMargin),
+      "heavy-user concentration: rank-sum Gini + exact top-1%/10% volume shares"))
 }

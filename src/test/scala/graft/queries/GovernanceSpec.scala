@@ -109,4 +109,32 @@ class GovernanceSpec extends SparkSpec {
       ledger, out, 2L, cap = 5)
     assert(keptIds == want, "post-replay quota counting broke (duplicate ledger rows?)")
   }
+
+  test("events_user_concentration: hand Gini and exact tied-boundary top shares") {
+    def run(counts: Seq[Int]): (Long, Long, Double, Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_uconc").toString
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val rows = counts.zipWithIndex.flatMap { case (c, u) =>
+        (1 to c).map(i => (u * 1000L + i, u.toLong + 1L, t0))
+      }
+      rows.toDF("event_id", "user_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val r = graft.SparkEntry.queries("events_user_concentration")(spark, dir)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    // counts [1,1,2,6]: sorted rank-sum 2Σi·x = 66 → G = 66/40 − 5/4 = 0.4;
+    // k1 = k10 = 1 → the single heaviest user's 6/10
+    assert(run(Seq(1, 1, 2, 6)) == ((4L, 10L, 0.4, 0.6, 0.6)))
+    // 15 users ×1 + 5 users ×4: the top-10% cut (k=2) lands INSIDE the
+    // tied c=4 group → exact partial share 2·4/35; Gini 960/700 − 21/20
+    val (n, t, g, s1, s10) = run(Seq.fill(15)(1) ++ Seq.fill(5)(4))
+    assert((n, t) == ((20L, 35L)))
+    assert(g == BigDecimal(960.0 / 700.0 - 21.0 / 20.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"gini $g")
+    assert(s1 == BigDecimal(4.0 / 35.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(s10 == BigDecimal(8.0 / 35.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
