@@ -115,11 +115,12 @@ object Monitor {
       Seq(IngestRecipe.IndexPart(ledgerPath, ledgerSchema, facts))) {
       case Seq(base) =>
         // base is already anti-joined on the batch's keys; full-row dedup
-        // absorbs replay duplicates, and conflicting counts on one
-        // (type, day) — only possible through misuse — fail loudly here
-        // exactly like [[readLedger]] (a subset-keyed dedup would pick a
-        // survivor nondeterministically)
-        val all = base.dropDuplicates().unionByName(facts)
+        // over base ∪ facts absorbs replay duplicates AND bit-identical
+        // duplicate day rows within one batch (readLedger's semantics),
+        // so only genuinely DISAGREEING counts on one (type, day) — only
+        // possible through misuse — fail loudly here (a subset-keyed
+        // dedup would pick a survivor nondeterministically)
+        val all = base.unionByName(facts).dropDuplicates()
         val conflicts = all.groupBy("event_type", "d").count()
           .filter(col("count") > 1).count()
         require(conflicts == 0,

@@ -112,8 +112,13 @@ object Shards {
       s"nShards must be in [1, 4096]: $nShards")
     val withTok = docs.select(col("doc_id"), col("text"))
       .withColumn("tok", TextStats.wsTokenCount(col("text")).cast("long"))
+    // loud pad-contract guard ([[Guards.padGuard]]): a doc at ≥10⁷ tokens
+    // would make the complement negative and the zero-padded sort key
+    // lexicographically wrong — fail the job instead of silently
+    // mis-ranking the balanced leg
+    val guard = Guards.padGuard(col("tok"), 9999999L, "balanceAudit: token count")
     val keyed = withTok.withColumn("k",
-      concat(lpad((lit(9999999L) - col("tok")).cast("string"), 7, "0"),
+      concat(lpad((lit(9999999L) - col("tok") + guard).cast("string"), 7, "0"),
         lpad(col("doc_id").cast("string"), 18, "0")))
     val balanced = Indexing.globalIndex(keyed, "k")
       .withColumn("shard", (col("global_idx") % nShards).cast("int"))

@@ -53,8 +53,14 @@ object Winnow {
     * cross-doc join key. Shared by every consumer so all read the SAME
     * fingerprint definition. */
   def fingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    // loud 10^6-pad-contract guard ([[Guards.padGuard]]): a doc over 10^6
+    // tokens fails the job instead of silently corrupting the
+    // lexicographic min-of-window (a negative complement lpads to a
+    // '-'-prefixed string that sorts BELOW every digit)
+    val guard = Guards.padGuard(col("pos"), 1000000L, "winnowing: gram position")
     val keyed = grams(docs, k).withColumn("kq",
-      concat(col("h"), lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+      concat(col("h"),
+        lpad((lit(1000000) - col("pos") + guard).cast("string"), 7, "0")))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
     keyed
       .withColumn("sel", min("kq").over(win))

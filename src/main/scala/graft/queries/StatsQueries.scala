@@ -74,10 +74,10 @@ object StatsQueries {
     // robust screen when the relationship is nonlinear or heavy-tailed).
     // Ranks are EXACT average ranks carried as 2·rank integers
     // (2·cum_before + cnt + 1 — fractional .5 ties stay integral), built
-    // per variable from its value histogram with the kstest two-level
-    // prefix sum: bucket totals → broadcast range-join offsets (bounded
-    // 1024-row frame at ANY scale) → bucket-partitioned intra-cumsum —
-    // never an unpartitioned window, never a row-level sort. Rank moments
+    // per variable from its value histogram with the shared [[PrefixSum]]
+    // two-level machinery (bucket totals → broadcast range-join offsets →
+    // bucket-partitioned intra-cumsum — never an unpartitioned window,
+    // never a row-level sort). Rank moments
     // accumulate in DECIMAL(38,0)/HUGEINT (Σr²≈4n³ needs int128 past
     // ~10⁶ rows); the closed form divides as doubles, identical IEEE ops
     // in both engines. Joins back to rows are value-keyed equi-joins on
@@ -86,7 +86,6 @@ object StatsQueries {
     // offsets frame, so parallelism is unbounded by row count.
     "stats_spearman" -> Q(
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val li = table(s, dir, "lineitem")
           .select(col("l_quantity").cast("double").as("q"),
             col("l_extendedprice").cast("double").as("p"))
@@ -99,23 +98,10 @@ object StatsQueries {
           Option(mm.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         val bounds = Map("q" -> (bound(0), bound(1)), "p" -> (bound(2), bound(3)))
         def rank2(c: String): DataFrame = {
-          val (lo, hi) = bounds(c)
           val byV = li.select(col(c).as("v"))
             .groupBy("v").agg(count(lit(1)).as("cnt"))
-            .withColumn("bucket",
-              floor((col("v") - lit(lo)) * 1024 / lit(hi - lo + 1)).cast("long"))
-          val totals = byV.groupBy("bucket").agg(sum("cnt").as("tc"))
-          val offsets = totals.as("x")
-            .join(broadcast(totals.as("y")),
-              col("y.bucket") < col("x.bucket"), "left")
-            .groupBy(col("x.bucket").as("bucket"))
-            .agg(coalesce(sum(col("y.tc")), lit(0L)).as("off"))
-          val w = W.partitionBy("bucket").orderBy("v")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-          byV.join(broadcast(offsets), "bucket")
-            .withColumn("cum", col("off") + sum("cnt").over(w))
-            .select(col("v"),
-              (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).as("r2"))
+          graft.ext.PrefixSum.rank2(byV, "v", "cnt", Some(bounds(c)))
+            .select("v", "r2")
         }
         val ranked = li
           .join(rank2("q").withColumnRenamed("v", "q")
@@ -464,18 +450,14 @@ object StatsQueries {
     // Two-sample Kolmogorov–Smirnov: D = max_v |ECDF_en(v) − ECDF_rest(v)|
     // over document length — the distribution-shift test run when a new
     // crawl snapshot lands (does source X's length profile match the
-    // corpus?). The cumulative sums use the pack_sequences two-level
-    // prefix-sum so NO window is unpartitioned: distinct values collapse
-    // into 1024 fixed range buckets; per-bucket totals (≤1024 rows) turn
-    // into starting offsets via a broadcast theta-join prefix sum
-    // (window-free at the top level); the intra-bucket cumsum runs under
-    // a bucket-PARTITIONED window. All counts stay BIGINT until the final
-    // two divisions, so the gap doubles are bit-identical across engines.
-    // The max-id probe is the same single pruned-column scan
-    // pack_sequences documents.
+    // corpus?). The cumulative sums run on the shared [[PrefixSum]]
+    // two-level machinery (bucket totals → broadcast theta-join offsets →
+    // bucket-PARTITIONED intra-cumsum — nothing unpartitioned). All
+    // counts stay BIGINT until the final two divisions, so the gap
+    // doubles are bit-identical across engines. The max probe is the
+    // same single pruned-column scan pack_sequences documents.
     "stats_kstest" -> Q(
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val docs = table(s, dir, "documents")
         val byV = docs
           .select(col("n_chars").as("v"),
@@ -483,22 +465,12 @@ object StatsQueries {
           .groupBy("v").agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
         val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val width = math.max(1L, (maxV + 1024L) / 1024L)
-        val bk = byV.withColumn("bucket", (col("v") / width).cast("long"))
-        val totals = bk.groupBy("bucket")
-          .agg(sum("ca").as("tca"), sum("cb").as("tcb"))
-        val offsets = totals.as("x")
-          .join(broadcast(totals.as("y")),
-            col("y.bucket") < col("x.bucket"), "left")
-          .groupBy(col("x.bucket").as("bucket"))
-          .agg(coalesce(sum(col("y.tca")), lit(0L)).as("oa"),
-            coalesce(sum(col("y.tcb")), lit(0L)).as("ob"))
-        val w = W.partitionBy("bucket").orderBy("v")
-          .rowsBetween(W.unboundedPreceding, W.currentRow)
         val nn = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
-        val gaps = bk.join(broadcast(offsets), "bucket")
-          .withColumn("cuma", col("oa") + sum("ca").over(w))
-          .withColumn("cumb", col("ob") + sum("cb").over(w))
+        val gaps = graft.ext.PrefixSum
+          .cumulative(byV, "v", Seq("ca", "cb"),
+            bounds = Some((0.0, maxV.toDouble)))
+          .withColumnRenamed("cum_ca", "cuma")
+          .withColumnRenamed("cum_cb", "cumb")
           .crossJoin(broadcast(nn))
           .withColumn("gap",
             abs(col("cuma").cast("double") / col("na")
@@ -592,7 +564,6 @@ object StatsQueries {
     // groups and the all-tied σ=0 case yield NULL, not an error).
     "stats_mannwhitney" -> Q(
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val docs = table(s, dir, "documents")
         val byV = docs
           .select(col("n_chars").as("v"),
@@ -601,18 +572,9 @@ object StatsQueries {
         // single-scalar probe, kstest-style (adjudicated acceptable)
         val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val width = math.max(1L, (maxV + 1024L) / 1024L)
-        val bk = byV.withColumn("bucket", (col("v") / width).cast("long"))
-        val totals = bk.groupBy("bucket").agg(sum("cb").as("tcb"))
-        val offsets = totals.as("x")
-          .join(broadcast(totals.as("y")),
-            col("y.bucket") < col("x.bucket"), "left")
-          .groupBy(col("x.bucket").as("bucket"))
-          .agg(coalesce(sum(col("y.tcb")), lit(0L)).as("ob"))
-        val w = W.partitionBy("bucket").orderBy("v")
-          .rowsBetween(W.unboundedPreceding, W.currentRow)
-        val cum = bk.join(broadcast(offsets), "bucket")
-          .withColumn("cumb", col("ob") + sum("cb").over(w))
+        val cum = graft.ext.PrefixSum
+          .cumulative(byV, "v", Seq("cb"), bounds = Some((0.0, maxV.toDouble)))
+          .withColumnRenamed("cum_cb", "cumb")
         cum.agg(
             sum("ca").as("na"), sum("cb").as("nb"),
             sum(col("ca") * (lit(2L) * (col("cumb") - col("cb")) + col("cb")))

@@ -865,6 +865,39 @@ class ScaleOpsSpec extends SparkSpec {
       "replay-duplicated index rows leaked into served pairs")
   }
 
+  test("winnow ingest: fingerprint crossing maxDf between batches pins the time-of-arrival divergence") {
+    // The DOCUMENTED incremental caveat (Winnow.ingestBatch scaladoc):
+    // the maxDf hub cap is evaluated over the corpus AS OF each batch.
+    // Four identical docs, cap 3: batch 1 ships three (df=3, in-cap →
+    // pairs emitted); batch 2 ships the fourth (df=4 > cap → it emits
+    // NOTHING through the now-hub hash, and the earlier pairs are
+    // permanently retained even though a full re-run over the final
+    // index would exclude them). This pin makes the contract regression-
+    // proof in BOTH directions: retained history AND silent later batch.
+    val run = (1 to 16).map(i => s"m$i").mkString(" ")
+    val b1 = Seq((1L, run), (2L, run), (3L, run))
+    val b2 = Seq((4L, run))
+    val root = java.nio.file.Files.createTempDirectory("graft_winnow_df")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    Winnow.ingestBatch(b1.toDF("doc_id", "text"), idx, out, 0L, maxDf = 3)
+    val afterB1 = spark.read.parquet(out)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"batch 1 at df=3 must pair all three: $afterB1")
+    Winnow.ingestBatch(b2.toDF("doc_id", "text"), idx, out, 1L, maxDf = 3)
+    val afterB2 = spark.read.parquet(out)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB2 == afterB1,
+      "the cap-crossing batch must emit nothing AND retain earlier pairs")
+    // a full pairs re-run over the final index sees df=4 > cap everywhere
+    val rerun = Winnow.pairsFrom(
+      spark.read.schema(Winnow.IndexSchema).parquet(idx), maxDf = 3)
+    assert(rerun.isEmpty, "full re-run over the crossed-cap index must be empty")
+  }
+
   test("graph_degree_stats: hand K3-plus-pendant graph matches the MLE closed form") {
     val dir = java.nio.file.Files.createTempDirectory("graft_degfix").toString
     // order 10 buys parts {1,2,3} (a triangle), order 11 buys {3,4}:

@@ -135,4 +135,18 @@ class ShardsSpec extends SparkSpec {
     assert(out(("balanced", 0))._2 == 100L + 3 * 5L,
       "shard 0 gets ranks 0,4,8,12: the giant plus three 5-token docs")
   }
+
+  test("padGuard: 0 under the bound, loud SparkException over it (the two pad-contract guards)") {
+    import spark.implicits._
+    val ok = Seq(1L, 99L, 100L).toDF("v")
+      .select((lit(100L) - col("v") + Guards.padGuard(col("v"), 100L, "t")).as("c"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ok == Set(99L, 1L, 0L), "in-contract values must pass through unchanged")
+    val thrown = intercept[Exception] {
+      Seq(101L).toDF("v")
+        .select(Guards.padGuard(col("v"), 100L, "test quantity"))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("pad contract"), thrown.getMessage)
+  }
 }

@@ -1140,6 +1140,35 @@ class StreamingSpec extends SparkSpec {
     assert(thrown.getMessage.contains("conflicting"), thrown.getMessage)
   }
 
+  test("cusum monitor: bit-identical in-batch duplicates pass; in-batch disagreement still fails") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val mu = Seq(("x", 10000000L)).toDF("event_type", "mu6")
+    def run(batch: org.apache.spark.sql.DataFrame) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cusum_dup")
+      val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+      graft.ext.Monitor.cusumIngestBatch(batch, mu, ledger, out, 0L)
+      spark.read.parquet(out)
+        .select("event_type", "d", "c", "alarm").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getBoolean(3))).sortBy(t => (t._1, t._2)).toSeq
+    }
+    // two bit-identical rows for (x, d1) do NOT conflict — the guard must
+    // match readLedger's dropDuplicates-first semantics (ADVICE r11) and
+    // the output must equal the deduplicated batch's
+    val clean = run(Seq(("x", d1, 10L), ("x", d2, 12L)).toDF("event_type", "d", "c"))
+    val dup = run(Seq(("x", d1, 10L), ("x", d1, 10L), ("x", d2, 12L))
+      .toDF("event_type", "d", "c"))
+    assert(dup == clean, "identical in-batch duplicate day rows changed the output")
+    // genuinely disagreeing counts within one batch still fail loudly
+    val thrown = intercept[IllegalArgumentException] {
+      run(Seq(("x", d1, 10L), ("x", d1, 11L)).toDF("event_type", "d", "c"))
+    }
+    assert(thrown.getMessage.contains("conflicting"), thrown.getMessage)
+  }
+
   test("cusum stream: foreachBatch wiring lands the same alarm history") {
     import org.apache.spark.sql.functions._
     val daily = events(spark, dir)
