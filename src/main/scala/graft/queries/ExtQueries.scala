@@ -209,48 +209,69 @@ object ExtQueries {
           (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
             .as("w_millionths")))
 
+  /** DuckDB twin of `quality_train`: the K epochs UNROLLED as chained
+    * CTEs (e0 = zero weights; each eN aggregates epoch N's gradient over
+    * f × eN−1 and applies the update). Same exact-multiple floor-div,
+    * same Elliott rational sigmoid, same int64 micro-units — generated
+    * here so the two engines' epoch arithmetic can never drift. */
+  private def qualityTrainSql(k: Int): String = {
+    def fd(a: String, b: String) =
+      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+    val upd = (j: Int) =>
+      s"""CAST(coalesce(any_value(w$j), 0) - ${fd(s"coalesce(sum(x$j*r6), 0)",
+        "greatest(count(*), 1)*10")} AS BIGINT) AS w$j"""
+    val epochs = (1 to k).map { e =>
+      s"""z$e AS (
+         |  SELECT y, x0, x1, x2, w0, w1, w2,
+         |    500000 + ${fd("500000*(x0*w0 + x1*w1 + x2*w2)",
+        "1000000 + abs(x0*w0 + x1*w1 + x2*w2)")} - y*1000000 AS r6
+         |  FROM f CROSS JOIN e${e - 1}),
+         |e$e AS (
+         |  SELECT count(*) AS n, ${upd(0)}, ${upd(1)}, ${upd(2)},
+         |    CAST(coalesce(sum(abs(r6)), 0) AS BIGINT) AS sae6
+         |  FROM z$e)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(e =>
+      s"SELECT CAST($e AS BIGINT) AS epoch, n, w0, w1, w2, sae6 FROM e$e")
+      .mkString("\nUNION ALL ")
+    s"""WITH f AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    least(n_chars, 2000) // 100 AS x1,
+       |    least(len(regexp_split_to_array(trim(text), '\\s+')), 200) // 10 AS x2
+       |  FROM documents),
+       |e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |       CAST(0 AS BIGINT) AS w2),
+       |$epochs
+       |$sel
+       |ORDER BY epoch""".stripMargin
+  }
+
   /** Per-document packing prefix sum (lang, doc_id, toks, cum_start):
     * cum_start = tokens before this doc in its language's doc_id order.
-    * Two-level prefix sum, NOT a per-lang window: a plain per-lang window
-    * caps parallelism at the language count (a 100 TB scale-killer — each
-    * language's whole corpus serializes through one task). (1) shard each
-    * language by doc_id range — shard COUNT is fixed (1024), not shard
-    * size, so the offsets relation is bounded at langs × 1024 rows at ANY
-    * corpus size; (2) aggregate per-(lang, shard) token totals and turn
-    * them into per-shard starting offsets with a window over that tiny
-    * frame; (3) broadcast the offsets back and run the cumsum
-    * shard-locally. Identical to the global running sum; parallelism is
-    * langs × shards, unbounded by corpus size. The max-id probe is one
-    * pruned-to-one-column scan; null max = empty corpus (shardSize 1).
+    * Runs on the shared [[graft.ext.PrefixSum]] two-level machinery
+    * partitioned by lang (NOT a per-lang window — a plain per-lang window
+    * caps parallelism at the language count, a 100 TB scale-killer where
+    * each language's whole corpus serializes through one task; with the
+    * helper, parallelism is langs × 1024 buckets, unbounded by corpus
+    * size). The max-id probe is one pruned-to-one-column scan; null max =
+    * empty corpus. localCheckpoint: toks feeds both the helper's bucket
+    * totals and its cumsum join-back; without it the scan + per-doc
+    * tokenization (the dominant cost) runs twice.
     * Shared by pack_sequences and pack_budget_sweep. */
   private def packCumStart(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val numShards = 1024L
     val maxId = Option(table(s, dir, "documents")
       .agg(max(col("doc_id"))).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val shardSize = math.max(1L, (maxId + numShards) / numShards)
-    val W = org.apache.spark.sql.expressions.Window
-    // localCheckpoint: toks feeds BOTH the offsets aggregate and the
-    // cumsum join below; without it the scan + per-doc tokenization
-    // (the dominant cost) runs twice
     val toks = table(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
         TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
-      .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
       .localCheckpoint()
-    val offsets = toks.groupBy("lang", "shard")
-      .agg(sum("toks").as("shard_toks"))
-      .withColumn("offset",
-        coalesce(sum("shard_toks").over(
-          W.partitionBy("lang").orderBy("shard")
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .drop("shard_toks")
-    val wLocal = W.partitionBy("lang", "shard").orderBy("doc_id")
-      .rowsBetween(W.unboundedPreceding, -1)
-    toks.join(broadcast(offsets), Seq("lang", "shard"))
-      .withColumn("cum_start",
-        col("offset") + coalesce(sum("toks").over(wLocal), lit(0L)))
+    graft.ext.PrefixSum
+      .cumulative(toks, "doc_id", Seq("toks"), Seq("lang"),
+        bounds = Some((0.0, maxId.toDouble)))
+      .withColumn("cum_start", col("cum_toks") - col("toks"))
       .select("lang", "doc_id", "toks", "cum_start")
   }
 
@@ -587,6 +608,63 @@ object ExtQueries {
               |  FROM scored)
               |ORDER BY doc_id""".stripMargin),
       "linear quality classifier: broadcast weight table, exact integer sums, sigmoid gate"),
+
+    // Quality-classifier TRAINING — the step every fastText-style filter
+    // pipeline actually runs before quality_classifier can score: K=4
+    // full-batch logistic-regression epochs over 3 integer features
+    // (bias, capped-length bucket, capped-token bucket; label lang='en'),
+    // deterministic zero init, fixed lr=0.1. Each epoch is ONE
+    // map-side-combinable gradient aggregate (Σ xⱼ·(σ(w·x)−y) per
+    // feature) over a broadcast 1-row weight frame — K corpus scans
+    // total, no fact-side shuffle, weights localCheckpointed per epoch so
+    // the lazy chain never re-runs earlier epochs. ALL arithmetic is
+    // exact int64 micro-units: σ is the Elliott rational sigmoid
+    // 0.5 + 0.5·z/(1+|z|) (libm exp() differs across engines in last
+    // ulps; a rational σ in fixed point is bit-identical), gradient sums
+    // are exact integers (order-INdependent — a float sum would be
+    // partition-order dependent), and every division is reduced to an
+    // exact multiple via pmod so Spark's trunc `div` and DuckDB's `//`
+    // agree on negatives. Bounds: |z6| < 2^35, |Σx·r6| < 2^31·rows —
+    // int64 safe past 10^11 docs (then DECIMAL(38,0), chisq-style).
+    "quality_train" -> Q(
+      (s, dir) => {
+        val feats = table(s, dir, "documents")
+          .select(
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            lit(1L).as("x0"),
+            expr("least(n_chars, 2000) div 100").as("x1"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("tok"))
+          .select(col("y"), col("x0"), col("x1"),
+            expr("least(tok, 200) div 10").as("x2"))
+        // floor-div with b>0 via the exact-multiple trick (numerator made
+        // divisible, so trunc-div == floor-div in both engines)
+        def fd(a: String, b: String) = s"((($a) - pmod(($a), ($b))) div ($b))"
+        def step(w: org.apache.spark.sql.DataFrame) =
+          feats.crossJoin(broadcast(w))
+            .withColumn("z6", expr("x0*w0 + x1*w1 + x2*w2"))
+            .withColumn("r6", expr(
+              s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("x0*r6")).as("g0"), sum(expr("x1*r6")).as("g1"),
+              sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"),
+              max("w0").as("w0o"), max("w1").as("w1o"), max("w2").as("w2o"))
+            .select(col("n"),
+              expr(s"coalesce(w0o, 0L) - ${fd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
+              expr(s"coalesce(w1o, 0L) - ${fd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
+              expr(s"coalesce(w2o, 0L) - ${fd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
+              coalesce(col("sae6"), lit(0L)).as("sae6"))
+        var w = s.range(1)
+          .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+        val rows = (1 to 4).map { e =>
+          val out = step(w).localCheckpoint()
+          w = out.select("w0", "w1", "w2")
+          out.select(lit(e.toLong).as("epoch"), col("n"), col("w0"),
+            col("w1"), col("w2"), col("sae6"))
+        }
+        rows.reduce(_ unionByName _).orderBy("epoch")
+      },
+      Some(qualityTrainSql(4)),
+      "logistic-regression training (4 exact fixed-point epochs, rational sigmoid, one combinable gradient agg per epoch)"),
 
     // Calibration of that quality score (reliability diagram + ECE,
     // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8

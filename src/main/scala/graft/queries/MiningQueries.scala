@@ -287,6 +287,69 @@ object MiningQueries {
         Seq("hash", "join", "scan", "vector", "stream"))),
       "hybrid BM25 + dense-cosine retrieval fused by reciprocal-rank fusion"),
 
+    // End-to-end RAG context assembly — the serving-side composition an
+    // LLM retrieval pipeline actually runs, built ENTIRELY from stages
+    // this engine already ships: hybrid BM25+dense retrieval fused by RRF
+    // (search_hybrid_rrf's exact machinery) → 128-token chunking of ONLY
+    // the retrieved docs (text_chunk's convention) → greedy token-budget
+    // packing of chunks in relevance order until the 1024-token context
+    // window is full (pack_sequences' prefix-sum rule). Scale shape: the
+    // fusion output is k-bounded (20 docs), so everything after retrieval
+    // operates on a broadcast-scale frame — the chunk pass scans only the
+    // semi-joined docs, and the rank/cumsum runs as a ≤(20·chunks)²
+    // broadcast theta-join (the HybridSearch rankOf pattern; no
+    // unpartitioned window). Chunk order inside a doc is chunk_id; docs
+    // order by (rrf DESC, doc_id) — fully deterministic, oracle-twinned.
+    "search_rag_context" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val fused = graft.ext.HybridSearch.hybridRrf(
+          docs, table(s, dir, "embeddings"),
+          Seq("hash", "join", "scan", "vector", "stream"))
+        val ch = docs.join(broadcast(fused.select("doc_id", "rrf")), "doc_id")
+          .select(col("doc_id"), col("rrf"),
+            posexplode(graft.ext.Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+          .withColumn("chunk_id", (col("pos") / 128).cast("long"))
+          .groupBy("doc_id", "rrf", "chunk_id")
+          .agg(count(lit(1)).as("n_tokens"))
+          .localCheckpoint() // k-bounded frame; feeds both theta-join sides
+        val ahead = // b strictly ahead of a, or b == a (inclusive cumsum)
+          col("b.rrf") > col("a.rrf") ||
+            (col("b.rrf") === col("a.rrf") &&
+              (col("b.doc_id") < col("a.doc_id") ||
+                (col("b.doc_id") === col("a.doc_id") &&
+                  col("b.chunk_id") <= col("a.chunk_id"))))
+        ch.as("a").join(broadcast(ch.as("b")), ahead)
+          .groupBy(col("a.doc_id").as("doc_id"), col("a.chunk_id").as("chunk_id"))
+          .agg(count(lit(1)).as("ctx_rank"),
+            sum(col("b.n_tokens")).as("cum_tokens"),
+            max(col("a.n_tokens")).as("n_tokens"),
+            max(col("a.rrf")).as("rrf"))
+          .filter(col("cum_tokens") <= 1024L)
+          .select("ctx_rank", "doc_id", "chunk_id", "n_tokens", "cum_tokens", "rrf")
+          .orderBy("ctx_rank")
+      },
+      Some(s"""WITH fused AS (
+              |  SELECT doc_id, rrf FROM (${graft.ext.HybridSearch.hybridRrfSql(
+                   Seq("hash", "join", "scan", "vector", "stream"))})),
+              |tk AS ($posToksSql),
+              |ch AS (
+              |  SELECT tk.doc_id, f.rrf, (tk.pos - 1) // 128 AS chunk_id,
+              |    count(*) AS n_tokens
+              |  FROM tk JOIN fused f USING (doc_id)
+              |  GROUP BY 1, 2, 3),
+              |c AS (
+              |  SELECT doc_id, chunk_id, n_tokens, rrf,
+              |    row_number() OVER (ORDER BY rrf DESC, doc_id, chunk_id) AS ctx_rank,
+              |    CAST(sum(n_tokens) OVER (ORDER BY rrf DESC, doc_id, chunk_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              |  FROM ch)
+              |SELECT CAST(ctx_rank AS BIGINT) AS ctx_rank, doc_id, chunk_id,
+              |  n_tokens, cum_tokens, rrf
+              |FROM c WHERE cum_tokens <= 1024
+              |ORDER BY ctx_rank""".stripMargin),
+      "RAG context assembly: hybrid-RRF retrieve → chunk retrieved docs → pack to the 1024-token budget"),
+
     // Small-file compaction planner (the OPTIMIZE/bin-packing step of a
     // lakehouse layout job): per-day "files" (row count * est. row width)
     // packed contiguously into 32 KiB target bins within each month
@@ -540,10 +603,10 @@ object MiningQueries {
     // plus the exact share of all events contributed by the top 1% /
     // 10% of users. Unlike corpus_concentration (source domain,
     // metadata-scale list fold), the USER domain is data-scale, so the
-    // ranking runs as the kstest/spearman two-level prefix sum over the
-    // count-value histogram: bucket totals → broadcast range-join
-    // offsets (bounded 1024-row frame) → bucket-partitioned cumsum —
-    // never an unpartitioned window. Ties carry exact 2×average-ranks
+    // ranking runs on the shared [[graft.ext.PrefixSum]] two-level
+    // machinery over the count-value histogram (bucket totals →
+    // broadcast range-join offsets → bucket-partitioned cumsum —
+    // never an unpartitioned window). Ties carry exact 2×average-ranks
     // (Σ m·r2·c ≡ 2Σ rank·volume, so the rank-sum Gini closed form
     // holds unchanged), moments in DECIMAL(38,0)/HUGEINT; the top-k
     // boundary lands inside ONE tied histogram row, where every user
@@ -552,30 +615,19 @@ object MiningQueries {
     // user agg, then everything is histogram-sized.
     "events_user_concentration" -> Q(
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val uc = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
         val h = uc.groupBy("c").agg(count(lit(1)).as("m"))
+          .withColumn("e", col("c") * col("m"))
         val maxC = Option(uc.agg(max("c")).collect()(0).get(0))
           .map(_.asInstanceOf[Long]).getOrElse(1L)
-        val width = math.max(1L, (maxC + 1024L) / 1024L)
-        val bk = h.withColumn("bucket", (col("c") / width).cast("long"))
-        val totals = bk.groupBy("bucket")
-          .agg(sum("m").as("tm"), sum(col("c") * col("m")).as("te"))
-        val offsets = totals.as("x")
-          .join(broadcast(totals.as("y")),
-            col("y.bucket") < col("x.bucket"), "left")
-          .groupBy(col("x.bucket").as("bucket"))
-          .agg(coalesce(sum(col("y.tm")), lit(0L)).as("om"),
-            coalesce(sum(col("y.te")), lit(0L)).as("oe"))
-        val w = W.partitionBy("bucket").orderBy("c")
-          .rowsBetween(W.unboundedPreceding, W.currentRow)
-        val pre = bk.join(broadcast(offsets), "bucket")
-          .withColumn("cum_u", col("om") + sum("m").over(w))
-          .withColumn("cum_e", col("oe") + sum(col("c") * col("m")).over(w))
+        val pre = graft.ext.PrefixSum
+          .cumulative(h, "c", Seq("m", "e"),
+            bounds = Some((0.0, maxC.toDouble)))
+          .withColumnRenamed("cum_m", "cum_u")
           .withColumn("r2",
             lit(2L) * (col("cum_u") - col("m")) + col("m") + 1L)
         val tot = pre.agg(sum("m").as("n"),
-          sum(col("c") * col("m")).as("t"),
+          sum("e").as("t"),
           sum(expr("CAST(m AS DECIMAL(38,0)) * r2 * c")).as("s2"))
         def topShare(divisor: Int, name: String) = pre
           .crossJoin(broadcast(tot))

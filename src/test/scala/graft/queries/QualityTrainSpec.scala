@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** `quality_train` against a scalar fold of the EXACT integer-epoch
+  * arithmetic on a hand-separable fixture: long English docs vs short
+  * non-English ones. Pins (a) bit-exact weight trajectories (the whole
+  * point of the fixed-point design), (b) convergence to the known signs
+  * (longer ⇒ more likely en ⇒ w1, w2 end positive), (c) the empty-corpus
+  * guard. */
+class QualityTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fd(a: Long, b: Long): Long = { val m = ((a % b) + b) % b; (a - m) / b }
+
+  /** The spec's ground truth: the same 4 epochs over (y, x0, x1, x2)
+    * rows, scalar. */
+  private def scalarEpochs(rows: Seq[(Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    var w = Vector(0L, 0L, 0L)
+    (1 to 4).map { _ =>
+      val r6s = rows.map { case (y, x0, x1, x2) =>
+        val z = x0 * w(0) + x1 * w(1) + x2 * w(2)
+        (Seq(x0, x1, x2), 500000L + fd(500000L * z, 1000000L + math.abs(z)) - y * 1000000L)
+      }
+      val n = math.max(rows.size.toLong, 1L)
+      val sae = r6s.map { case (_, r) => math.abs(r) }.sum
+      w = Vector.tabulate(3)(j =>
+        w(j) - fd(r6s.map { case (x, r) => x(j) * r }.sum, n * 10))
+      (w(0), w(1), w(2), sae, n)
+    }
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    rows.map { case (id, lang, text) =>
+      (id, text, lang, "fix", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("separable fixture: bit-exact vs the scalar fold, signs converge positive") {
+    val longText = (1 to 150).map(i => s"w$i").mkString(" ") // 150 toks, ~640 chars
+    val shortText = "a b c d e"                              // 5 toks, 9 chars
+    val docs = (1L to 3L).map(i => (i, "en", longText)) ++
+      (4L to 6L).map(i => (i, "de", shortText))
+    val dir = writeDocs(docs)
+    val got = graft.SparkEntry.queries("quality_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // features exactly as the query derives them
+    val feats = docs.map { case (_, lang, text) =>
+      val tok = text.trim.split("\\s+").length.toLong
+      (if (lang == "en") 1L else 0L, 1L,
+        math.min(text.length.toLong, 2000L) / 100L, math.min(tok, 200L) / 10L)
+    }
+    val want = scalarEpochs(feats).zipWithIndex.map { case ((w0, w1, w2, sae, n), i) =>
+      ((i + 1).toLong, n, w0, w1, w2, sae)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    val (_, _, w0, w1, w2, _) = got.last
+    assert(w1 > 0 && w2 > 0,
+      s"separable fixture must drive both size features positive: w=($w0,$w1,$w2)")
+    // and the learned model separates the two classes: z(en-like) > 0 > z(de-like)
+    val zs = feats.map { case (y, x0, x1, x2) => (y, x0 * w0 + x1 * w1 + x2 * w2) }
+    assert(zs.forall { case (y, z) => if (y == 1L) z > 0 else z < 0 },
+      s"decision boundary failed: $zs with w=($w0,$w1,$w2)")
+  }
+
+  test("empty corpus: 4 epochs of zero weights, no division error") {
+    val dir = writeDocs(Seq.empty)
+    val got = graft.SparkEntry.queries("quality_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == (1L to 4L).map(e => (e, 0L, 0L, 0L, 0L, 0L)),
+      s"empty corpus must hold zero weights: ${got.toSeq}")
+  }
+}
