@@ -65,6 +65,22 @@ object Bench {
       if (fam != lastFamily) { lastFamily = fam; System.gc() }
     }
 
+    // Host-noise telemetry (judge directive r11 #5): the r10→r11 driver
+    // delta was a ~×1.18 median inflation on untouched code, diagnosable
+    // only from PERF.md prose. loadavg/free-mem snapshots plus a fixed
+    // 3-query calibration probe at sweep end make host noise visible in
+    // the artifact itself, so cross-round totals can be normalized.
+    def loadavg(): Double = scala.util.Try(
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble).getOrElse(-1.0)
+    def memAvailGb(): Double = scala.util.Try {
+      val l = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/meminfo")).toArray.map(_.toString)
+        .find(_.startsWith("MemAvailable")).get
+      math.round(l.split("\\s+")(1).toDouble / 1048576 * 100) / 100.0
+    }.getOrElse(-1.0)
+    val loadStart = loadavg()
+
     // SPARK_GRAFT_ONLY=a,b,c restricts the sweep to named queries — the
     // local-iteration / targeted-probe path (PERF.md's per-family 8×
     // probes). The driver never sets it, so the gate sweep is unchanged.
@@ -151,11 +167,29 @@ object Bench {
     // floor); list them so a broken second leg can't masquerade as fast
     val errs2 = results2.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // fixed 3-query calibration probe at sweep end (min of 2): three
+    // scan-bound queries whose fresh-JVM cost is stable across rounds, so
+    // any future judge can divide this round's calib by last round's to
+    // factor a host-noise band out of the cross-round total diff
+    val calib = calibration.map { name =>
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        runOnce(name, sfDir)
+        val t = (System.nanoTime() - t0) / 1e9
+        releaseAfter(name)
+        t
+      }
+      name -> runs.min
+    }
+    val calibJson = calib
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // after the calib probe, so a calibration-only crash is visible too
     val failJson = failures.toSeq.sorted
       .map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
+    val hostJson = f"""{"load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,"mem_avail_gb":${memAvailGb()}%.2f,"calib":$calibJson}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir","sf2":"$sfDir2","total_sf2":$total2,"queries_sf2":$qs2,"errors_sf2":$errs2,"failure_detail":$failJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir","sf2":"$sfDir2","total_sf2":$total2,"queries_sf2":$qs2,"errors_sf2":$errs2,"failure_detail":$failJson,"host":$hostJson}"""
     // full artifact (every query, every trial) goes to the file; see below
     // for why stdout gets a smaller line
     val outFile = args.headOption.getOrElse("/tmp/graft_bench.json")
@@ -181,7 +215,7 @@ object Bench {
     // so the slow tail carries trials and every headline keeps its min.
     def line(names: Seq[String], nTrials: Int): String =
       stdoutLine(names, nTrials, total, byName, trialsByName,
-        results.size, errs, errs2, sfDir, total2, sfDir2, outFile)
+        results.size, errs, errs2, sfDir, total2, sfDir2, outFile, hostJson)
     // shrink the trials set before ever dropping a headline query
     var nTrials = 12
     while (line(headline, nTrials).length > 1800 && nTrials > 0) nTrials -= 1
@@ -207,6 +241,13 @@ object Bench {
     "curation_pipeline", "pack_sequences", "multimodal_features",
     "asof_view_before_purchase", "source_dsv2_scrape")
 
+  /** The fixed host-noise calibration probes (re-run at sweep end, min of
+    * 2): stable scan-bound queries a judge can ratio across rounds to
+    * separate host drift from plan regressions. Pinned here (not derived
+    * from the registry) so the set can never silently change. */
+  val calibration: Seq[String] =
+    Seq("table_counts", "q1_pricing_summary", "source_dsv2_scrape")
+
   /** The compact stdout line — factored out of [[main]] so BenchLineSpec
     * can assert the full [[headline]] set fits the ~1800-char budget even
     * at the shrink loop's nTrials=0 floor (the point past which headline
@@ -214,7 +255,8 @@ object Bench {
   def stdoutLine(names: Seq[String], nTrials: Int, total: Double,
       byName: Map[String, Double], trialsByName: Map[String, Seq[Double]],
       nQueries: Int, errs: String, errs2: String, sfDir: String,
-      total2: Double, sfDir2: String, outFile: String): String = {
+      total2: Double, sfDir2: String, outFile: String,
+      host: String = "{}"): String = {
     val hq = names.flatMap(n => byName.get(n).map(t => f""""$n":$t%.3f"""))
       .mkString("{", ",", "}")
     val slowest = names.flatMap(n => byName.get(n).map(n -> _))
@@ -222,6 +264,6 @@ object Bench {
     val ht = slowest.flatMap(n => trialsByName.get(n).map(v =>
       "\"" + n + "\":" + v.map(t => f"$t%.2f").mkString("[", ",", "]")))
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$hq,"trials":$ht,"n_queries":$nQueries,"errors":$errs,"errors_sf2":$errs2,"sf":"$sfDir","total_sf2":$total2%.2f,"sf2":"$sfDir2","artifact":"$outFile"}"""
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$hq,"trials":$ht,"n_queries":$nQueries,"errors":$errs,"errors_sf2":$errs2,"sf":"$sfDir","total_sf2":$total2%.2f,"sf2":"$sfDir2","artifact":"$outFile","host":$host}"""
   }
 }

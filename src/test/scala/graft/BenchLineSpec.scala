@@ -17,6 +17,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline names not in the registry: $missing")
   }
 
+  test("calibration probes are registered queries and the host block rides the line") {
+    val missing = Bench.calibration.filterNot(SparkEntry.registry.contains)
+    assert(missing.isEmpty, s"calibration names not in the registry: $missing")
+    // the host telemetry must survive into the stdout line verbatim — the
+    // judge normalizes cross-round totals from the stdout tail alone
+    val host = """{"load_start":31.50,"load_end":30.25,"mem_avail_gb":97.12,""" +
+      """"calib":{"table_counts":0.120,"q1_pricing_summary":0.800,"source_dsv2_scrape":0.500}}"""
+    val line = Bench.stdoutLine(Seq("a"), 0, 1.0, Map("a" -> 1.0),
+      Map("a" -> Seq(1.0)), 1, "[]", "[]", "x", 0.0, "y", "z", host)
+    assert(line.contains(s""""host":$host"""), line)
+  }
+
   test("full headline line fits the stdout budget at the nTrials=0 floor") {
     // worst realistic widths: per-query seconds up to 9999.999 (a query
     // that slow would fail the bench on wall-clock long before the line
@@ -31,7 +43,9 @@ class BenchLineSpec extends AnyFunSuite {
       nQueries = 999, errs = errs, errs2 = errs,
       sfDir = "/root/testdata/sf0.1", total2 = 99999.99,
       sfDir2 = "/root/testdata/sf0.01",
-      outFile = "/tmp/graft_bench_artifact_r99.json")
+      outFile = "/tmp/graft_bench_artifact_r99.json",
+      host = """{"load_start":9999.99,"load_end":9999.99,"mem_avail_gb":9999.99,""" +
+        """"calib":{"table_counts":9999.999,"q1_pricing_summary":9999.999,"source_dsv2_scrape":9999.999}}""")
     assert(line.length <= 1800,
       s"headline line is ${line.length} chars at nTrials=0 — the shrink " +
         "loop would start dropping headline queries; trim the set or names")
