@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Machine-generated registry index (judge directive r11 #7): one table row
+per registered query — name, defining file:line, oracle?, latest 8x probe
+ratio — derived from the SOURCE TREE (the `"name" -> Q(` definition sites),
+the latest Verify dump's oracle_sql.json, and PERF.md's 8x probe tables.
+COVERAGE.md stays the narrative; this file is the mechanical audit surface.
+
+Usage:
+    python3 tools/registry_index.py [verify_out_dir] > REGISTRY_INDEX.md
+
+Default verify_out_dir: /tmp/verify_out (written by `sbt "runMain
+graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def definition_sites():
+    """name -> file:line for every `"name" -> Q(` in the query sources."""
+    sites = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "src/main/scala/graft/queries/*.scala"))):
+        rel = os.path.relpath(path, REPO)
+        for i, line in enumerate(open(path), 1):
+            m = re.match(r'\s*"([a-z0-9_]+)"\s*->\s*Q\(', line)
+            if m:
+                name = m.group(1)
+                if name in sites:
+                    print(f"DUPLICATE definition of {name}: {sites[name]} and {rel}:{i}",
+                          file=sys.stderr)
+                sites[name] = f"{rel}:{i}"
+    return sites
+
+
+def latest_ratios():
+    """query -> latest 8x ratio from PERF.md's probe tables (header rows
+    that contain a `ratio` column; later tables override earlier ones)."""
+    ratios = {}
+    ratio_idx = None
+    for line in open(os.path.join(REPO, "PERF.md")):
+        if not line.startswith("|"):
+            ratio_idx = ratio_idx if line.strip() else None
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if any("ratio" in c.lower() for c in cells):
+            ratio_idx = next(i for i, c in enumerate(cells) if "ratio" in c.lower())
+            continue
+        if ratio_idx is None or len(cells) <= ratio_idx or set(cells[0]) <= {"-", " "}:
+            continue
+        m = re.match(r"[×x]?\s*([0-9]+(?:\.[0-9]+)?)", cells[ratio_idx])
+        if m and re.fullmatch(r"[a-z0-9_]+", cells[0]):
+            ratios[cells[0]] = float(m.group(1))
+    return ratios
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+    oracle_path = os.path.join(out_dir, "oracle_sql.json")
+    oracles = set(json.load(open(oracle_path))) if os.path.exists(oracle_path) else set()
+    sites = definition_sites()
+    ratios = latest_ratios()
+    gated = {"q2_min_cost_supplier", "q11_important_stock", "q20_potential_promotion"}
+    print("# REGISTRY_INDEX — machine-generated per-query audit table")
+    print()
+    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out > REGISTRY_INDEX.md`")
+    print("(after a fresh `sbt \"runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out\"`).")
+    print("`oracle` = DuckDB hash-compare SQL registered; `8x` = latest PERF.md probe ratio")
+    print("(blank = not individually probed; family sweeps cover the rest).")
+    print()
+    print(f"{len(sites)} definition sites, {len(oracles)} oracles in {oracle_path}.")
+    print()
+    print("| query | defined at | oracle | latest 8x ratio |")
+    print("|---|---|---|---|")
+    for name in sorted(sites):
+        if name in gated and name not in oracles:
+            oracle = "gated (partsupp)"
+        else:
+            oracle = "yes" if name in oracles else "rows-only"
+        r = f"{ratios[name]:.2f}" if name in ratios else ""
+        print(f"| {name} | {sites[name]} | {oracle} | {r} |")
+    missing = oracles - set(sites)
+    if missing:
+        print()
+        print(f"WARNING: oracle entries without a grep-able `-> Q(` site: {sorted(missing)}")
+
+
+if __name__ == "__main__":
+    main()
