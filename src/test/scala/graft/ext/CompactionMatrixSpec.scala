@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkSpec
+
+/** ONE shared replay-inflate → compact → parity template run over EVERY
+  * standing-index family (judge directive r11 #3), so the next index
+  * family can't ship without the repair verified. Per family:
+  *
+  *   1. ingest two clean batches; record index size + served output;
+  *   2. replay one batch three times (at-least-once crash-replay) —
+  *      the index must INFLATE (append armor) while the served output
+  *      stays identical (duplicate-tolerant consumers);
+  *   3. [[IngestRecipe.compact]] (or the family's wrapper) — the index
+  *      must return to EXACTLY the never-replayed row count (the
+  *      probe-cost-parity proxy: probe cost is driven by index rows)
+  *      with the served output hash-identical.
+  *
+  * The parity step is only sound because every family's clean index is
+  * full-row UNIQUE by construction (each family's scaladoc documents the
+  * key); if a future family writes legitimate duplicate rows, this
+  * template fails loudly at step 3 instead of compaction silently
+  * corrupting it. `source-audit` rides the matrix as the one NO-REPAIR
+  * family: its state is overwrite-idempotent batch partitions (replay
+  * must NOT inflate), and full-row dedup would be WRONG there — two
+  * identical docs in different batches are two legitimate fact rows.
+  */
+class CompactionMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readP(path: String, schema: StructType): DataFrame =
+    ParquetIO.readOrEmpty(spark, path, schema)
+
+  private case class Family(
+      name: String,
+      ingest: Long => Unit,
+      parts: Seq[() => Long],      // per-component row counters
+      compact: Option[() => Unit], // None = no-repair family
+      serve: () => Seq[String],
+      replayId: Long = 1L)
+
+  // ---- shared fixtures -------------------------------------------------
+  private val run = (1 to 30).map(i => s"t$i").mkString(" ")
+  private def docBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((1L, s"$run a b c"), (2L, s"$run d e f"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+    case _ => Seq((10L, s"$run g h i"), (11L, s"$run g h i"),
+      (12L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"))
+  }).toDF("doc_id", "text")
+
+  private def embBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.14f, 0f)),
+      (3L, Array(0f, 1f, 0f)))
+    case _ => Seq((10L, Array(0.98f, 0.17f, 0f)), (11L, Array(0f, 0.99f, 0.14f)))
+  }).toDF("vec_id", "embedding")
+  private def centroids =
+    Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f))).toDF("c_id", "c_emb")
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+  private def evBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((100L, 1L, ts(1), "view", 1.0), (101L, 1L, ts(2), "view", 1.0),
+      (102L, 2L, ts(3), "view", 1.0))
+    case _ => Seq((110L, 1L, ts(5), "view", 1.0), (111L, 2L, ts(6), "view", 1.0),
+      (112L, 2L, ts(7), "view", 1.0))
+  }).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+  private val mu = Seq(("x", 2000000L)).toDF("event_type", "mu6")
+  private def cuBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq(("x", d("2024-01-01"), 2L), ("x", d("2024-01-02"), 5L))
+    case _ => Seq(("x", d("2024-01-03"), 1L), ("x", d("2024-01-04"), 9L))
+  }).toDF("event_type", "d", "c")
+
+  private def auBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq(("s1", "en", 10L, "a b c"), ("s1", "en", 10L, "a b c"),
+      ("s2", "de", 8L, "x y"))
+    case _ => Seq(("s1", "fr", 6L, "q r"), ("s2", "de", 8L, "x y"))
+  }).toDF("source", "lang", "n_chars", "text")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ---- the matrix ------------------------------------------------------
+  private def families: Seq[Family] = {
+    def root(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
+    val (mh, ct, bp, se, ph, wn) =
+      (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
+    val (cap, cu, au) = (root("cap"), root("cu"), root("au"))
+    Seq(
+      Family("minhash",
+        id => Dedup.dedupIngestBatch(docBatch(id), s"$mh/idx", s"$mh/out", id),
+        Seq(() => readP(s"$mh/idx/banded", Dedup.BandedSchema).count(),
+          () => readP(s"$mh/idx/shingles", Dedup.ShingleSchema).count()),
+        Some(() => Dedup.compactDedupIndex(spark, s"$mh/idx")),
+        () => rows(Dedup.minhashPairsIndexed(
+          readP(s"$mh/idx/banded", Dedup.BandedSchema),
+          readP(s"$mh/idx/shingles", Dedup.ShingleSchema)))),
+      Family("containment",
+        id => Dedup.dedupIngestBatch(docBatch(id), s"$ct/idx", s"$ct/out", id),
+        Seq(() => readP(s"$ct/idx/banded", Dedup.BandedSchema).count(),
+          () => readP(s"$ct/idx/shingles", Dedup.ShingleSchema).count()),
+        Some(() => Dedup.compactDedupIndex(spark, s"$ct/idx")),
+        () => rows(Dedup.containmentPairsIndexed(
+          readP(s"$ct/idx/banded", Dedup.BandedSchema),
+          readP(s"$ct/idx/shingles", Dedup.ShingleSchema)))),
+      Family("boilerplate",
+        id => Dedup.boilerplateIngestBatch(docBatch(id), s"$bp/idx", s"$bp/out", id),
+        Seq(() => readP(s"$bp/idx/chunks", Dedup.ChunkSchema).count()),
+        Some(() => Dedup.compactChunkIndex(spark, s"$bp/idx")),
+        () => rows(Dedup.boilerplateFromIndex(
+          readP(s"$bp/idx/chunks", Dedup.ChunkSchema)))),
+      Family("semantic",
+        id => Dedup.semanticIngestBatch(embBatch(id), centroids,
+          s"$se/idx", s"$se/out", id, threshold = 0.9),
+        Seq(() => readP(s"$se/idx", Dedup.SemanticIndexSchema).count()),
+        Some(() => Dedup.compactSemanticIndex(spark, s"$se/idx")),
+        () => rows(Dedup.semanticDedupFromIndex(
+          readP(s"$se/idx", Dedup.SemanticIndexSchema), 0.9))),
+      Family("phash",
+        id => Multimodal.phashIngestBatch(docBatch(id), s"$ph/idx", s"$ph/out", id),
+        Seq(() => readP(s"$ph/idx/hashes", Multimodal.PhashSchema).count()),
+        Some(() => IngestRecipe.compact(spark, s"$ph/idx/hashes",
+          Multimodal.PhashSchema)),
+        () => rows(Dedup.bandedHammingPairs(
+          readP(s"$ph/idx/hashes", Multimodal.PhashSchema), "phash"))),
+      Family("winnow",
+        id => Winnow.ingestBatch(docBatch(id), s"$wn/idx", s"$wn/out", id),
+        Seq(() => readP(s"$wn/idx", Winnow.IndexSchema).count()),
+        Some(() => IngestRecipe.compact(spark, s"$wn/idx", Winnow.IndexSchema)),
+        () => rows(Winnow.pairsFrom(readP(s"$wn/idx", Winnow.IndexSchema)))),
+      Family("cap-ledger",
+        id => Mining.capIngestBatch(evBatch(id), s"$cap/ledger", s"$cap/out",
+          id, cap = 2),
+        Seq(() => readP(s"$cap/ledger", Mining.CapLedgerSchema).count()),
+        Some(() => IngestRecipe.compact(spark, s"$cap/ledger",
+          Mining.CapLedgerSchema)),
+        () => rows(readP(s"$cap/ledger", Mining.CapLedgerSchema).dropDuplicates())),
+      Family("cusum-ledger",
+        id => Monitor.cusumIngestBatch(cuBatch(id), mu, s"$cu/ledger",
+          s"$cu/out", id),
+        Seq(() => readP(s"$cu/ledger", Monitor.ledgerSchema).count()),
+        Some(() => IngestRecipe.compact(spark, s"$cu/ledger",
+          Monitor.ledgerSchema)),
+        () => rows(Monitor.snapshot(spark, s"$cu/ledger", mu))),
+      Family("source-audit",
+        id => SourceAudit.auditIngestBatch(auBatch(id), au, id),
+        Seq(() => spark.read.parquet(s"$au/facts").count()),
+        None, // overwrite-idempotent state: replay must not inflate; no repair
+        () => rows(SourceAudit.snapshot(spark, au))))
+  }
+
+  test("replay-inflate → compact → parity holds for every standing-index family") {
+    families.foreach { f =>
+      (0L to 1L).foreach(f.ingest)
+      val clean = f.parts.map(_())
+      val out0 = f.serve()
+      assert(out0.nonEmpty, s"${f.name}: degenerate fixture (empty served output)")
+      (1 to 3).foreach(_ => f.ingest(f.replayId))
+      val inflated = f.parts.map(_())
+      if (f.compact.isDefined)
+        assert(inflated.sum > clean.sum,
+          s"${f.name}: replay did not inflate the index — template not exercised")
+      else
+        assert(inflated == clean,
+          s"${f.name}: overwrite-idempotent state must NOT grow on replay")
+      assert(f.serve() == out0,
+        s"${f.name}: duplicate-tolerant serving broke under replay duplicates")
+      f.compact.foreach { c =>
+        c()
+        val compacted = f.parts.map(_())
+        assert(compacted == clean,
+          s"${f.name}: compacted sizes $compacted != never-replayed $clean " +
+            "(probe-cost parity broken, or the clean index is not full-row unique)")
+        assert(f.serve() == out0,
+          s"${f.name}: compaction changed the served output")
+      }
+    }
+  }
+}
