@@ -209,43 +209,125 @@ object ExtQueries {
           (pmod(xxhash64(lit("qw-seed"), col("tok")), lit(1000001L)) - 500000L)
             .as("w_millionths")))
 
-  /** DuckDB twin of `quality_train`: the K epochs UNROLLED as chained
-    * CTEs (e0 = zero weights; each eN aggregates epoch N's gradient over
-    * f × eN−1 and applies the update). Same exact-multiple floor-div,
-    * same Elliott rational sigmoid, same int64 micro-units — generated
-    * here so the two engines' epoch arithmetic can never drift. */
-  private def qualityTrainSql(k: Int): String = {
-    def fd(a: String, b: String) =
-      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+  /** Shared feature projection of the quality-train family (train + its
+    * held-out eval): label = lang='en', bias, capped-length bucket,
+    * capped-token bucket — all exact int64. doc_id rides along for the
+    * corpus_split fold rule. */
+  private def qtFeats(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        lit(1L).as("x0"),
+        expr("least(n_chars, 2000) div 100").as("x1"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("tok"))
+      .select(col("doc_id"), col("y"), col("x0"), col("x1"),
+        expr("least(tok, 200) div 10").as("x2"))
+
+  /** Floor-div with b>0 via the exact-multiple trick (numerator made
+    * divisible first, so Spark's trunc `div` and DuckDB's `//` agree on
+    * negatives). */
+  private def qtFd(a: String, b: String) =
+    s"((($a) - pmod(($a), ($b))) div ($b))"
+
+  /** The K training epochs over a feature frame: each epoch ONE
+    * map-side-combinable gradient aggregate against a broadcast 1-row
+    * weight frame, weights localCheckpointed per epoch so the lazy chain
+    * never re-runs earlier epochs. Returns the K per-epoch 1-row frames
+    * (n, w0, w1, w2, sae6) — quality_train emits the whole trajectory,
+    * quality_train_eval takes `.last`. ONE definition of the epoch
+    * arithmetic, mirrored by [[qtEpochsSql]]. */
+  private def qtEpochs(s: org.apache.spark.sql.SparkSession,
+      feats: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[org.apache.spark.sql.DataFrame] = {
+    def step(w: org.apache.spark.sql.DataFrame) =
+      feats.crossJoin(broadcast(w))
+        .withColumn("z6", expr("x0*w0 + x1*w1 + x2*w2"))
+        .withColumn("r6", expr(
+          s"500000 + ${qtFd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("x0*r6")).as("g0"), sum(expr("x1*r6")).as("g1"),
+          sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"),
+          max("w0").as("w0o"), max("w1").as("w1o"), max("w2").as("w2o"))
+        .select(col("n"),
+          expr(s"coalesce(w0o, 0L) - ${qtFd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
+          expr(s"coalesce(w1o, 0L) - ${qtFd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
+          expr(s"coalesce(w2o, 0L) - ${qtFd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
+          coalesce(col("sae6"), lit(0L)).as("sae6"))
+    var w = s.range(1)
+      .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+    (1 to k).map { _ =>
+      val out = step(w).localCheckpoint()
+      w = out.select("w0", "w1", "w2")
+      out
+    }
+  }
+
+  /** DuckDB-side floor-div twin of [[qtFd]]. */
+  private def qtFdSql(a: String, b: String) =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+  /** Feature CTE twin of [[qtFeats]]. */
+  private val qtFeatsSql =
+    """SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    least(n_chars, 2000) // 100 AS x1,
+      |    least(len(regexp_split_to_array(trim(text), '\s+')), 200) // 10 AS x2
+      |  FROM documents""".stripMargin
+
+  /** Epoch-CTE twin of [[qtEpochs]]: e0 = zero weights; each eN
+    * aggregates epoch N's gradient over `f` × eN−1 and applies the
+    * update. Same exact-multiple floor-div, same Elliott rational
+    * sigmoid, same int64 micro-units — generated so the two engines'
+    * epoch arithmetic can never drift. */
+  private def qtEpochsSql(k: Int): String = {
     val upd = (j: Int) =>
-      s"""CAST(coalesce(any_value(w$j), 0) - ${fd(s"coalesce(sum(x$j*r6), 0)",
+      s"""CAST(coalesce(any_value(w$j), 0) - ${qtFdSql(s"coalesce(sum(x$j*r6), 0)",
         "greatest(count(*), 1)*10")} AS BIGINT) AS w$j"""
-    val epochs = (1 to k).map { e =>
-      s"""z$e AS (
-         |  SELECT y, x0, x1, x2, w0, w1, w2,
-         |    500000 + ${fd("500000*(x0*w0 + x1*w1 + x2*w2)",
-        "1000000 + abs(x0*w0 + x1*w1 + x2*w2)")} - y*1000000 AS r6
-         |  FROM f CROSS JOIN e${e - 1}),
-         |e$e AS (
-         |  SELECT count(*) AS n, ${upd(0)}, ${upd(1)}, ${upd(2)},
-         |    CAST(coalesce(sum(abs(r6)), 0) AS BIGINT) AS sae6
-         |  FROM z$e)""".stripMargin
-    }.mkString(",\n")
+    "e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,\n" +
+      "       CAST(0 AS BIGINT) AS w2),\n" +
+      (1 to k).map { e =>
+        s"""z$e AS (
+           |  SELECT y, x0, x1, x2, w0, w1, w2,
+           |    500000 + ${qtFdSql("500000*(x0*w0 + x1*w1 + x2*w2)",
+          "1000000 + abs(x0*w0 + x1*w1 + x2*w2)")} - y*1000000 AS r6
+           |  FROM f CROSS JOIN e${e - 1}),
+           |e$e AS (
+           |  SELECT count(*) AS n, ${upd(0)}, ${upd(1)}, ${upd(2)},
+           |    CAST(coalesce(sum(abs(r6)), 0) AS BIGINT) AS sae6
+           |  FROM z$e)""".stripMargin
+      }.mkString(",\n")
+  }
+
+  private def qualityTrainSql(k: Int): String = {
     val sel = (1 to k).map(e =>
       s"SELECT CAST($e AS BIGINT) AS epoch, n, w0, w1, w2, sae6 FROM e$e")
       .mkString("\nUNION ALL ")
-    s"""WITH f AS (
-       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |    CAST(1 AS BIGINT) AS x0,
-       |    least(n_chars, 2000) // 100 AS x1,
-       |    least(len(regexp_split_to_array(trim(text), '\\s+')), 200) // 10 AS x2
-       |  FROM documents),
-       |e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-       |       CAST(0 AS BIGINT) AS w2),
-       |$epochs
+    s"""WITH f AS ($qtFeatsSql),
+       |${qtEpochsSql(k)}
        |$sel
        |ORDER BY epoch""".stripMargin
   }
+
+  private def qualityTrainEvalSql(k: Int): String =
+    s"""WITH f0 AS ($qtFeatsSql),
+       |f AS (SELECT * FROM f0 WHERE doc_id % 100 < 90),
+       |${qtEpochsSql(k)},
+       |t AS (
+       |  SELECT f0.y, (x0*w0 + x1*w1 + x2*w2 > 0) AS pred
+       |  FROM f0 CROSS JOIN e$k WHERE doc_id % 100 >= 95),
+       |cm AS (
+       |  SELECT count(*) AS n_test,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+       |  FROM t)
+       |SELECT e$k.n AS n_train, cm.n_test, cm.tp, cm.fp, cm.fn, cm.tn,
+       |  ((cm.tp + cm.tn) * 1000000) // greatest(cm.n_test, 1) AS acc_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fp, 1) AS precision_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fn, 1) AS recall_ppm
+       |FROM cm CROSS JOIN e$k""".stripMargin
 
   /** Per-document packing prefix sum (lang, doc_id, toks, cum_start):
     * cum_start = tokens before this doc in its language's doc_id order.
@@ -628,43 +710,57 @@ object ExtQueries {
     // int64 safe past 10^11 docs (then DECIMAL(38,0), chisq-style).
     "quality_train" -> Q(
       (s, dir) => {
-        val feats = table(s, dir, "documents")
-          .select(
-            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-            lit(1L).as("x0"),
-            expr("least(n_chars, 2000) div 100").as("x1"),
-            TextStats.wsTokenCount(col("text")).cast("long").as("tok"))
-          .select(col("y"), col("x0"), col("x1"),
-            expr("least(tok, 200) div 10").as("x2"))
-        // floor-div with b>0 via the exact-multiple trick (numerator made
-        // divisible, so trunc-div == floor-div in both engines)
-        def fd(a: String, b: String) = s"((($a) - pmod(($a), ($b))) div ($b))"
-        def step(w: org.apache.spark.sql.DataFrame) =
-          feats.crossJoin(broadcast(w))
-            .withColumn("z6", expr("x0*w0 + x1*w1 + x2*w2"))
-            .withColumn("r6", expr(
-              s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
-            .agg(count(lit(1)).as("n"),
-              sum(expr("x0*r6")).as("g0"), sum(expr("x1*r6")).as("g1"),
-              sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"),
-              max("w0").as("w0o"), max("w1").as("w1o"), max("w2").as("w2o"))
-            .select(col("n"),
-              expr(s"coalesce(w0o, 0L) - ${fd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
-              expr(s"coalesce(w1o, 0L) - ${fd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
-              expr(s"coalesce(w2o, 0L) - ${fd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
-              coalesce(col("sae6"), lit(0L)).as("sae6"))
-        var w = s.range(1)
-          .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
-        val rows = (1 to 4).map { e =>
-          val out = step(w).localCheckpoint()
-          w = out.select("w0", "w1", "w2")
-          out.select(lit(e.toLong).as("epoch"), col("n"), col("w0"),
+        val epochs = qtEpochs(s, qtFeats(s, dir), 4)
+        epochs.zipWithIndex.map { case (e, i) =>
+          e.select(lit((i + 1).toLong).as("epoch"), col("n"), col("w0"),
             col("w1"), col("w2"), col("sae6"))
-        }
-        rows.reduce(_ unionByName _).orderBy("epoch")
+        }.reduce(_ unionByName _).orderBy("epoch")
       },
       Some(qualityTrainSql(4)),
       "logistic-regression training (4 exact fixed-point epochs, rational sigmoid, one combinable gradient agg per epoch)"),
+
+    // Out-of-sample evaluation of that training — the go/no-go step
+    // between quality_train and deploying the filter: train the SAME 4
+    // exact epochs on corpus_split's train fold (doc_id % 100 < 90),
+    // score the held-out test fold (% 100 ≥ 95), report the confusion
+    // matrix and ppm-fixed-point accuracy/precision/recall. The decision
+    // boundary is z > 0 (⟺ σ(z) > ½ — no sigmoid needed at eval), so the
+    // whole readout is exact integer arithmetic; ppm rates use plain
+    // integer division (all terms non-negative, trunc ≡ floor), zero
+    // denominators guarded to 1. Plan: the K training aggregates over the
+    // train fold + ONE test-fold aggregate, all map-side combinable, no
+    // fact-side shuffle. Machinery is shared with quality_train
+    // ([[qtFeats]]/[[qtEpochs]]/[[qtEpochsSql]]) — one definition of the
+    // epoch arithmetic, per the PrefixSum/IngestRecipe consolidation rule.
+    "quality_train_eval" -> Q(
+      (s, dir) => {
+        val feats = qtFeats(s, dir).localCheckpoint()
+        val wFinal = qtEpochs(s, feats.filter(col("doc_id") % 100 < 90), 4).last
+        feats.filter(col("doc_id") % 100 >= 95)
+          .crossJoin(broadcast(wFinal.select("w0", "w1", "w2")))
+          .withColumn("pred",
+            expr("x0*w0 + x1*w1 + x2*w2") > 0L)
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0L && col("pred"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("y") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
+            sum(when(col("y") === 0L && !col("pred"), 1L).otherwise(0L)).as("tn"))
+          // n_train from the weight frame itself, not the test rows — an
+          // empty test fold must still report how much was trained on
+          // (the oracle's cm CROSS JOIN e4 shape)
+          .crossJoin(broadcast(wFinal.select(col("n").as("n_train"))))
+          .select(col("n_train"), col("n_test"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            coalesce(col("fn"), lit(0L)).as("fn"),
+            coalesce(col("tn"), lit(0L)).as("tn"))
+          .select(col("*"),
+            expr("((tp + tn) * 1000000) div greatest(n_test, 1L)").as("acc_ppm"),
+            expr("(tp * 1000000) div greatest(tp + fp, 1L)").as("precision_ppm"),
+            expr("(tp * 1000000) div greatest(tp + fn, 1L)").as("recall_ppm"))
+      },
+      Some(qualityTrainEvalSql(4)),
+      "held-out eval of the trained filter: exact confusion matrix + ppm accuracy/precision/recall on the test fold"),
 
     // Calibration of that quality score (reliability diagram + ECE,
     // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8

@@ -68,6 +68,30 @@ class QualityTrainSpec extends SparkSpec {
       s"decision boundary failed: $zs with w=($w0,$w1,$w2)")
   }
 
+  test("quality_train_eval: hand fixture confusion matrix is exact; n_train from the weight frame") {
+    // doc_id % 100 < 90 = train fold, >= 95 = test fold. Train: 3 long-en
+    // + 3 short-de (separable, same as above, ids 1-6). Test: one of each
+    // kind correctly labeled + one short doc labeled en (a guaranteed
+    // false negative under the size-only features).
+    val longText = (1 to 150).map(i => s"w$i").mkString(" ")
+    val shortText = "a b c d e"
+    val docs = (1L to 3L).map(i => (i, "en", longText)) ++
+      (4L to 6L).map(i => (i, "de", shortText)) ++
+      Seq((195L, "en", longText), (196L, "de", shortText), (197L, "en", shortText))
+    val dir = writeDocs(docs)
+    val r = graft.SparkEntry.queries("quality_train_eval")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTrain, nTest) = (row.getLong(0), row.getLong(1))
+    val (tp, fp, fn, tn) = (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nTrain == 6L && nTest == 3L, s"folds: n_train=$nTrain n_test=$nTest")
+    assert((tp, fp, fn, tn) == ((1L, 0L, 1L, 1L)),
+      s"confusion: tp=$tp fp=$fp fn=$fn tn=$tn")
+    assert(row.getLong(6) == (2L * 1000000L) / 3L, "acc_ppm")      // (tp+tn)/3
+    assert(row.getLong(7) == 1000000L, "precision_ppm")            // 1/(1+0)
+    assert(row.getLong(8) == 500000L, "recall_ppm")                // 1/(1+1)
+  }
+
   test("empty corpus: 4 epochs of zero weights, no division error") {
     val dir = writeDocs(Seq.empty)
     val got = graft.SparkEntry.queries("quality_train")(spark, dir)
