@@ -1187,6 +1187,109 @@ object ExtQueries {
               |ORDER BY keep_id""".stripMargin),
       "dedup keeping the best-quality representative per fingerprint group"),
 
+    // The PRODUCTION dedup ORDER as one registered funnel: exact-collapse
+    // FIRST (hash-groupBy on text — the cheap stage that also defuses the
+    // quadratic candidate growth near-dup stages suffer on duplicate-heavy
+    // corpora; the round-11 ×30.8→×2.0 prefix-join fix, operationalized),
+    // then MinHash near-dup on the survivors (banded LSH + exact-Jaccard
+    // verify, drop the greater id of each verified pair — the SemDeDup
+    // greedy), then semantic dedup on the embedded survivors. Output is
+    // the per-stage attrition report (n_in / n_removed / n_out), the
+    // number a pipeline owner actually watches. Stage 3 examines only
+    // survivors that HAVE embeddings (planted ids carry none — honest
+    // production semantics: un-embedded docs pass the semantic stage
+    // unexamined). Scale: stage 1 is one text-keyed shuffle (xxhash64 at
+    // 100 TB), stage 2 the standard bucket-join LSH on the SHRUNK set,
+    // stage 3 cluster-bucketed cosine; counts are broadcast 1-row aggs.
+    // Both candidate sets persist (OracleAux) so DuckDB re-verifies the
+    // exact Jaccard / cosine / drop rules over the same pairs.
+    "dedup_cascade" -> Q(
+      (s, dir) => {
+        val corpus = Dedup.planted(table(s, dir, "documents"))
+        val surv1 = corpus.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id", "text").localCheckpoint()
+        val sh = Dedup.shingleRows(surv1).localCheckpoint()
+        val pairs2 = Dedup.minhashPairsIndexed(
+          Dedup.bandedSignatures(sh), sh.distinct(), 0.7,
+          persistCand = OracleAux.persist(dir, "dedup_cascade_cand"))
+        val drops2 = pairs2.select(col("id_b").as("doc_id")).distinct()
+          .localCheckpoint()
+        val surv2 = surv1.join(drops2, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val emb2 = table(s, dir, "embeddings")
+          .join(surv2.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+            Seq("vec_id"), "left_semi")
+        val drops3 = Dedup.semanticDedup(emb2, 0.35, nlist = ivfNlist(s, dir),
+            persistCand = OracleAux.persist(dir, "dedup_cascade_semcand"))
+          .select("vec_id").distinct()
+        val c0 = corpus.agg(count(lit(1)).as("n0"))
+        val c1 = surv1.agg(count(lit(1)).as("n1"))
+        val r2 = drops2.agg(count(lit(1)).as("d2"))
+        val c2 = surv2.agg(count(lit(1)).as("n2"))
+        val r3 = drops3.agg(count(lit(1)).as("d3"))
+        c0.crossJoin(broadcast(c1))
+          .select(lit("1_exact").as("stage"), col("n0").as("n_in"),
+            (col("n0") - col("n1")).as("n_removed"), col("n1").as("n_out"))
+          .unionByName(c1.crossJoin(broadcast(r2))
+            .select(lit("2_minhash").as("stage"), col("n1").as("n_in"),
+              col("d2").as("n_removed"), (col("n1") - col("d2")).as("n_out")))
+          .unionByName(c2.crossJoin(broadcast(r3))
+            .select(lit("3_semantic").as("stage"), col("n2").as("n_in"),
+              col("d3").as("n_removed"), (col("n2") - col("d3")).as("n_out")))
+          .orderBy("stage")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |surv1 AS (SELECT min(doc_id) AS doc_id, text FROM planted GROUP BY text),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM surv1),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |cand AS (SELECT id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_cascade_cand")})),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN shd a ON a.doc_id = c.id_a
+              |  JOIN shd b ON b.doc_id = c.id_b AND b.s = a.s
+              |  GROUP BY c.id_a, c.id_b),
+              |drops2 AS (
+              |  SELECT DISTINCT id_b AS doc_id FROM (
+              |    SELECT i.id_a, i.id_b,
+              |      round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS j
+              |    FROM inter i
+              |    JOIN sizes sa ON sa.doc_id = i.id_a
+              |    JOIN sizes sb ON sb.doc_id = i.id_b)
+              |  WHERE j >= 0.7),
+              |surv2 AS (
+              |  SELECT doc_id FROM surv1
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM drops2)),
+              |semcand AS (SELECT c_id, id_a, id_b FROM read_parquet(${OracleAux.duckGlob("dedup_cascade_semcand")})),
+              |drops3 AS (
+              |  SELECT DISTINCT id_b AS vec_id FROM (
+              |    SELECT c.id_b,
+              |      round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+              |    FROM semcand c
+              |    JOIN embeddings a ON a.vec_id = c.id_a
+              |    JOIN embeddings b ON b.vec_id = c.id_b)
+              |  WHERE cos >= 0.35),
+              |c0 AS (SELECT count(*) AS n FROM planted),
+              |c1 AS (SELECT count(*) AS n FROM surv1),
+              |r2 AS (SELECT count(*) AS n FROM drops2),
+              |c2 AS (SELECT count(*) AS n FROM surv2),
+              |r3 AS (SELECT count(*) AS n FROM drops3)
+              |SELECT '1_exact' AS stage, c0.n AS n_in, c0.n - c1.n AS n_removed, c1.n AS n_out FROM c0, c1
+              |UNION ALL SELECT '2_minhash', c1.n, r2.n, c1.n - r2.n FROM c1, r2
+              |UNION ALL SELECT '3_semantic', c2.n, r3.n, c2.n - r3.n FROM c2, r3
+              |ORDER BY stage""".stripMargin),
+      "production dedup funnel: exact-collapse, then MinHash near-dup, then semantic — per-stage attrition"),
+
     "dedup_exact" -> Q(
       (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),
       Some(s"""WITH planted AS ($plantedSql)
