@@ -73,6 +73,15 @@ object PrefixSum {
     cummed.drop("__ps_bucket" +: weightCols.map(w => s"__ps_o_$w"): _*)
   }
 
+  /** The shared one-row scalar probe behind [[cumulative]]'s `bounds`:
+    * max of a (numeric) column, usually against the cheaper
+    * pre-histogram base table; null max (empty input) → 0. Extracted
+    * because every histogram call site hand-rolled the same
+    * collect/Option/cast dance. */
+  def maxBound(df: DataFrame, c: String): Double =
+    Option(df.agg(max(col(c)).cast("double")).collect()(0).get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+
   /** 2× the average rank of each row's `orderCol` value in the weighted
     * multiset where the row counts `weightCol` times — the exact-integer
     * tie encoding (2·cum_before + cnt + 1; .5 average ranks stay

@@ -343,16 +343,14 @@ object ExtQueries {
     * Shared by pack_sequences and pack_budget_sweep. */
   private def packCumStart(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val maxId = Option(table(s, dir, "documents")
-      .agg(max(col("doc_id"))).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxId = graft.ext.PrefixSum.maxBound(table(s, dir, "documents"), "doc_id")
     val toks = table(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
         TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
       .localCheckpoint()
     graft.ext.PrefixSum
       .cumulative(toks, "doc_id", Seq("toks"), Seq("lang"),
-        bounds = Some((0.0, maxId.toDouble)))
+        bounds = Some((0.0, maxId)))
       .withColumn("cum_start", col("cum_toks") - col("toks"))
       .select("lang", "doc_id", "toks", "cum_start")
   }

@@ -618,11 +618,9 @@ object MiningQueries {
         val uc = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
         val h = uc.groupBy("c").agg(count(lit(1)).as("m"))
           .withColumn("e", col("c") * col("m"))
-        val maxC = Option(uc.agg(max("c")).collect()(0).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(1L)
         val pre = graft.ext.PrefixSum
           .cumulative(h, "c", Seq("m", "e"),
-            bounds = Some((0.0, maxC.toDouble)))
+            bounds = Some((0.0, graft.ext.PrefixSum.maxBound(uc, "c"))))
           .withColumnRenamed("cum_m", "cum_u")
           .withColumn("r2",
             lit(2L) * (col("cum_u") - col("m")) + col("m") + 1L)

@@ -463,12 +463,10 @@ object StatsQueries {
           .select(col("n_chars").as("v"),
             when(col("lang") === "en", 1L).otherwise(0L).as("a"))
           .groupBy("v").agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
-        val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val nn = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
         val gaps = graft.ext.PrefixSum
           .cumulative(byV, "v", Seq("ca", "cb"),
-            bounds = Some((0.0, maxV.toDouble)))
+            bounds = Some((0.0, graft.ext.PrefixSum.maxBound(docs, "n_chars"))))
           .withColumnRenamed("cum_ca", "cuma")
           .withColumnRenamed("cum_cb", "cumb")
           .crossJoin(broadcast(nn))
@@ -570,10 +568,9 @@ object StatsQueries {
             when(col("lang") === "en", 1L).otherwise(0L).as("a"))
           .groupBy("v").agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
         // single-scalar probe, kstest-style (adjudicated acceptable)
-        val maxV = Option(docs.agg(max(col("n_chars"))).collect()(0).get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val cum = graft.ext.PrefixSum
-          .cumulative(byV, "v", Seq("cb"), bounds = Some((0.0, maxV.toDouble)))
+          .cumulative(byV, "v", Seq("cb"),
+            bounds = Some((0.0, graft.ext.PrefixSum.maxBound(docs, "n_chars"))))
           .withColumnRenamed("cum_cb", "cumb")
         cum.agg(
             sum("ca").as("na"), sum("cb").as("nb"),

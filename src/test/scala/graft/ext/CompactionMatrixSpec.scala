@@ -46,14 +46,17 @@ class CompactionMatrixSpec extends SparkSpec {
   private def docBatch(id: Long): DataFrame = (id match {
     case 0L => Seq((1L, s"$run a b c"), (2L, s"$run d e f"),
       (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
-    case _ => Seq((10L, s"$run g h i"), (11L, s"$run g h i"),
+    case 1L => Seq((10L, s"$run g h i"), (11L, s"$run g h i"),
       (12L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"))
+    case _ => Seq((20L, s"$run j k"),
+      (21L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"))
   }).toDF("doc_id", "text")
 
   private def embBatch(id: Long): DataFrame = (id match {
     case 0L => Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.14f, 0f)),
       (3L, Array(0f, 1f, 0f)))
-    case _ => Seq((10L, Array(0.98f, 0.17f, 0f)), (11L, Array(0f, 0.99f, 0.14f)))
+    case 1L => Seq((10L, Array(0.98f, 0.17f, 0f)), (11L, Array(0f, 0.99f, 0.14f)))
+    case _ => Seq((20L, Array(0.97f, 0.2f, 0f)))
   }).toDF("vec_id", "embedding")
   private def centroids =
     Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f))).toDF("c_id", "c_emb")
@@ -62,21 +65,24 @@ class CompactionMatrixSpec extends SparkSpec {
   private def evBatch(id: Long): DataFrame = (id match {
     case 0L => Seq((100L, 1L, ts(1), "view", 1.0), (101L, 1L, ts(2), "view", 1.0),
       (102L, 2L, ts(3), "view", 1.0))
-    case _ => Seq((110L, 1L, ts(5), "view", 1.0), (111L, 2L, ts(6), "view", 1.0),
+    case 1L => Seq((110L, 1L, ts(5), "view", 1.0), (111L, 2L, ts(6), "view", 1.0),
       (112L, 2L, ts(7), "view", 1.0))
+    case _ => Seq((120L, 3L, ts(9), "view", 1.0))
   }).toDF("event_id", "user_id", "ts", "event_type", "value")
 
   private def d(s: String) = java.sql.Date.valueOf(s)
   private val mu = Seq(("x", 2000000L)).toDF("event_type", "mu6")
   private def cuBatch(id: Long): DataFrame = (id match {
     case 0L => Seq(("x", d("2024-01-01"), 2L), ("x", d("2024-01-02"), 5L))
-    case _ => Seq(("x", d("2024-01-03"), 1L), ("x", d("2024-01-04"), 9L))
+    case 1L => Seq(("x", d("2024-01-03"), 1L), ("x", d("2024-01-04"), 9L))
+    case _ => Seq(("x", d("2024-01-05"), 3L))
   }).toDF("event_type", "d", "c")
 
   private def auBatch(id: Long): DataFrame = (id match {
     case 0L => Seq(("s1", "en", 10L, "a b c"), ("s1", "en", 10L, "a b c"),
       ("s2", "de", 8L, "x y"))
-    case _ => Seq(("s1", "fr", 6L, "q r"), ("s2", "de", 8L, "x y"))
+    case 1L => Seq(("s1", "fr", 6L, "q r"), ("s2", "de", 8L, "x y"))
+    case _ => Seq(("s3", "en", 5L, "m n"))
   }).toDF("source", "lang", "n_chars", "text")
 
   private def rows(df: DataFrame): Seq[String] =
@@ -177,6 +183,13 @@ class CompactionMatrixSpec extends SparkSpec {
         assert(f.serve() == out0,
           s"${f.name}: compaction changed the served output")
       }
+      // the recipe must keep working on the repaired (or replayed) state:
+      // a fresh batch ingests cleanly, the index grows, serving still runs
+      f.ingest(2L)
+      assert(f.parts.map(_()).sum > clean.sum,
+        s"${f.name}: post-compact ingest did not grow the index")
+      assert(f.serve().nonEmpty,
+        s"${f.name}: serving broke after the post-compact batch")
     }
   }
 }
