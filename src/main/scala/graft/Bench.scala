@@ -170,16 +170,20 @@ object Bench {
     // fixed 3-query calibration probe at sweep end (min of 2): three
     // scan-bound queries whose fresh-JVM cost is stable across rounds, so
     // any future judge can divide this round's calib by last round's to
-    // factor a host-noise band out of the cross-round total diff
-    val calib = calibration.map { name =>
+    // factor a host-noise band out of the cross-round total diff.
+    // Skipped under a name filter (like Warmup.artifacts): a targeted
+    // probe's calib would be unwarmed noise nobody normalizes against.
+    // A FAILED probe run records -1, never its near-zero crash wall time
+    // — a bogus tiny calib would read as a phantom host slowdown later.
+    val calib = if (only.nonEmpty) Seq.empty else calibration.map { name =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        runOnce(name, sfDir)
+        val ok = runOnce(name, sfDir)
         val t = (System.nanoTime() - t0) / 1e9
         releaseAfter(name)
-        t
-      }
-      name -> runs.min
+        if (ok) Some(t) else None
+      }.flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val calibJson = calib
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

@@ -43,11 +43,15 @@ def latest_ratios():
     ratio_idx = None
     for line in open(os.path.join(REPO, "PERF.md")):
         if not line.startswith("|"):
-            ratio_idx = ratio_idx if line.strip() else None
+            # any non-table line ends the table — a stale column index
+            # must never leak into the NEXT table's rows
+            ratio_idx = None
             continue
         cells = [c.strip() for c in line.strip().strip("|").split("|")]
-        if any("ratio" in c.lower() for c in cells):
-            ratio_idx = next(i for i, c in enumerate(cells) if "ratio" in c.lower())
+        # header detection is EXACT-cell ("ratio"), not substring: a data
+        # row with "ratio" in a notes cell must not re-anchor the column
+        if "ratio" in (c.lower() for c in cells):
+            ratio_idx = next(i for i, c in enumerate(cells) if c.lower() == "ratio")
             continue
         if ratio_idx is None or len(cells) <= ratio_idx or set(cells[0]) <= {"-", " "}:
             continue
