@@ -243,7 +243,7 @@ object Bench {
     "events_funnel", "window_topk_per_group", "topk_native",
     "agg_percentiles_approx", "kmeans_refine", "merge_upsert",
     "curation_pipeline", "pack_sequences", "multimodal_features",
-    "asof_view_before_purchase", "source_dsv2_scrape")
+    "asof_view_before_purchase", "source_dsv2_scrape", "dedup_cascade")
 
   /** The fixed host-noise calibration probes (re-run at sweep end, min of
     * 2): stable scan-bound queries a judge can ratio across rounds to
