@@ -224,44 +224,13 @@ object ExtQueries {
       .select(col("doc_id"), col("y"), col("x0"), col("x1"),
         expr("least(tok, 200) div 10").as("x2"))
 
-  /** Floor-div with b>0 via the exact-multiple trick (numerator made
-    * divisible first, so Spark's trunc `div` and DuckDB's `//` agree on
-    * negatives). */
-  private def qtFd(a: String, b: String) =
-    s"((($a) - pmod(($a), ($b))) div ($b))"
-
-  /** The K training epochs over a feature frame: each epoch ONE
-    * map-side-combinable gradient aggregate against a broadcast 1-row
-    * weight frame, weights localCheckpointed per epoch so the lazy chain
-    * never re-runs earlier epochs. Returns the K per-epoch 1-row frames
-    * (n, w0, w1, w2, sae6) — quality_train emits the whole trajectory,
-    * quality_train_eval takes `.last`. ONE definition of the epoch
-    * arithmetic, mirrored by [[qtEpochsSql]]. */
+  /** The K training epochs — delegated to [[graft.ext.Trainer.epochs]]
+    * (ONE definition of the gradient-step arithmetic, shared with the
+    * online `sgdIngestBatch` path and mirrored by [[qtEpochsSql]]). */
   private def qtEpochs(s: org.apache.spark.sql.SparkSession,
       feats: org.apache.spark.sql.DataFrame,
-      k: Int): Seq[org.apache.spark.sql.DataFrame] = {
-    def step(w: org.apache.spark.sql.DataFrame) =
-      feats.crossJoin(broadcast(w))
-        .withColumn("z6", expr("x0*w0 + x1*w1 + x2*w2"))
-        .withColumn("r6", expr(
-          s"500000 + ${qtFd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("x0*r6")).as("g0"), sum(expr("x1*r6")).as("g1"),
-          sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"),
-          max("w0").as("w0o"), max("w1").as("w1o"), max("w2").as("w2o"))
-        .select(col("n"),
-          expr(s"coalesce(w0o, 0L) - ${qtFd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
-          expr(s"coalesce(w1o, 0L) - ${qtFd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
-          expr(s"coalesce(w2o, 0L) - ${qtFd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
-          coalesce(col("sae6"), lit(0L)).as("sae6"))
-    var w = s.range(1)
-      .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
-    (1 to k).map { _ =>
-      val out = step(w).localCheckpoint()
-      w = out.select("w0", "w1", "w2")
-      out
-    }
-  }
+      k: Int): Seq[org.apache.spark.sql.DataFrame] =
+    graft.ext.Trainer.epochs(s, feats, k)
 
   /** DuckDB-side floor-div twin of [[qtFd]]. */
   private def qtFdSql(a: String, b: String) =

@@ -85,6 +85,12 @@ class CompactionMatrixSpec extends SparkSpec {
     case _ => Seq(("s3", "en", 5L, "m n"))
   }).toDF("source", "lang", "n_chars", "text")
 
+  private def featBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((1L, 1L, 5L, 12L), (0L, 1L, 0L, 1L))
+    case 1L => Seq((1L, 1L, 6L, 15L), (0L, 1L, 1L, 2L))
+    case _ => Seq((1L, 1L, 4L, 9L))
+  }).toDF("y", "x0", "x1", "x2")
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -94,8 +100,15 @@ class CompactionMatrixSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
     val (mh, ct, bp, se, ph, wn) =
       (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
-    val (cap, cu, au) = (root("cap"), root("cu"), root("au"))
+    val (cap, cu, au, sg) = (root("cap"), root("cu"), root("au"), root("sg"))
     Seq(
+      Family("sgd-ledger",
+        id => Trainer.sgdIngestBatch(featBatch(id), s"$sg/ledger", s"$sg/out", id),
+        Seq(() => readP(s"$sg/ledger", Trainer.LedgerSchema).count()),
+        Some(() => IngestRecipe.compact(spark, s"$sg/ledger",
+          Trainer.LedgerSchema)),
+        () => rows(Trainer.latestWeights(
+          readP(s"$sg/ledger", Trainer.LedgerSchema)))),
       Family("minhash",
         id => Dedup.dedupIngestBatch(docBatch(id), s"$mh/idx", s"$mh/out", id),
         Seq(() => readP(s"$mh/idx/banded", Dedup.BandedSchema).count(),

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Trainer.sgdIngestBatch]] — online SGD on the IngestRecipe seam:
+  * batch fold ≡ scalar sequential steps, the batch-K-times ≡ K-epoch
+  * equivalence with the registered `quality_train`, crash-replay
+  * idempotence, and the loud ledger-conflict guard. */
+class TrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar ground truth of one exact fixed-point step. */
+  private def scalarStep(rows: Seq[(Long, Long, Long, Long)],
+      w: Vector[Long]): Vector[Long] = {
+    def fd(a: Long, b: Long): Long = { val m = ((a % b) + b) % b; (a - m) / b }
+    val r6s = rows.map { case (y, x0, x1, x2) =>
+      val z = x0 * w(0) + x1 * w(1) + x2 * w(2)
+      (Seq(x0, x1, x2), 500000L + fd(500000L * z, 1000000L + math.abs(z)) - y * 1000000L)
+    }
+    val n = math.max(rows.size.toLong, 1L)
+    Vector.tabulate(3)(j =>
+      w(j) - fd(r6s.map { case (x, r) => x(j) * r }.sum, n * 10))
+  }
+
+  private def df(rows: Seq[(Long, Long, Long, Long)]): DataFrame =
+    rows.toDF("y", "x0", "x1", "x2")
+
+  private val b = Seq(
+    Seq((1L, 1L, 5L, 12L), (0L, 1L, 0L, 1L), (1L, 1L, 4L, 9L)),
+    Seq((0L, 1L, 1L, 2L), (1L, 1L, 6L, 15L)),
+    Seq((1L, 1L, 3L, 8L), (0L, 1L, 0L, 0L), (0L, 1L, 2L, 3L)))
+
+  private def ledgerRows(path: String) =
+    ParquetIO.readOrEmpty(spark, path, Trainer.LedgerSchema)
+
+  test("3-batch fold ≡ scalar sequential steps; replay idempotent; conflict guard loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sgd")
+    val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+    b.zipWithIndex.foreach { case (rows, i) =>
+      Trainer.sgdIngestBatch(df(rows), ledger, out, i.toLong)
+    }
+    val want = b.scanLeft(Vector(0L, 0L, 0L))(
+      (w, rows) => scalarStep(rows, w)).drop(1)
+    def got() = ledgerRows(ledger).dropDuplicates()
+      .orderBy("batch_id").collect()
+      .map(r => Vector(r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got() == want, s"fold diverged: ${got()} vs $want")
+    // crash-replay of the middle batch (perturbed layout): nothing moves
+    Trainer.sgdIngestBatch(df(b(1)).repartition(5), ledger, out, 1L)
+    assert(got() == want, "replay changed the trajectory")
+    assert(Trainer.latestWeights(ledgerRows(ledger))
+      .collect().head.toSeq == want.last.toSeq, "latestWeights diverged")
+    // misuse — a different batch re-shipping an id with different weights
+    // — must fail LOUDLY at read, never pick a survivor
+    ledgerRows(ledger).limit(1)
+      .select(col("batch_id"), col("n"), (col("w0") + 1L).as("w0"),
+        col("w1"), col("w2"), col("sae6"))
+      .write.mode("append").parquet(ledger)
+    val thrown = intercept[IllegalArgumentException] {
+      Trainer.latestWeights(ledgerRows(ledger)).collect()
+    }
+    assert(thrown.getMessage.contains("conflicting"), thrown.getMessage)
+  }
+
+  test("same batch fed K times ≡ quality_train's K-epoch trajectory (shared step)") {
+    // a real corpus fixture so the registered query and the ingest path
+    // derive features identically
+    val longText = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 3L).map(i => (i, "en", longText)) ++
+      (4L to 6L).map(i => (i, "de", "a b c d e"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgd_eq").toString
+    docs.map { case (id, lang, t) => (id, t, lang, "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feats = docs.map { case (_, lang, t) =>
+      val tok = t.trim.split("\\s+").length.toLong
+      (if (lang == "en") 1L else 0L, 1L,
+        math.min(t.length.toLong, 2000L) / 100L, math.min(tok, 200L) / 10L)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_sgd_eq2")
+    val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+    (1L to 4L).foreach(i => Trainer.sgdIngestBatch(df(feats), ledger, out, i))
+    val ledgerW = ledgerRows(ledger).orderBy("batch_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val epochW = graft.SparkEntry.queries("quality_train")(spark, dir)
+      .orderBy("epoch").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(ledgerW == epochW,
+      s"K identical batches must reproduce the K epochs: $ledgerW vs $epochW")
+  }
+}
