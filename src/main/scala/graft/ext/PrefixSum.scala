@@ -44,9 +44,12 @@ object PrefixSum {
         Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       (b(0), b(1))
     }
-    // span ≥ 1 keeps every bucket id < nBuckets; double mul/div by
-    // positive constants is monotone under round-to-nearest, so bucket
-    // order agrees with value order (the correctness requirement)
+    // span ≥ 1 keeps bucket ids bounded by ~nBuckets (for huge ranges,
+    // hi-lo ≳ 2^53, the +1.0 is absorbed by rounding and v=hi can land in
+    // an overflow bucket == nBuckets — harmless, it's just one more
+    // bucket); double mul/div by positive constants is monotone under
+    // round-to-nearest, so bucket order agrees with value order (the
+    // only correctness requirement)
     val span = math.max(1.0, hi - lo + 1.0)
     val bk = df.withColumn("__ps_bucket",
       floor((col(orderCol).cast("double") - lit(lo)) * nBuckets / lit(span))

@@ -24,7 +24,12 @@ object Trainer {
     * broadcast 1-row (w0, w1, w2) weight frame: map-side-combinable
     * aggregate, lr = 0.1 as the /10 in the update. Returns the 1-row
     * (n, w0, w1, w2, sae6) post-step frame; empty input holds the
-    * weights (coalesce guards). */
+    * weights. The incoming weights ride OUTSIDE the row aggregate (a
+    * crossJoin back after the gradient agg) — an earlier form carried
+    * them through max(wj), which on an EMPTY batch aggregated to NULL
+    * and coalesced to 0, silently resetting the weights (and, via
+    * [[sgdIngestBatch]], writing a zero-weight ledger row that every
+    * later batch trained from). */
   def step(feats: DataFrame, w: DataFrame): DataFrame =
     feats.crossJoin(broadcast(w))
       .withColumn("z6", expr("x0*w0 + x1*w1 + x2*w2"))
@@ -32,12 +37,12 @@ object Trainer {
         s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
       .agg(count(lit(1)).as("n"),
         sum(expr("x0*r6")).as("g0"), sum(expr("x1*r6")).as("g1"),
-        sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"),
-        max("w0").as("w0o"), max("w1").as("w1o"), max("w2").as("w2o"))
+        sum(expr("x2*r6")).as("g2"), sum(abs(col("r6"))).as("sae6"))
+      .crossJoin(broadcast(w))
       .select(col("n"),
-        expr(s"coalesce(w0o, 0L) - ${fd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
-        expr(s"coalesce(w1o, 0L) - ${fd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
-        expr(s"coalesce(w2o, 0L) - ${fd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
+        expr(s"w0 - ${fd("coalesce(g0, 0L)", "greatest(n, 1L)*10")}").as("w0"),
+        expr(s"w1 - ${fd("coalesce(g1, 0L)", "greatest(n, 1L)*10")}").as("w1"),
+        expr(s"w2 - ${fd("coalesce(g2, 0L)", "greatest(n, 1L)*10")}").as("w2"),
         coalesce(col("sae6"), lit(0L)).as("sae6"))
 
   /** K full-batch epochs from zero init: each epoch ONE [[step]], the

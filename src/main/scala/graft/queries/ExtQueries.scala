@@ -232,7 +232,7 @@ object ExtQueries {
       k: Int): Seq[org.apache.spark.sql.DataFrame] =
     graft.ext.Trainer.epochs(s, feats, k)
 
-  /** DuckDB-side floor-div twin of [[qtFd]]. */
+  /** DuckDB-side floor-div twin of [[graft.ext.Trainer.fd]]. */
   private def qtFdSql(a: String, b: String) =
     s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
 
@@ -248,23 +248,34 @@ object ExtQueries {
     * aggregates epoch N's gradient over `f` × eN−1 and applies the
     * update. Same exact-multiple floor-div, same Elliott rational
     * sigmoid, same int64 micro-units — generated so the two engines'
-    * epoch arithmetic can never drift. */
+    * epoch arithmetic can never drift. Mirrors [[graft.ext.Trainer.step]]'s
+    * weights-outside-the-aggregate shape: gN holds only the gradient
+    * sums, eN joins gN back to eN−1's weights — an empty f holds the
+    * weights instead of any_value(w)→NULL→0 resetting them. */
   private def qtEpochsSql(k: Int): String = {
-    val upd = (j: Int) =>
-      s"""CAST(coalesce(any_value(w$j), 0) - ${qtFdSql(s"coalesce(sum(x$j*r6), 0)",
-        "greatest(count(*), 1)*10")} AS BIGINT) AS w$j"""
+    val upd = (j: Int, e: Int, prev: String) =>
+      s"""CAST($prev.w$j - ${qtFdSql(s"g$j",
+        s"greatest(g$e.n, 1)*10")} AS BIGINT) AS w$j"""
     "e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,\n" +
       "       CAST(0 AS BIGINT) AS w2),\n" +
       (1 to k).map { e =>
+        val prev = s"e${e - 1}"
         s"""z$e AS (
            |  SELECT y, x0, x1, x2, w0, w1, w2,
            |    500000 + ${qtFdSql("500000*(x0*w0 + x1*w1 + x2*w2)",
           "1000000 + abs(x0*w0 + x1*w1 + x2*w2)")} - y*1000000 AS r6
-           |  FROM f CROSS JOIN e${e - 1}),
-           |e$e AS (
-           |  SELECT count(*) AS n, ${upd(0)}, ${upd(1)}, ${upd(2)},
+           |  FROM f CROSS JOIN $prev),
+           |g$e AS (
+           |  SELECT count(*) AS n,
+           |    CAST(coalesce(sum(x0*r6), 0) AS BIGINT) AS g0,
+           |    CAST(coalesce(sum(x1*r6), 0) AS BIGINT) AS g1,
+           |    CAST(coalesce(sum(x2*r6), 0) AS BIGINT) AS g2,
            |    CAST(coalesce(sum(abs(r6)), 0) AS BIGINT) AS sae6
-           |  FROM z$e)""".stripMargin
+           |  FROM z$e),
+           |e$e AS (
+           |  SELECT g$e.n AS n, ${upd(0, e, prev)}, ${upd(1, e, prev)},
+           |    ${upd(2, e, prev)}, g$e.sae6 AS sae6
+           |  FROM g$e CROSS JOIN $prev)""".stripMargin
       }.mkString(",\n")
   }
 

@@ -91,4 +91,24 @@ class TrainerSpec extends SparkSpec {
     assert(ledgerW == epochW,
       s"K identical batches must reproduce the K epochs: $ledgerW vs $epochW")
   }
+
+  test("empty batch against NONZERO weights holds them (no silent reset)") {
+    // direct step: the regression shape was max(w)->NULL->coalesce(0)
+    val w = Seq((7L, -3L, 11L)).toDF("w0", "w1", "w2")
+    val out = Trainer.step(df(Nil), w).collect().head
+    assert(out.toSeq == Seq(0L, 7L, -3L, 11L, 0L),
+      s"empty step must hold weights: ${out.toSeq}")
+    // through the ingest seam: a dry micro-batch between two real ones
+    // must leave the trajectory exactly 'hold at batch 0's weights'
+    val root = java.nio.file.Files.createTempDirectory("graft_sgd_empty")
+    val (ledger, outP) = (root.resolve("l").toString, root.resolve("o").toString)
+    Trainer.sgdIngestBatch(df(b(0)), ledger, outP, 0L)
+    Trainer.sgdIngestBatch(df(Nil), ledger, outP, 1L)
+    Trainer.sgdIngestBatch(df(b(2)), ledger, outP, 2L)
+    val got = ledgerRows(ledger).dropDuplicates().orderBy("batch_id").collect()
+      .map(r => Vector(r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val w0 = scalarStep(b(0), Vector(0L, 0L, 0L))
+    val want = Seq(w0, w0, scalarStep(b(2), w0))
+    assert(got == want, s"empty batch corrupted the fold: $got vs $want")
+  }
 }
