@@ -88,6 +88,129 @@ object Trainer {
       .select("w0", "w1", "w2")
   }
 
+  // ------------------------------------------------------------------
+  // Hashed sparse-feature variant — the fastText-filter shape: features
+  // are hashed token frequencies (slot = hash(token) mod D), so the
+  // model trains on TEXT, not on size buckets. Same exact int64
+  // micro-unit contract as [[step]] (Elliott rational sigmoid,
+  // exact-multiple floor-div), extended with the two tricks that make
+  // full-batch GD actually converge on bag-of-words features while
+  // staying SPARSE:
+  //
+  //  * per-slot CENTERING via scalar correction — centered features are
+  //    dense (absent slots become −mean), but algebra keeps the compute
+  //    sparse: z̃_d = Σ_active x·w − Σ_s m_s·w_s (one global scalar M),
+  //    g̃_s = Σ_active x·r − m_s·ΣR (one global scalar R);
+  //  * diagonal (Jacobi) preconditioning — each slot's gradient is
+  //    divided by its train-fold centered second moment, the sqrt-free
+  //    member of the diagonal-Newton/AdaGrad family, so the step size
+  //    is per-coordinate scale-invariant (raw frequency features span
+  //    2+ orders of magnitude; unpreconditioned GD stalls on the
+  //    common-token mean direction).
+  //
+  // The intercept is slot −1 with x6 = 10⁶ (one natural unit) in every
+  // doc: excluded from centering (m6 forced 0), its second moment is
+  // n·10¹², so the unified update reduces EXACTLY to the classic
+  // intercept step fd(R·lr, n) — floor(10⁶a/10⁶b) = floor(a/b). R
+  // itself is recovered from the intercept's raw gradient, an exact
+  // 10⁶-multiple, so no second aggregate over the corpus is needed.
+  //
+  // Per-epoch plan: ONE scan of the localCheckpointed doc-feature
+  // arrays + ONE ≤D-key map-side-combinable shuffle; weights/stats are
+  // ≤D-row frames that travel by broadcast. Int64 bounds: Σx6² ≤
+  // n·10¹², gradient ≤ n·10¹²·lr — safe past 10⁶ docs per fold at the
+  // worst case (single-token docs), ~10⁸ realistic; beyond that move
+  // the two sums to DECIMAL(38,0), chisq-style.
+  // ------------------------------------------------------------------
+
+  /** Hash-feature hyperparameters: lr = HashLrNum/HashLrDen = 2 (safe
+    * because preconditioning normalizes per-coordinate curvature). */
+  val HashLrNum = 2L
+
+  /** Per-slot train-fold statistics over an exploded
+    * (doc_id, y, slot, x6) feature frame (intercept rows slot=−1,
+    * x6=10⁶ included): mean m6 (0 for the intercept — it is not
+    * centered), centered second moment v6 = Σx6² − 2·m6·Σx6 + n·m6²,
+    * and the preconditioner denominator den = max(v6 div 10⁶, n) — the
+    * clamp degrades near-constant slots to the plain GD step instead
+    * of letting a tiny variance explode the update. */
+  def hashedStats(feats: DataFrame): DataFrame = {
+    val nF = feats.filter(col("slot") === -1L)
+      .agg(count(lit(1)).as("n"))
+    feats.groupBy("slot")
+      .agg(sum(col("x6")).as("sx"), sum(col("x6") * col("x6")).as("sxx"))
+      .crossJoin(broadcast(nF))
+      .withColumn("m6", expr(
+        s"CASE WHEN slot = -1 THEN 0L ELSE ${fd("sx", "greatest(n, 1L)")} END"))
+      .select(col("slot"), col("n"), col("m6"),
+        expr("sxx - 2*m6*sx + n*m6*m6").as("v6"))
+      .withColumn("den", expr(s"greatest(${fd("v6", "1000000")}, n)"))
+      .localCheckpoint()
+  }
+
+  /** (doc_id, y, fs) array form of the exploded feature frame — built
+    * once and localCheckpointed so each epoch re-reads one compact
+    * materialization instead of re-running the corpus scan. */
+  private def hashedDocs(feats: DataFrame): DataFrame =
+    feats.groupBy("doc_id", "y")
+      .agg(collect_list(struct(col("slot"), col("x6"))).as("fs"))
+      .localCheckpoint()
+
+  /** 1-row broadcast context for a weight frame: the slot→w map plus
+    * the centering scalar M = Σ m6·w. */
+  private def hashedCtx(w: DataFrame, stats: DataFrame): DataFrame =
+    w.join(stats.select("slot", "m6"), Seq("slot"), "left")
+      .agg(
+        map_from_entries(collect_list(struct(col("slot"), col("w")))).as("wm"),
+        coalesce(sum(col("m6") * col("w")), lit(0L)).as("mm"))
+
+  private val hashedZ6 =
+    fd("aggregate(fs, 0L, (acc, e) -> acc + e.x6 * coalesce(try_element_at(wm, e.slot), 0L)) - mm",
+      "1000000")
+
+  /** K full-batch epochs of centered, preconditioned hashed-feature
+    * logistic regression from zero init. Returns the per-slot stats
+    * frame plus the K per-epoch (slot, w) weight frames (weight domain
+    * = the fold's slots; an empty fold yields empty frames — the exact
+    * SQL-twin answer). */
+  def hashedEpochs(feats: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
+    val stats = hashedStats(feats)
+    val docs = hashedDocs(feats)
+    var w = stats.select(col("slot"), lit(0L).as("w"))
+    val out = (1 to k).map { _ =>
+      val r = docs.crossJoin(broadcast(hashedCtx(w, stats)))
+        .withColumn("z6", expr(hashedZ6))
+        .withColumn("r6", expr(
+          s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
+      val graw = r.select(explode(col("fs")).as("e"), col("r6"))
+        .select(col("e.slot").as("slot"), (col("e.x6") * col("r6")).as("xr"))
+        .groupBy("slot").agg(sum("xr").as("graw"))
+        .localCheckpoint()
+      // R = Σ_docs r6, recovered from the intercept's raw gradient
+      // (an exact 10⁶-multiple); agg keeps the frame 1-row on empty
+      val rF = graw.filter(col("slot") === -1L)
+        .agg(coalesce(sum(expr(fd("graw", "1000000"))), lit(0L)).as("rr"))
+      w = stats.select("slot", "m6", "den")
+        .join(graw, Seq("slot"), "left")
+        .join(w, Seq("slot"), "left")
+        .crossJoin(broadcast(rF))
+        .select(col("slot"), expr(
+          s"coalesce(w, 0L) - ${fd(s"(coalesce(graw, 0L) - m6*rr)*$HashLrNum", "den")}")
+          .as("w"))
+        .localCheckpoint()
+      w
+    }
+    (stats, out)
+  }
+
+  /** Score an exploded feature frame against trained weights + the
+    * TRAIN fold's stats (standard practice: test features are centered
+    * with train-fold means): (doc_id, y, z6); decision boundary z6>0. */
+  def hashedPredict(feats: DataFrame, w: DataFrame,
+      stats: DataFrame): DataFrame =
+    hashedDocs(feats).crossJoin(broadcast(hashedCtx(w, stats)))
+      .select(col("doc_id"), col("y"), expr(hashedZ6).as("z6"))
+
   /** One feature micro-batch through online SGD, exactly-once on the
     * [[IngestRecipe]] seam: anti-join the standing weights ledger on this
     * batch's own batch_id (a replay that crashed after the merge landed

@@ -309,6 +309,140 @@ object ExtQueries {
        |  (cm.tp * 1000000) // greatest(cm.tp + cm.fn, 1) AS recall_ppm
        |FROM cm CROSS JOIN e$k""".stripMargin
 
+  // --- hashed-feature trainer (quality_train_hashed + eval) ---------
+
+  /** Hash-feature corpus projection: label = the stopword-density rule
+    * a Gopher-style quality filter encodes (micro-frequency of
+    * {'the','a'} ≥ 0.07 — the distillation target: train a cheap
+    * hashed-token model to reproduce an expensive rule's decisions),
+    * features = per-token micro-frequencies hashed into
+    * [[qthSlotCount]] slots, plus the intercept pseudo-slot −1 with
+    * x6 = 10⁶ in every doc ([[graft.ext.Trainer.hashedEpochs]]'s
+    * contract). Collisions are merged per (doc, slot) BEFORE
+    * persisting so the oracle sees slot-level features. Persisted via
+    * OracleAux: DuckDB cannot compute xxhash64, so it reads the slot
+    * assignment from the persisted frame — but it RECOMPUTES the label
+    * from documents.text and uses its own y, so a Spark-side label bug
+    * still fails the compare. */
+  private val qthSlotCount = 4096L
+
+  private def qthFeatsRaw(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = table(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        greatest(size(col("ts")), lit(1)).cast("long").as("tot"),
+        (size(filter(col("ts"), t => t === "the")) +
+          size(filter(col("ts"), t => t === "a"))).cast("long").as("sw"))
+      .select(col("doc_id"), col("ts"), col("tot"),
+        expr("CASE WHEN (1000000*sw) div tot >= 70000 THEN 1L ELSE 0L END").as("y"))
+    val tok = base
+      .select(col("doc_id"), col("y"), col("tot"), explode(col("ts")).as("tok"))
+      .groupBy(col("doc_id"), col("y"), col("tot"),
+        pmod(xxhash64(lit("qth-seed"), col("tok")), lit(qthSlotCount)).as("slot"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("y"), col("slot"),
+        expr("(1000000*c) div tot").as("x6"))
+    tok.unionByName(base.select(col("doc_id"), col("y"),
+      lit(-1L).as("slot"), lit(1000000L).as("x6")))
+  }
+
+  private def qthFeats(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    OracleAux.persist(dir, "qth_feats")(qthFeatsRaw(s, dir))
+
+  /** Label CTE recomputed from documents (not trusted from the
+    * persisted frame) + the persisted slot features joined to it. */
+  private val qthFlSql =
+    s"""lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (1000000*(len(list_filter(ts, t -> t = 'the'))
+       |        + len(list_filter(ts, t -> t = 'a'))))
+       |        // greatest(len(ts), 1) >= 70000 THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(trim(text)), '\\s+') AS ts
+       |        FROM documents)),
+       |f0 AS (SELECT doc_id, slot, x6
+       |       FROM read_parquet(${OracleAux.duckGlob("qth_feats")})),
+       |fl0 AS MATERIALIZED (SELECT f0.doc_id, lab.y, f0.slot, f0.x6
+       |        FROM f0 JOIN lab USING (doc_id))""".stripMargin
+
+  /** Stats + K-epoch CTE twin of [[graft.ext.Trainer.hashedEpochs]]
+    * over a CTE `fl` (doc_id, y, slot, x6): same centering-by-scalar,
+    * same Jacobi preconditioner, same exact int64 floor-divs. */
+  private def qthEpochsSql(k: Int): String = {
+    val epochs = (1 to k).map { e =>
+      val p = s"e${e - 1}"
+      s"""c$e AS (SELECT CAST(coalesce(sum(st.m6 * $p.w), 0) AS BIGINT) AS mm
+         |  FROM st JOIN $p USING (slot)),
+         |z$e AS (SELECT doc_id, any_value(y) AS y,
+         |    CAST(sum(x6 * coalesce($p.w, 0)) AS BIGINT) AS sdot
+         |  FROM fl LEFT JOIN $p USING (slot) GROUP BY doc_id),
+         |r$e AS (SELECT doc_id,
+         |    500000 + ${qtFdSql("500000*zz", "1000000 + abs(zz)")} - y*1000000 AS r6
+         |  FROM (SELECT doc_id, y, ${qtFdSql("sdot - mm", "1000000")} AS zz
+         |        FROM z$e CROSS JOIN c$e)),
+         |g$e AS (SELECT slot, CAST(sum(x6*r6) AS BIGINT) AS graw
+         |  FROM fl JOIN r$e USING (doc_id) GROUP BY slot),
+         |rs$e AS (SELECT CAST(coalesce(sum(${qtFdSql("graw", "1000000")}), 0) AS BIGINT) AS rr
+         |  FROM g$e WHERE slot = -1),
+         |e$e AS MATERIALIZED (SELECT st.slot,
+         |    CAST(coalesce($p.w, 0)
+         |      - ${qtFdSql("(coalesce(g.graw, 0) - st.m6*rs.rr)*2", "st.den")} AS BIGINT) AS w
+         |  FROM st LEFT JOIN g$e g USING (slot) LEFT JOIN $p USING (slot)
+         |  CROSS JOIN rs$e rs)""".stripMargin
+    }.mkString(",\n")
+    s"""nd AS (SELECT count(*) AS n FROM fl WHERE slot = -1),
+       |st0 AS (SELECT slot, CAST(sum(x6) AS BIGINT) AS sx,
+       |    CAST(sum(x6*x6) AS BIGINT) AS sxx
+       |  FROM fl GROUP BY slot),
+       |st1 AS (SELECT slot, sx, sxx, n,
+       |    CASE WHEN slot = -1 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(${qtFdSql("sx", "greatest(n, 1)")} AS BIGINT) END AS m6
+       |  FROM st0 CROSS JOIN nd),
+       |st AS MATERIALIZED (SELECT slot, n, m6,
+       |    CAST(greatest(${qtFdSql("sxx - 2*m6*sx + n*m6*m6", "1000000")}, n) AS BIGINT) AS den
+       |  FROM st1),
+       |e0 AS (SELECT slot, CAST(0 AS BIGINT) AS w FROM st),
+       |$epochs""".stripMargin
+  }
+
+  private def qthTrainSql(k: Int): String = {
+    val sel = (1 to k).map(e =>
+      s"SELECT CAST($e AS BIGINT) AS epoch, slot, w FROM e$e")
+      .mkString("\nUNION ALL ")
+    s"""WITH $qthFlSql,
+       |fl AS MATERIALIZED (SELECT * FROM fl0),
+       |${qthEpochsSql(k)}
+       |$sel
+       |ORDER BY epoch, slot""".stripMargin
+  }
+
+  private def qthEvalSql(k: Int): String =
+    s"""WITH $qthFlSql,
+       |fl AS MATERIALIZED (SELECT * FROM fl0 WHERE doc_id % 100 < 90),
+       |${qthEpochsSql(k)},
+       |cK AS (SELECT CAST(coalesce(sum(st.m6 * e$k.w), 0) AS BIGINT) AS mm
+       |  FROM st JOIN e$k USING (slot)),
+       |zt AS (SELECT doc_id, any_value(y) AS y,
+       |    CAST(sum(x6 * coalesce(e$k.w, 0)) AS BIGINT) AS sdot
+       |  FROM (SELECT * FROM fl0 WHERE doc_id % 100 >= 95) ft
+       |  LEFT JOIN e$k USING (slot) GROUP BY doc_id),
+       |t AS (SELECT y, (${qtFdSql("sdot - mm", "1000000")} > 0) AS pred
+       |  FROM zt CROSS JOIN cK),
+       |cm AS (
+       |  SELECT count(*) AS n_test,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+       |  FROM t)
+       |SELECT nd.n AS n_train, cm.n_test, cm.tp, cm.fp, cm.fn, cm.tn,
+       |  ((cm.tp + cm.tn) * 1000000) // greatest(cm.n_test, 1) AS acc_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fp, 1) AS precision_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fn, 1) AS recall_ppm
+       |FROM cm CROSS JOIN nd""".stripMargin
+
   /** Per-document packing prefix sum (lang, doc_id, toks, cum_start):
     * cum_start = tokens before this doc in its language's doc_id order.
     * Runs on the shared [[graft.ext.PrefixSum]] two-level machinery
@@ -739,6 +873,69 @@ object ExtQueries {
       },
       Some(qualityTrainEvalSql(4)),
       "held-out eval of the trained filter: exact confusion matrix + ppm accuracy/precision/recall on the test fold"),
+
+    // The fastText-filter shape — the model trains on TEXT: hashed
+    // per-token micro-frequencies (4096 slots + intercept), 8 exact
+    // fixed-point epochs of centered, diagonally-preconditioned
+    // full-batch logistic regression ([[graft.ext.Trainer.hashedEpochs]]
+    // — centering stays sparse via two scalar corrections, the Jacobi
+    // preconditioner is sqrt-free so every step is int64-exact and
+    // bit-identical to the generated DuckDB CTEs). Label = the
+    // stopword-density rule (micro-freq of {'the','a'} ≥ 0.07), i.e.
+    // the distillation every production quality filter runs: teach a
+    // cheap linear model to reproduce an expensive rule. (The harness
+    // lang label is NOT text-derivable — a Naive-Bayes ceiling probe
+    // sits at the base rate, see PERF.md r13 — so distilling a
+    // text-defined quality rule is the honest demonstration target.)
+    // Output: the full (epoch, slot, w) weight trajectory. Per-epoch
+    // plan: ONE scan of the checkpointed doc-feature arrays + ONE
+    // ≤4096-key combinable shuffle; weights/stats travel by broadcast.
+    "quality_train_hashed" -> Q(
+      (s, dir) => {
+        val (_, eps) = graft.ext.Trainer.hashedEpochs(qthFeats(s, dir), 8)
+        eps.zipWithIndex.map { case (w, i) =>
+          w.select(lit((i + 1).toLong).as("epoch"), col("slot"), col("w"))
+        }.reduce(_ unionByName _).orderBy("epoch", "slot")
+      },
+      Some(qthTrainSql(8)),
+      "hashed-token-feature training (8 exact centered+preconditioned fixed-point epochs, full weight trajectory)"),
+
+    // Held-out eval of the hashed model: train the SAME 8 exact epochs
+    // on the train fold (doc_id % 100 < 90), score the test fold
+    // (% 100 ≥ 95) with train-fold centering stats, report the exact
+    // confusion matrix + ppm rates. Unlike the size-bucket
+    // quality_train_eval (honest tp=0 on a text-independent label),
+    // this one shows genuine out-of-sample separation: the model
+    // recovers the stopword-ratio rule from hashed bag-of-words alone
+    // (tp > 0, accuracy far above base rate at sf0.01 AND sf0.1).
+    "quality_train_eval_hashed" -> Q(
+      (s, dir) => {
+        val feats = qthFeats(s, dir).localCheckpoint()
+        val trainF = feats.filter(col("doc_id") % 100 < 90)
+        val testF = feats.filter(col("doc_id") % 100 >= 95)
+        val (stats, eps) = graft.ext.Trainer.hashedEpochs(trainF, 8)
+        val nTrain = trainF.filter(col("slot") === -1L)
+          .agg(count(lit(1)).as("n_train"))
+        graft.ext.Trainer.hashedPredict(testF, eps.last, stats)
+          .select(col("y"), (col("z6") > 0L).as("pred"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0L && col("pred"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("y") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
+            sum(when(col("y") === 0L && !col("pred"), 1L).otherwise(0L)).as("tn"))
+          .crossJoin(broadcast(nTrain))
+          .select(col("n_train"), col("n_test"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            coalesce(col("fn"), lit(0L)).as("fn"),
+            coalesce(col("tn"), lit(0L)).as("tn"))
+          .select(col("*"),
+            expr("((tp + tn) * 1000000) div greatest(n_test, 1L)").as("acc_ppm"),
+            expr("(tp * 1000000) div greatest(tp + fp, 1L)").as("precision_ppm"),
+            expr("(tp * 1000000) div greatest(tp + fn, 1L)").as("recall_ppm"))
+      },
+      Some(qthEvalSql(8)),
+      "held-out eval of the hashed-feature filter: genuine separation (tp>0, acc >> base) distilling the stopword-ratio rule"),
 
     // Calibration of that quality score (reliability diagram + ECE,
     // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8

@@ -100,4 +100,106 @@ class QualityTrainSpec extends SparkSpec {
     assert(got.toSeq == (1L to 4L).map(e => (e, 0L, 0L, 0L, 0L, 0L)),
       s"empty corpus must hold zero weights: ${got.toSeq}")
   }
+
+  // --- hashed-feature trainer (quality_train_hashed + eval) ---------
+
+  /** Scalar ground truth of the centered + Jacobi-preconditioned
+    * hashed epochs: docs as (doc_id, y, slot→x6) maps incl. the
+    * intercept slot −1 → 10⁶. */
+  private def scalarHashed(docs: Seq[(Long, Long, Map[Long, Long])],
+      k: Int): Seq[Map[Long, Long]] = {
+    val n = docs.size.toLong
+    val slots = docs.flatMap(_._3.keys).distinct.sorted
+    val sx = slots.map(s => s -> docs.map(_._3.getOrElse(s, 0L)).sum).toMap
+    val sxx = slots.map(s => s -> docs.map { d =>
+      val x = d._3.getOrElse(s, 0L); x * x }.sum).toMap
+    val m = slots.map(s =>
+      s -> (if (s == -1L) 0L else fd(sx(s), math.max(n, 1L)))).toMap
+    val den = slots.map { s =>
+      val v = sxx(s) - 2 * m(s) * sx(s) + n * m(s) * m(s)
+      s -> math.max(fd(v, 1000000L), n)
+    }.toMap
+    var w = slots.map(_ -> 0L).toMap
+    (1 to k).map { _ =>
+      val mm = slots.map(s => m(s) * w(s)).sum
+      val rs = docs.map { case (_, y, f) =>
+        val z = fd(f.map { case (s, x) => x * w(s) }.sum - mm, 1000000L)
+        (f, 500000L + fd(500000L * z, 1000000L + math.abs(z)) - y * 1000000L)
+      }
+      val g = slots.map(s =>
+        s -> rs.map { case (f, r) => f.getOrElse(s, 0L) * r }.sum).toMap
+      val bigR = fd(g(-1L), 1000000L)
+      w = slots.map(s => s -> (w(s) - fd((g(s) - m(s) * bigR) * 2, den(s)))).toMap
+      w
+    }
+  }
+
+  /** The query's feature derivation, scalar: slot-merged token counts
+    * scaled to micro-frequencies + the stopword-rule label. The slot
+    * assignment is read from the engine's own hash (the hash is not
+    * what this spec pins; the exact ARITHMETIC is). */
+  private def scalarFeats(docs: Seq[(Long, String)],
+      slotOf: Map[String, Long]): Seq[(Long, Long, Map[Long, Long])] =
+    docs.map { case (id, text) =>
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq
+      val tot = math.max(ts.size.toLong, 1L)
+      val sw = ts.count(_ == "the").toLong + ts.count(_ == "a").toLong
+      val y = if ((1000000L * sw) / tot >= 70000L) 1L else 0L
+      val f = ts.groupBy(slotOf).map { case (s, g) =>
+        s -> (1000000L * g.size) / tot }
+      (id, y, f + (-1L -> 1000000L))
+    }
+
+  private val qthHi = Seq("the the a a data query row",
+    "the a the a table scan scan row", "the data a the a row the",
+    "a the a value key the a")
+  private val qthLo = Seq("data query table scan row value key",
+    "join merge sort filter window agg", "value key join row scan table merge",
+    "window agg filter sort merge join data")
+
+  private def slotMap(texts: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val toks = texts.flatMap(_.split(" ")).distinct
+    toks.toDF("tok")
+      .select(col("tok"),
+        pmod(xxhash64(lit("qth-seed"), col("tok")), lit(4096L)).as("slot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("quality_train_hashed: bit-exact vs the scalar centered+preconditioned fold") {
+    val docs = (qthHi ++ qthLo).zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    val dir = writeDocs(docs.map { case (id, t) => (id, "en", t) })
+    val got = graft.SparkEntry.queries("quality_train_hashed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = scalarHashed(scalarFeats(docs, slotMap(docs.map(_._2))), 8)
+      .zipWithIndex.flatMap { case (w, i) =>
+        w.toSeq.sortBy(_._1).map { case (s, v) => ((i + 1).toLong, s, v) }
+      }
+    assert(got.toSeq == want, s"hashed fold diverged:\n${got.toSeq}\nvs\n$want")
+  }
+
+  test("quality_train_eval_hashed: genuine held-out separation on a stopword-rule fixture") {
+    // train ids 1..8 (4 stopword-dense, 4 stopword-free), test ids
+    // 195..198 (2 of each) — the hashed model must RECOVER the rule
+    // out-of-sample from bag-of-words alone
+    val docs = (qthHi ++ qthLo).zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } ++
+      Seq((195L, qthHi.head), (196L, qthHi(1)), (197L, qthLo.head), (198L, qthLo(1)))
+    val dir = writeDocs(docs.map { case (id, t) => (id, "en", t) })
+    val r = graft.SparkEntry.queries("quality_train_eval_hashed")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTrain, nTest) = (row.getLong(0), row.getLong(1))
+    val (tp, fp, fn, tn) = (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nTrain == 8L && nTest == 4L, s"folds: n_train=$nTrain n_test=$nTest")
+    assert((tp, fp, fn, tn) == ((2L, 0L, 0L, 2L)),
+      s"hashed model must separate perfectly here: tp=$tp fp=$fp fn=$fn tn=$tn")
+    assert(row.getLong(6) == 1000000L, "acc_ppm")
+  }
+
+  test("hashed empty corpus: zero rows, no division error") {
+    val dir = writeDocs(Seq.empty)
+    assert(graft.SparkEntry.queries("quality_train_hashed")(spark, dir).count() == 0L)
+    val ev = graft.SparkEntry.queries("quality_train_eval_hashed")(spark, dir).collect()
+    assert(ev.length == 1 && ev.head.getLong(0) == 0L && ev.head.getLong(1) == 0L)
+  }
 }
