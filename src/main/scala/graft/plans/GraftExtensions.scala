@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorDot
+import graft.functions.{NormalizeUnicode, VectorDot}
 
 /** Session-extension entry point: makes graft's native expressions
   * available to the SQL front end.
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("unicode_nfc"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_nfc"),
+      (children: Seq[Expression]) => NormalizeUnicode(children.head, "NFC")))
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
@@ -56,12 +60,15 @@ object GraftExtensions {
     }
 
   /** Idempotent runtime registration of all graft SQL functions: the
-    * native vector kernel plus the five reference cleaners. */
+    * native vector kernel, the Unicode normalizer, and the five
+    * reference cleaners. */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.registerTempFunction
     import graft.etl.Cleaners
     registerTempFunction(spark, "vector_dot",
       children => VectorDot(children.head, children(1)))
+    registerTempFunction(spark, "unicode_nfc",
+      children => NormalizeUnicode(children.head, "NFC"))
     val cleaners: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
       Map("clean_price" -> Cleaners.cleanPrice, "clean_rating" -> Cleaners.cleanRating,
         "clean_colors" -> Cleaners.cleanColors, "clean_size" -> Cleaners.cleanSize,

@@ -1474,6 +1474,41 @@ object ExtQueries {
               |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
       "exact dedup: hash-groupBy on text over planted duplicates"),
 
+    // Exact dedup on UNICODE-NORMALIZED keys (Unicode TR15): real
+    // corpora mix composed (NFC) and decomposed (NFD) byte forms of the
+    // same text, and a byte-keyed groupBy treats them as distinct — the
+    // classic silent dedup miss. Key = [[graft.functions.NormalizeUnicode]]
+    // (native codegen'd expression; Spark has no built-in normalizer),
+    // demonstrated on an in-query mixed-form corpus: every doc gets one
+    // NFC-suffixed copy and one NFD-suffixed copy (composed é vs
+    // e+U+0301 — byte-distinct, canonically equal), which MUST collapse
+    // into one group per text. DuckDB twin uses its nfc_normalize().
+    // Plan: narrow per-row normalize inside the scan projection, then
+    // the same single hash-groupBy as dedup_exact — scale-free at 100 TB.
+    "dedup_exact_normalized" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val mixed = docs.select(col("doc_id"),
+            concat(col("text"), lit(" caf\u00e9")).as("text"))
+          .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
+        mixed
+          .groupBy(graft.functions.TextNorm.nfc(col("text")).as("text_nfc"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id")
+      },
+      Some("""WITH mixed AS (
+             |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text || ' cafe' || chr(769) FROM documents)
+             |SELECT keep_id, n_copies FROM (
+             |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |  FROM mixed GROUP BY nfc_normalize(text))
+             |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin),
+      "exact dedup on NFC-normalized keys: composed/decomposed byte forms of equal text collapse (native TR15 normalizer expression)"),
+
     // Pairwise near-dup hits → duplicate CLUSTERS: connected components
     // via iterative min-label propagation ([[Dedup.duplicateClusters]]).
     // The edge list is the SimHash-verified pair set — read from the
