@@ -23,7 +23,8 @@ class BenchLineSpec extends AnyFunSuite {
     // the host telemetry must survive into the stdout line verbatim — the
     // judge normalizes cross-round totals from the stdout tail alone
     val host = """{"load_start":31.50,"load_end":30.25,"mem_avail_gb":97.12,""" +
-      """"calib":{"table_counts":0.120,"q1_pricing_summary":0.800,"source_dsv2_scrape":0.500}}"""
+      """"calib":{"table_counts":0.120,"q1_pricing_summary":0.800,"source_dsv2_scrape":0.500},""" +
+      """"calib_vs_file":1.25}"""
     val line = Bench.stdoutLine(Seq("a"), 0, 1.0, Map("a" -> 1.0),
       Map("a" -> Seq(1.0)), 1, "[]", "[]", "x", 0.0, "y", "z", host)
     assert(line.contains(s""""host":$host"""), line)
@@ -45,10 +46,31 @@ class BenchLineSpec extends AnyFunSuite {
       sfDir2 = "/root/testdata/sf0.01",
       outFile = "/tmp/graft_bench_artifact_r99.json",
       host = """{"load_start":9999.99,"load_end":9999.99,"mem_avail_gb":9999.99,""" +
-        """"calib":{"table_counts":9999.999,"q1_pricing_summary":9999.999,"source_dsv2_scrape":9999.999}}""")
+        """"calib":{"table_counts":9999.999,"q1_pricing_summary":9999.999,"source_dsv2_scrape":9999.999},""" +
+        """"calib_vs_file":9999.99}""")
     assert(line.length <= 1800,
       s"headline line is ${line.length} chars at nTrials=0 — the shrink " +
         "loop would start dropping headline queries; trim the set or names")
+  }
+
+  test("calib_vs_file: median ratio vs the committed baseline; -1 when unusable") {
+    // against the real committed file (keys must stay aligned with
+    // Bench.calibration — a rename there must fail here)
+    val base = Bench.calibration
+    val doubled = base.map(_ -> 0.0) // all failed probes → -1
+    assert(Bench.calibVsBaseline(doubled) == -1.0)
+    assert(Bench.calibVsBaseline(Seq.empty) == -1.0)
+    assert(Bench.calibVsBaseline(base.map(_ -> 1.0), "/nonexistent.json") == -1.0)
+    // exact ×2 on every probe → median exactly 2.0
+    val committed = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      .findAllMatchIn(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("tools/calib_baseline.json")))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(base.forall(committed.contains),
+      s"calibration probes missing from tools/calib_baseline.json: " +
+        base.filterNot(committed.contains))
+    val x2 = base.map(n => n -> committed(n) * 2.0)
+    assert(math.abs(Bench.calibVsBaseline(x2) - 2.0) < 1e-9)
   }
 
   test("trial arrays attach to the slowest queries first") {

@@ -6,10 +6,16 @@ the latest Verify dump's oracle_sql.json, and PERF.md's 8x probe tables.
 COVERAGE.md stays the narrative; this file is the mechanical audit surface.
 
 Usage:
-    python3 tools/registry_index.py [verify_out_dir] > REGISTRY_INDEX.md
+    python3 tools/registry_index.py [verify_out_dir] [sweep_8x.json] > REGISTRY_INDEX.md
 
 Default verify_out_dir: /tmp/verify_out (written by `sbt "runMain
 graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`).
+
+sweep_8x.json (judge directive r12 #5) is a full-registry Bench artifact
+run with SPARK_GRAFT_SF_DIR=<8x copy> and SPARK_GRAFT_SF_DIR2=sf0.1: its
+per-query ratio queries[q]/queries_sf2[q] fills the 8x column for EVERY
+swept query; PERF.md's curated min-of-2 probe tables override where
+present (they are the better estimator for the queries they cover).
 """
 import glob
 import json
@@ -61,19 +67,33 @@ def latest_ratios():
     return ratios
 
 
+def sweep_ratios(path):
+    """query -> 8x/1x ratio from a two-leg Bench sweep artifact."""
+    if not path or not os.path.exists(path):
+        return {}
+    art = json.load(open(path))
+    big, small = art.get("queries", {}), art.get("queries_sf2", {})
+    bad = set(art.get("errors", [])) | set(art.get("errors_sf2", []))
+    return {q: big[q] / small[q] for q in big
+            if q in small and q not in bad and small[q] > 0}
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+    sweep_path = sys.argv[2] if len(sys.argv) > 2 else None
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     oracles = set(json.load(open(oracle_path))) if os.path.exists(oracle_path) else set()
     sites = definition_sites()
-    ratios = latest_ratios()
+    ratios = sweep_ratios(sweep_path)
+    ratios.update(latest_ratios())
     gated = {"q2_min_cost_supplier", "q11_important_stock", "q20_potential_promotion"}
     print("# REGISTRY_INDEX — machine-generated per-query audit table")
     print()
-    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out > REGISTRY_INDEX.md`")
+    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out <sweep_8x.json> > REGISTRY_INDEX.md`")
     print("(after a fresh `sbt \"runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out\"`).")
-    print("`oracle` = DuckDB hash-compare SQL registered; `8x` = latest PERF.md probe ratio")
-    print("(blank = not individually probed; family sweeps cover the rest).")
+    print("`oracle` = DuckDB hash-compare SQL registered; `8x` = 8x-data/1x-data seconds")
+    print("from the full-registry sweep artifact, overridden by PERF.md's curated")
+    print("min-of-2 probe tables where present (blank = not yet swept).")
     print()
     print(f"{len(sites)} definition sites, {len(oracles)} oracles in {oracle_path}.")
     print()
