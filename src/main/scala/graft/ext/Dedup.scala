@@ -998,6 +998,163 @@ object Dedup {
   val SemanticIndexSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(Similarity.IvfIndexSchema)
 
+  // ------------------------------------------------- cascade at ingest
+  /** Standing exact-stage index of the ingest cascade: one row per
+    * first-arrival distinct text, keyed by md5(text) — 128 bits, so
+    * collisions are out of reach at any corpus size (a 64-bit key would
+    * expect real collisions past ~10¹⁰ docs and silently drop innocent
+    * documents). */
+  val CascadeExactSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("fp", StringType),
+      StructField("doc_id", LongType)))
+  }
+
+  /** Per-batch cascade verdict rows: every batch doc with the stage that
+    * dropped it ('1_exact' / '2_minhash' / '3_semantic') or 'kept'. */
+  val CascadeOutSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("stage", StringType)))
+  }
+
+  /** One micro-batch through the FULL dedup cascade at ingest — the
+    * incremental form of the registered `dedup_cascade` funnel, composed
+    * from the three standing indexes that each already have O(delta)
+    * ingest, probed in funnel order so every stage sees only the
+    * previous stage's survivors:
+    *
+    *   1. EXACT: collapse in-batch duplicate texts to their min-doc_id
+    *      first arrival, then drop any doc whose md5(text) already
+    *      stands in the exact index — stage 1 first, so the quadratic
+    *      near-dup stages never see mass duplication (the ×30.8→×2.0
+    *      lesson, incremental form);
+    *   2. MINHASH: stage-1 survivors probed against the standing LSH
+    *      index ([[minhashIncrementalPairs]] — delta×base, never
+    *      base×base), verified-pair deltas drop;
+    *   3. SEMANTIC: remaining survivors with embeddings, assigned to the
+    *      FROZEN centroids, cosine-verified against the standing
+    *      assignment index within their cluster.
+    *
+    * Per-batch output is the verdict frame (doc_id, stage) under
+    * `batch_id=<id>` overwrite; the index merge derives from that output
+    * read-back ([[IngestRecipe.applyBatchMergeFromOutputKeyed]] — the
+    * semantic component keys on vec_id, the others on doc_id): the exact
+    * index gains the batch's first-arrival fps, the LSH index gains ALL
+    * stage-1 survivors (a doc later dropped at stage 2/3 still witnesses
+    * future duplicates, exactly like the batch funnel where drops come
+    * from pairs over the full stage-1 survivor set), and the semantic
+    * index gains all embedded stage-2 survivors, for the same reason.
+    *
+    * Sequential-fold contract (CascadeSpec pins it): with doc_ids
+    * non-decreasing across batches and batches internally near-dup-free
+    * for stages 2–3 (in-batch EXACT duplicates are handled here; in-batch
+    * near-dups are the upstream batch-dedup's job, as in
+    * [[dedupIngestBatch]]), the union of per-batch verdicts equals the
+    * inline cascade over the concatenated corpus with the same frozen
+    * centroids. Replay armor is the recipe's: per-part anti-join on the
+    * batch's own keys + partition-overwrite output; replay-appended
+    * index duplicates are distinct/rank-collapsed by every consumer and
+    * repaired by [[compactCascadeIndex]]. */
+  def cascadeIngestBatch(batch: DataFrame, embeddings: DataFrame,
+      centroids: DataFrame, indexPath: String, outPath: String,
+      batchId: Long, jaccardThreshold: Double = 0.7,
+      cosineThreshold: Double = 0.35,
+      persistCand: DataFrame => DataFrame = identity): Unit = {
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    val fpd = b.select(col("doc_id"), md5(col("text")).as("fp"))
+    // shingle + assign ONCE per batch: probe and merge both consume them
+    val shAll = shingleRows(b).localCheckpoint()
+    val assignedAll = Similarity.assignToCentroids(
+      embeddings.join(
+        b.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+        Seq("vec_id"), "left_semi").select("vec_id", "embedding"),
+      centroids).localCheckpoint()
+    val docKeys = b.select(col("doc_id"))
+    val vecKeys = b.select(col("doc_id").as("vec_id"))
+    IngestRecipe.applyBatchMergeFromOutputKeyed(batchId, outPath,
+      CascadeOutSchema,
+      Seq((s"$indexPath/exact", CascadeExactSchema, docKeys),
+        (s"$indexPath/lsh/banded", BandedSchema, docKeys),
+        (s"$indexPath/lsh/shingles", ShingleSchema, docKeys),
+        (s"$indexPath/sem", SemanticIndexSchema, vecKeys))) {
+      case Seq(exactBase, baseBanded, baseShingles, semBase) =>
+        // stage 1: in-batch first arrival + standing-fp drop
+        val first = fpd.groupBy("fp").agg(min("doc_id").as("first_id"))
+        val baseFp = exactBase.select("fp").distinct()
+          .withColumn("hit", lit(1))
+        val s1 = fpd.join(first.hint("shuffle_hash"), Seq("fp"))
+          .join(baseFp.hint("shuffle_hash"), Seq("fp"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") =!= col("first_id") || col("hit").isNotNull).as("d1"))
+          .localCheckpoint()
+        val surv1 = s1.filter(!col("d1")).select("doc_id")
+        // stage 2: delta×base LSH probe over stage-1 survivors
+        val sh1 = shAll.join(surv1.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val drops2 = minhashIncrementalPairs(baseBanded,
+          b.join(surv1.hint("shuffle_hash"), Seq("doc_id"), "left_semi"),
+          baseShingles, jaccardThreshold, persistCand,
+          deltaShingles = Some(sh1))
+          .select(col("id_d").as("doc_id")).distinct().localCheckpoint()
+        val surv2 = surv1.join(drops2, Seq("doc_id"), "left_anti")
+        // stage 3: frozen-centroid cosine probe over embedded survivors
+        val a2 = assignedAll.join(
+          surv2.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+          Seq("vec_id"), "left_semi")
+        val drops3 = semBase
+          .select(col("c_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+          .join(a2.select(col("c_id"), col("vec_id").as("id_b"),
+            col("embedding").as("emb_b")).hint("shuffle_hash"), "c_id")
+          .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+          .filter(col("cos") >= cosineThreshold)
+          .select(col("id_b").as("doc_id")).distinct()
+        b.select(col("doc_id"))
+          .join(s1.filter(col("d1")).select(col("doc_id"))
+            .withColumn("m1", lit(1)).hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(drops2.withColumn("m2", lit(1)).hint("shuffle_hash"),
+            Seq("doc_id"), "left")
+          .join(drops3.withColumn("m3", lit(1)).hint("shuffle_hash"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("m1") === 1, "1_exact")
+              .when(col("m2") === 1, "2_minhash")
+              .when(col("m3") === 1, "3_semantic")
+              .otherwise("kept").as("stage"))
+      case _ => throw new MatchError("four index parts expected")
+    } { outBack =>
+      val surv1 = outBack.filter(col("stage") =!= "1_exact").select("doc_id")
+      val surv2 = outBack.filter(col("stage").isin("3_semantic", "kept"))
+        .select("doc_id")
+      val sh1 = shAll.join(surv1.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      Seq(
+        IngestRecipe.IndexPart(s"$indexPath/exact", CascadeExactSchema,
+          fpd.join(surv1.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+            .select("fp", "doc_id")),
+        IngestRecipe.IndexPart(s"$indexPath/lsh/banded", BandedSchema,
+          bandedSignatures(sh1)),
+        IngestRecipe.IndexPart(s"$indexPath/lsh/shingles", ShingleSchema,
+          sh1.distinct()),
+        IngestRecipe.IndexPart(s"$indexPath/sem", SemanticIndexSchema,
+          assignedAll.join(
+            surv2.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+            Seq("vec_id"), "left_semi")
+            .select("vec_id", "embedding", "c_id"),
+          partitionBy = Seq("c_id")))
+    }
+  }
+
+  /** Replay-duplicate repair for the cascade's four standing components
+    * (legitimate rows are unique per key family — see each schema's doc —
+    * so full-row dropDuplicates removes exactly the replay appends). */
+  def compactCascadeIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    IngestRecipe.compact(spark, s"$indexPath/exact", CascadeExactSchema)
+    compactDedupIndex(spark, s"$indexPath/lsh")
+    IngestRecipe.compact(spark, s"$indexPath/sem", SemanticIndexSchema,
+      partitionBy = Seq("c_id"))
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed once per vector (not per pair); pair scoring is one
     // native VectorDot per pair inside codegen

@@ -5,7 +5,8 @@ import org.apache.spark.sql.types.StructType
 
 /** The ONE exactly-once recipe every standing-index ingest path follows
   * ([[Dedup.dedupIngestBatch]], [[Dedup.boilerplateIngestBatch]],
-  * [[Dedup.semanticIngestBatch]], [[SourceAudit.auditIngestBatch]]).
+  * [[Dedup.semanticIngestBatch]], [[Dedup.cascadeIngestBatch]],
+  * [[SourceAudit.auditIngestBatch]]).
   * foreachBatch is at-least-once; per-batch OUTPUT becomes exactly-once
   * by partition overwrite, and the PROBE becomes replay-deterministic by
   * anti-joining the standing index against the batch's own keys:
@@ -58,14 +59,19 @@ object IngestRecipe {
   /** Step 1, shared: each standing component anti-joined against the
     * batch's own keys — the pre-crash base a replay must probe. */
   private def preCrashBases(batchKeys: DataFrame,
-      parts: Seq[(String, StructType)]): Seq[DataFrame] = {
-    val spark = batchKeys.sparkSession
-    val keyCols = batchKeys.columns.toSeq
-    parts.map { case (path, schema) =>
-      ParquetIO.readOrEmpty(spark, path, schema)
-        .join(batchKeys, keyCols, "left_anti")
+      parts: Seq[(String, StructType)]): Seq[DataFrame] =
+    preCrashBasesKeyed(parts.map { case (p, s) => (p, s, batchKeys) })
+
+  /** Per-part key frames, for recipes whose components key on different
+    * columns (the cascade's exact/LSH parts key on doc_id, its semantic
+    * part on vec_id): each component anti-joins ITS OWN key frame's
+    * column names. */
+  private def preCrashBasesKeyed(
+      parts: Seq[(String, StructType, DataFrame)]): Seq[DataFrame] =
+    parts.map { case (path, schema, keys) =>
+      ParquetIO.readOrEmpty(keys.sparkSession, path, schema)
+        .join(keys, keys.columns.toSeq, "left_anti")
     }
-  }
 
   /** Step 3, shared: O(delta) append of the batch's rows to each index
     * component (partitioned components land only in their footprint). */
@@ -92,10 +98,22 @@ object IngestRecipe {
       outPath: String, outSchema: StructType,
       probeParts: Seq[(String, StructType)])
       (probe: Seq[DataFrame] => DataFrame)
+      (merge: DataFrame => Seq[IndexPart]): Unit =
+    applyBatchMergeFromOutputKeyed(batchId, outPath, outSchema,
+      probeParts.map { case (p, s) => (p, s, batchKeys) })(probe)(merge)
+
+  /** [[applyBatchMergeFromOutput]] with PER-PART key frames, for recipes
+    * whose standing components key on different columns (the dedup
+    * cascade: exact + LSH components anti-join on doc_id, the semantic
+    * assignment component on vec_id). Same steps, same replay armor. */
+  def applyBatchMergeFromOutputKeyed(batchId: Long,
+      outPath: String, outSchema: StructType,
+      probeParts: Seq[(String, StructType, DataFrame)])
+      (probe: Seq[DataFrame] => DataFrame)
       (merge: DataFrame => Seq[IndexPart]): Unit = {
-    val bases = preCrashBases(batchKeys, probeParts)
+    val bases = preCrashBasesKeyed(probeParts)
     writeBatchOutput(probe(bases), outPath, batchId)
-    val outBack = batchKeys.sparkSession.read.schema(outSchema)
+    val outBack = probeParts.head._3.sparkSession.read.schema(outSchema)
       .parquet(s"$outPath/batch_id=$batchId")
     appendParts(merge(outBack))
   }

@@ -1465,6 +1465,88 @@ object ExtQueries {
               |ORDER BY stage""".stripMargin),
       "production dedup funnel: exact-collapse, then MinHash near-dup, then semantic — per-stage attrition"),
 
+    // The cascade AT INGEST ([[graft.ext.Dedup.cascadeIngestBatch]]):
+    // the standing corpus is batch 0 (building the cascade's three
+    // standing indexes — exact fp set, LSH signature index, semantic
+    // assignment index), the planted delta is batch 1, and the output is
+    // batch 1's per-doc verdict frame — which stage dropped each arriving
+    // doc, in funnel order, probing ONLY the standing indexes (O(delta)
+    // per batch, never a corpus re-sign; the exactly-once armor is the
+    // shared IngestRecipe seam, keyed per component). The minhash
+    // candidate pairs persist (OracleAux) so DuckDB re-verifies the exact
+    // Jaccard over the same pair set; stage-1 verdicts are recomputed by
+    // the oracle from text directly. Planted delta ids carry no
+    // embeddings, so stage 3 provably never fires here — its incremental
+    // path is spec-pinned (CascadeSpec) and matrix-pinned
+    // (CompactionMatrixSpec) instead.
+    "dedup_cascade_incremental" -> Q(
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cascinc").toString
+        val corpus = Dedup.planted(table(s, dir, "documents")).localCheckpoint()
+        val emb = table(s, dir, "embeddings")
+        val cents = graft.ext.Similarity.seedCentroids(emb, ivfNlist(s, dir))
+          .localCheckpoint()
+        Dedup.cascadeIngestBatch(corpus.filter(col("doc_id") < 1000000L),
+          emb, cents, s"$root/idx", s"$root/out", 0L)
+        Dedup.cascadeIngestBatch(corpus.filter(col("doc_id") >= 1000000L),
+          emb.limit(0), cents, s"$root/idx", s"$root/out", 1L,
+          persistCand = OracleAux.persist(dir, "cascade_incr_cand"))
+        s.read.schema(Dedup.CascadeOutSchema).parquet(s"$root/out/batch_id=1")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |d AS (SELECT doc_id, text FROM planted WHERE doc_id >= 1000000),
+              |b AS (SELECT doc_id, text FROM planted WHERE doc_id < 1000000),
+              |bs1 AS (SELECT min(doc_id) AS doc_id, text FROM b GROUP BY text),
+              |firstd AS (SELECT text, min(doc_id) AS first_id FROM d GROUP BY text),
+              |d1 AS (SELECT d.doc_id FROM d JOIN firstd USING (text)
+              |       WHERE d.doc_id != firstd.first_id
+              |          OR d.text IN (SELECT text FROM b)),
+              |ds1 AS (SELECT doc_id, text FROM d
+              |        WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+              |tokd AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM ds1),
+              |shd AS (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM tokd WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              |  WHERE s IS NOT NULL),
+              |tokb AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM bs1),
+              |shb AS (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM tokb WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              |  WHERE s IS NOT NULL),
+              |dsz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+              |bsz AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY 1),
+              |cand AS (SELECT DISTINCT id_d, id_b
+              |         FROM read_parquet(${OracleAux.duckGlob("cascade_incr_cand")})),
+              |inter AS (
+              |  SELECT c.id_d, c.id_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN shd a ON a.doc_id = c.id_d
+              |  JOIN shb x ON x.doc_id = c.id_b AND x.s = a.s
+              |  GROUP BY 1, 2),
+              |d2 AS (SELECT DISTINCT id_d FROM (
+              |  SELECT i.id_d,
+              |    round(CAST(inter AS DOUBLE) / CAST(dz.sz + bz.sz - inter AS DOUBLE), 4) AS j
+              |  FROM inter i
+              |  JOIN dsz dz ON dz.doc_id = i.id_d
+              |  JOIN bsz bz ON bz.doc_id = i.id_b)
+              |  WHERE j >= 0.7)
+              |SELECT doc_id,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM d1) THEN '1_exact'
+              |       WHEN doc_id IN (SELECT id_d FROM d2) THEN '2_minhash'
+              |       ELSE 'kept' END AS stage
+              |FROM d ORDER BY doc_id""".stripMargin),
+      "the dedup cascade at ingest: delta batch probed against the standing exact/LSH/semantic indexes, per-doc verdicts"),
+
     "dedup_exact" -> Q(
       (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),
       Some(s"""WITH planted AS ($plantedSql)

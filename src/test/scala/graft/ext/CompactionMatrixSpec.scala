@@ -100,8 +100,24 @@ class CompactionMatrixSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
     val (mh, ct, bp, se, ph, wn) =
       (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
-    val (cap, cu, au, sg) = (root("cap"), root("cu"), root("au"), root("sg"))
+    val (cap, cu, au, sg, cx) =
+      (root("cap"), root("cu"), root("au"), root("sg"), root("cx"))
     Seq(
+      Family("cascade",
+        id => Dedup.cascadeIngestBatch(docBatch(id), embBatch(id), centroids,
+          s"$cx/idx", s"$cx/out", id, cosineThreshold = 0.9),
+        Seq(() => readP(s"$cx/idx/exact", Dedup.CascadeExactSchema).count(),
+          () => readP(s"$cx/idx/lsh/banded", Dedup.BandedSchema).count(),
+          () => readP(s"$cx/idx/lsh/shingles", Dedup.ShingleSchema).count(),
+          () => readP(s"$cx/idx/sem", Dedup.SemanticIndexSchema).count()),
+        Some(() => Dedup.compactCascadeIndex(spark, s"$cx/idx")),
+        () => rows(readP(s"$cx/idx/exact", Dedup.CascadeExactSchema)
+            .dropDuplicates()) ++
+          rows(Dedup.minhashPairsIndexed(
+            readP(s"$cx/idx/lsh/banded", Dedup.BandedSchema),
+            readP(s"$cx/idx/lsh/shingles", Dedup.ShingleSchema))) ++
+          rows(Dedup.semanticDedupFromIndex(
+            readP(s"$cx/idx/sem", Dedup.SemanticIndexSchema), 0.9))),
       Family("sgd-ledger",
         id => Trainer.sgdIngestBatch(featBatch(id), s"$sg/ledger", s"$sg/out", id),
         Seq(() => readP(s"$sg/ledger", Trainer.LedgerSchema).count()),

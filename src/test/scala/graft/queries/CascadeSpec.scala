@@ -78,4 +78,83 @@ class CascadeSpec extends SparkSpec {
     assert(rows("1_exact")._3 == rows("2_minhash")._1 &&
       rows("2_minhash")._3 == rows("3_semantic")._1)
   }
+
+  test("cascade at ingest ≡ inline cascade fold (frozen centroids); every stage fires; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, Similarity}
+    val A = (1 to 30).map(i => s"e$i").mkString(" ")
+    val B = (1 to 30).map(i => s"c$i").mkString(" ")
+    val nearA = (1 to 29).map(i => s"e$i").mkString(" ") + " zz"
+    val nearB = (1 to 29).map(i => s"c$i").mkString(" ") + " yy"
+    val C = (1 to 30).map(i => s"u$i").mkString(" ")
+    val D = (1 to 30).map(i => s"w$i").mkString(" ")
+    // doc_ids non-decreasing across batches; no in-batch stage-2/3 pairs
+    val batches = Seq(
+      Seq((1L, A), (2L, A), (3L, B)),
+      Seq((10L, A), (11L, nearB), (12L, C)),
+      Seq((20L, nearA), (21L, D)))
+    val embs = Map(1L -> Array(1f, 0f, 0f), 3L -> Array(0f, 1f, 0f),
+      12L -> Array(0.97f, 0.2f, 0f))
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
+      .toDF("c_id", "c_emb")
+    def embDf(docs: Seq[(Long, String)]) = {
+      val rows = docs.flatMap { case (id, _) => embs.get(id).map(id -> _) }
+      if (rows.isEmpty) Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      else rows.toDF("vec_id", "embedding")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_cascing")
+    val (idx, out) = (root.resolve("idx").toString, root.resolve("out").toString)
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      Dedup.cascadeIngestBatch(docs.toDF("doc_id", "text"), embDf(docs),
+        cents, idx, out, i.toLong, cosineThreshold = 0.9)
+    }
+    def ingested(): Map[Long, String] =
+      spark.read.parquet(out).select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // inline fold over the concatenated corpus, same frozen centroids
+    val all = batches.flatten.toDF("doc_id", "text")
+    val surv1 = all.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+    val sh = Dedup.shingleRows(surv1).localCheckpoint()
+    val drops2 = Dedup.minhashPairsIndexed(
+        Dedup.bandedSignatures(sh), sh.distinct(), 0.7)
+      .select(col("id_b").as("doc_id")).distinct()
+    val surv2 = surv1.join(drops2, Seq("doc_id"), "left_anti")
+    val assigned = Similarity.assignToCentroids(
+      embDf(batches.flatten).join(surv2.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"), cents)
+    val aa = assigned.select(col("c_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val bb = assigned.select(col("c_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val drops3 = aa.join(bb.hint("shuffle_hash"), "c_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.9)
+      .select(col("id_b").as("doc_id")).distinct()
+    val (s1Set, d2Set, d3Set) = (
+      surv1.collect().map(_.getLong(0)).toSet,
+      drops2.collect().map(_.getLong(0)).toSet,
+      drops3.collect().map(_.getLong(0)).toSet)
+    val inline = batches.flatten.map { case (id, _) =>
+      id -> (if (!s1Set.contains(id)) "1_exact"
+             else if (d2Set.contains(id)) "2_minhash"
+             else if (d3Set.contains(id)) "3_semantic"
+             else "kept")
+    }.toMap
+    assert(ingested() == inline,
+      s"ingested fold diverged from inline cascade:\n${ingested()}\nvs\n$inline")
+    // the fixture exercises EVERY verdict, cross-batch
+    val byStage = inline.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(byStage("1_exact") == Set(2L, 10L), byStage.toString)
+    assert(byStage("2_minhash") == Set(11L, 20L), byStage.toString)
+    assert(byStage("3_semantic") == Set(12L), byStage.toString)
+    assert(byStage("kept") == Set(1L, 3L, 21L), byStage.toString)
+    // crash-replay of the middle batch (perturbed layout): nothing moves
+    Dedup.cascadeIngestBatch(
+      batches(1).toDF("doc_id", "text").repartition(5), embDf(batches(1)),
+      cents, idx, out, 1L, cosineThreshold = 0.9)
+    assert(ingested() == inline, "replay changed the verdicts")
+  }
 }
