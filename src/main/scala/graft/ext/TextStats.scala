@@ -178,6 +178,17 @@ object TextStats {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, stats, terms, topN)
+  }
+
+  /** The shared scoring tail of [[bm25]] and [[bm25FromIndex]] — ONE
+    * expression tree, so the index-served path is bit-identical to the
+    * corpus-direct path by construction, not by parallel maintenance.
+    * `tf` carries (doc_id, dl, term, tf) for the query terms only;
+    * `stats` is the 1-row (n_docs, avgdl) frame. */
+  private def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      topN: Int): org.apache.spark.sql.DataFrame = {
     val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
     val scored = tf
       .join(broadcast(dfreq), "term")
@@ -225,5 +236,144 @@ object TextStats {
        |SELECT doc_id, round($pinned, 6) AS bm25
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  // ------------------------------------------- BM25 standing inverted index
+  /** On-disk schemas of the persisted inverted-index artifact: postings
+    * (one row per (term, doc) with the term frequency and the document's
+    * length riding along — denormalized so a query probe never joins the
+    * corpus-wide doclens table), partitioned by the term bucket `tb` so a
+    * probe reads ONLY its query terms' directories; and per-doc lengths
+    * (EVERY ingested doc, including token-less ones — they score nothing
+    * but count in N and avgdl exactly as [[bm25]] counts them). */
+  val PostingSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("tb", IntegerType),
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("tf", LongType), StructField("dl", LongType)))
+  }
+  val DocLenSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType), StructField("dl", LongType)))
+  }
+  /** Exactly-once per-batch ingest output ([[bm25IngestBatch]]): the
+    * batch's per-doc length, distinct-term count, and count of terms the
+    * PRE-BATCH index had never seen (corpus vocabulary growth). */
+  val Bm25OutSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType), StructField("dl", LongType),
+      StructField("n_terms", LongType), StructField("n_new_terms", LongType)))
+  }
+
+  /** Posting-partition fan-out. 32 here; a 100 TB corpus would use
+    * O(thousands) so each bucket directory stays a few GB — the constant
+    * is a layout knob, not a semantics knob. */
+  val PostingBuckets = 32
+
+  /** Term → bucket, as a Column (ingest side). CRC32 of the UTF-8 bytes,
+    * NOT xxhash64: the driver must compute the SAME bucket for a query
+    * term without running a Spark job ([[termBucketOf]]), and
+    * `java.util.zip.CRC32` is the JDK-public twin of Spark's `crc32`. */
+  def termBucket(term: Column): Column =
+    pmod(crc32(term.cast("binary")), lit(PostingBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[termBucket]] — the serving path turns query
+    * terms into partition-filter literals with this, which is what makes
+    * the probe partition-pruned instead of an all-bucket scan. */
+  def termBucketOf(term: String): Int = {
+    val c = new java.util.zip.CRC32()
+    val bs = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    c.update(bs, 0, bs.length)
+    (c.getValue % PostingBuckets).toInt
+  }
+
+  private def toksOf(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
+
+  /** A batch's posting rows: (tb, term, doc_id, tf, dl). Token-less docs
+    * produce NO posting rows (explode drops empty arrays) — they live in
+    * the doclens component only, mirroring [[bm25]] where they feed
+    * (n_docs, avgdl) but never score. */
+  def postingRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), toksOf(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(termBucket(col("term")).as("tb"), col("term"), col("doc_id"),
+        col("tf"), col("dl"))
+
+  /** A batch's doclen rows: (doc_id, dl) for EVERY doc. */
+  def docLenRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), size(toksOf(col("text"))).cast("long").as("dl"))
+
+  /** One micro-batch of inverted-index maintenance on the shared
+    * [[IngestRecipe.applyBatch]] seam (the same exactly-once armor as the
+    * dedup/semantic/winnow families): append the batch's postings into
+    * their term-bucket partitions and its doclens, O(delta) files; the
+    * per-batch output is the vocabulary-growth audit (docs × new-terms vs
+    * the PRE-CRASH base — replay-stable by the recipe's anti-join). The
+    * base-vocab probe is a 1-column distinct over the postings index —
+    * O(vocabulary), not O(corpus), and prunable to the batch's buckets.
+    * Contract shared with every ingest family: doc_ids are unique across
+    * clean batches (upstream's job); replays are absorbed by the armor. */
+  def bm25IngestBatch(batch: org.apache.spark.sql.DataFrame, indexPath: String,
+      outPath: String, batchId: Long): Unit = {
+    val b = batch.select("doc_id", "text").localCheckpoint()
+    // tokenize ONCE; the probe and the merge both consume these rows
+    val post = postingRows(b).localCheckpoint()
+    val dlr = docLenRows(b)
+    IngestRecipe.applyBatch(b.select(col("doc_id")), batchId, outPath,
+      Seq(
+        IngestRecipe.IndexPart(s"$indexPath/postings", PostingSchema, post,
+          partitionBy = Seq("tb")),
+        IngestRecipe.IndexPart(s"$indexPath/doclens", DocLenSchema, dlr))) {
+      case Seq(basePostings, _) =>
+        val baseVocab = basePostings.select("term").distinct()
+        val perDoc = post.groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+        val novel = post.join(baseVocab, Seq("term"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_new_terms"))
+        dlr.join(perDoc, Seq("doc_id"), "left")
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dl"),
+            coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+            coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      case _ => throw new MatchError("two index parts expected")
+    }
+  }
+
+  /** BM25 served from the standing inverted index — bit-identical to
+    * [[bm25]] over the same corpus by construction (shared [[bm25Rank]]
+    * tail). The serve never touches document text: the postings scan is
+    * partition-pruned to the query terms' buckets via DRIVER-computed
+    * literals ([[termBucketOf]]), so probe cost is O(postings of the
+    * query terms) + one slim (doc_id, dl) pass for corpus stats — at
+    * 100 TB the former is the point of having an inverted index and the
+    * latter is a two-column, ~16-bytes-per-doc aggregate a deployment
+    * would additionally snapshot at compaction time. Replay-duplicate
+    * tolerance (at-least-once appends): postings collapse by
+    * (term, doc_id) — duplicates are full-row identical — and doclens by
+    * doc_id, both map-side-combinable aggregates. */
+  def bm25FromIndex(postings: org.apache.spark.sql.DataFrame,
+      doclens: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    val buckets = terms.map(termBucketOf).distinct
+    val tf = postings
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(max("tf").as("tf"), max("dl").as("dl"))
+    val dls = doclens.groupBy("doc_id").agg(max("dl").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    bm25Rank(tf, stats, terms, topN)
+  }
+
+  /** Periodic repair of a replay-inflated index: full-row dedup of both
+    * components (clean state is full-row unique — postings key on
+    * (term, doc_id), doclens on doc_id), postings rewritten into their
+    * bucket layout. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    IngestRecipe.compact(spark, s"$indexPath/postings", PostingSchema,
+      partitionBy = Seq("tb"))
+    IngestRecipe.compact(spark, s"$indexPath/doclens", DocLenSchema)
   }
 }

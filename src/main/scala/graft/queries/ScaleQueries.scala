@@ -296,6 +296,32 @@ object ScaleQueries {
       Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
       "BM25 lexical relevance against a seed query (corpus curation ranking)"),
 
+    // The SAME ranking served from a standing inverted index
+    // ([[graft.ext.TextStats.bm25IngestBatch]] builds it here in two
+    // batches on the shared exactly-once recipe seam): the serve never
+    // re-tokenizes the corpus — its postings scan is partition-PRUNED to
+    // the query terms' term-bucket directories via driver-computed CRC32
+    // literals, which is the reason inverted indexes exist at 100 TB.
+    // Shares text_bm25's oracle: index-served ≡ corpus-direct,
+    // bit-identically (shared scoring tail, Bm25IndexSpec pins it).
+    "search_bm25_indexed" -> Q(
+      (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bm25idx").toString
+        val docs = table(s, dir, "documents")
+        TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 0),
+          s"$root/idx", s"$root/out", 0L)
+        TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 1),
+          s"$root/idx", s"$root/out", 1L)
+        TextStats.bm25FromIndex(
+          s.read.schema(TextStats.PostingSchema).parquet(s"$root/idx/postings"),
+          s.read.schema(TextStats.DocLenSchema).parquet(s"$root/idx/doclens"),
+          Bm25Terms, topN = 20)
+      },
+      Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
+      "BM25 served from a standing inverted index (2-batch exactly-once ingest; " +
+        "term-bucket partition-pruned probe)"),
+
     // Equi-depth histogram WITHOUT a global sort: decile boundaries come
     // from one grouped percentile aggregate (swap in approx_percentile at
     // sketch-scale — agg_percentiles_approx proves the bound pattern),

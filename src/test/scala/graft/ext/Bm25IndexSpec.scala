@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** The BM25 standing inverted index ([[TextStats.bm25IngestBatch]] /
+  * [[TextStats.bm25FromIndex]]): the serve must be BIT-identical to the
+  * corpus-direct [[TextStats.bm25]] (shared scoring tail), replays must
+  * not change what the index serves, the vocabulary-growth output must
+  * match a scalar fold, and the probe must actually be partition-pruned
+  * to the query terms' term buckets — the property that makes the index
+  * worth maintaining at 100 TB. (Replay-inflate → compact → parity rides
+  * [[CompactionMatrixSpec]] as the shared template, like every family.)
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with repeated terms across docs, a token-less doc (scores
+  // nothing, counts in N/avgdl), and punctuation/digit splits
+  private val corpus = Seq(
+    (1L, "spark shuffle join HASH hash hash"),
+    (2L, "hash join; scan scan scan scan vector"),
+    (3L, "stream stream stream stream stream vector kappa"),
+    (4L, "1234 5678 90"), // tokenizes to nothing: [a-z]+ runs only
+    (5L, "the quick brown fox jumps over a lazy dog vector hash"),
+    (6L, "scan"),
+    (7L, "join join join join join join join join hash")
+  ).toDF("doc_id", "text")
+
+  private val terms = Seq("hash", "join", "scan", "vector", "stream")
+
+  private def readP(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    ParquetIO.readOrEmpty(spark, path, schema)
+
+  private def ingest(root: String, batch: DataFrame, id: Long): Unit =
+    TextStats.bm25IngestBatch(batch, s"$root/idx", s"$root/out", id)
+
+  private def serve(root: String, qs: Seq[String] = terms, k: Int = 10): DataFrame =
+    TextStats.bm25FromIndex(
+      readP(s"$root/idx/postings", TextStats.PostingSchema),
+      readP(s"$root/idx/doclens", TextStats.DocLenSchema), qs, k)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("index-served BM25 ≡ corpus-direct BM25, bit-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25a").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    assert(rows(serve(root)) == rows(TextStats.bm25(corpus, terms, 10)))
+    // and on the real sf0.001 documents table with the registered seed
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_b25b").toString
+    ingest(r2, docs.filter($"doc_id" % 2 === 0), 0L)
+    ingest(r2, docs.filter($"doc_id" % 2 === 1), 1L)
+    assert(rows(serve(r2, terms, 20)) == rows(TextStats.bm25(docs, terms, 20)))
+  }
+
+  test("replayed batches do not change the served ranking or the batch output") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25r").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    val out0 = rows(serve(root))
+    val batch1 = rows(spark.read.schema(TextStats.Bm25OutSchema)
+      .parquet(s"$root/out/batch_id=1").orderBy("doc_id"))
+    val postings0 = readP(s"$root/idx/postings", TextStats.PostingSchema).count()
+    (1 to 3).foreach(_ => ingest(root, corpus.filter($"doc_id" > 3), 1L))
+    assert(readP(s"$root/idx/postings", TextStats.PostingSchema).count() > postings0,
+      "replay must inflate the append-armored index (else the template is untested)")
+    assert(rows(serve(root)) == out0, "duplicate-tolerant serve broke under replay")
+    assert(rows(spark.read.schema(TextStats.Bm25OutSchema)
+      .parquet(s"$root/out/batch_id=1").orderBy("doc_id")) == batch1,
+      "batch output must be overwrite-idempotent under replay")
+    TextStats.compactBm25Index(spark, s"$root/idx")
+    assert(readP(s"$root/idx/postings", TextStats.PostingSchema).count() == postings0)
+    assert(rows(serve(root)) == out0, "compaction changed the served ranking")
+  }
+
+  test("vocabulary-growth output matches a scalar fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25v").toString
+    ingest(root, Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("doc_id", "text"), 0L)
+    ingest(root, Seq((3L, "beta delta delta"), (4L, ""), (5L, "12 34")).toDF("doc_id", "text"), 1L)
+    val out = spark.read.schema(TextStats.Bm25OutSchema)
+      .parquet(s"$root/out/batch_id=1").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch 0 vocab = {alpha, beta, gamma}; doc 3 brings delta (new) + beta
+    // (seen); docs 4, 5 tokenize to nothing → all-zero audit rows
+    assert(out.toSeq == Seq((3L, 3L, 2L, 1L), (4L, 0L, 0L, 0L), (5L, 0L, 0L, 0L)))
+  }
+
+  test("the serve's postings scan is partition-pruned to the query terms' buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25p").toString
+    ingest(root, corpus, 0L)
+    // driver and executor bucket functions agree (CRC32 twins)
+    val sparkSide = corpus.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower($"text"), "[^a-z]+")).as("t"))
+      .filter(org.apache.spark.sql.functions.length($"t") > 0)
+      .select($"t", TextStats.termBucket($"t").as("tb")).distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    sparkSide.foreach { case (t, tb) =>
+      assert(TextStats.termBucketOf(t) == tb, s"bucket mismatch for '$t'")
+    }
+    val plan = serve(root, Seq("hash"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      s"no tb partition filter in the postings scan:\n$plan")
+    // the pruned serve still ranks correctly
+    assert(rows(serve(root, Seq("hash"), 5)) ==
+      rows(TextStats.bm25(corpus, Seq("hash"), 5)))
+  }
+
+  test("cold start: serving an absent index returns no rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25c").toString
+    assert(serve(root).count() == 0L)
+  }
+}

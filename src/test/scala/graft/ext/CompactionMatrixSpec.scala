@@ -100,8 +100,8 @@ class CompactionMatrixSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
     val (mh, ct, bp, se, ph, wn) =
       (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
-    val (cap, cu, au, sg, cx) =
-      (root("cap"), root("cu"), root("au"), root("sg"), root("cx"))
+    val (cap, cu, au, sg, cx, bm) =
+      (root("cap"), root("cu"), root("au"), root("sg"), root("cx"), root("bm"))
     Seq(
       Family("cascade",
         id => Dedup.cascadeIngestBatch(docBatch(id), embBatch(id), centroids,
@@ -180,6 +180,17 @@ class CompactionMatrixSpec extends SparkSpec {
         Some(() => IngestRecipe.compact(spark, s"$cu/ledger",
           Monitor.ledgerSchema)),
         () => rows(Monitor.snapshot(spark, s"$cu/ledger", mu))),
+      Family("bm25",
+        // docBatch texts tokenize on [a-z]+ runs: "t1 t2 … a b c" yields
+        // terms like t/a/b/g/u — query a mix present in every batch
+        id => TextStats.bm25IngestBatch(docBatch(id), s"$bm/idx", s"$bm/out", id),
+        Seq(() => readP(s"$bm/idx/postings", TextStats.PostingSchema).count(),
+          () => readP(s"$bm/idx/doclens", TextStats.DocLenSchema).count()),
+        Some(() => TextStats.compactBm25Index(spark, s"$bm/idx")),
+        () => rows(TextStats.bm25FromIndex(
+          readP(s"$bm/idx/postings", TextStats.PostingSchema),
+          readP(s"$bm/idx/doclens", TextStats.DocLenSchema),
+          Seq("t", "a", "g", "u"), topN = 10))),
       Family("source-audit",
         id => SourceAudit.auditIngestBatch(auBatch(id), au, id),
         Seq(() => spark.read.parquet(s"$au/facts").count()),
