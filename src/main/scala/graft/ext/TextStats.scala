@@ -256,6 +256,18 @@ object TextStats {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("doc_id", LongType), StructField("dl", LongType)))
   }
+  /** Positional postings — the third component of the same standing
+    * artifact, serving PHRASE queries ([[phraseFromIndex]]) from the
+    * bucket layout the BM25 probe prunes. One row per token OCCURRENCE
+    * (vs [[PostingSchema]]'s one per (term, doc)), so this is the large
+    * component — which is why it shares the term-bucket partitioning:
+    * a phrase probe touches only its terms' directories. */
+  val PositionSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("tb", IntegerType),
+      StructField("term", StringType), StructField("doc_id", LongType),
+      StructField("pos", IntegerType)))
+  }
   /** Exactly-once per-batch ingest output ([[bm25IngestBatch]]): the
     * batch's per-doc length, distinct-term count, and count of terms the
     * PRE-BATCH index had never seen (corpus vocabulary growth). */
@@ -306,10 +318,19 @@ object TextStats {
   def docLenRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), size(toksOf(col("text"))).cast("long").as("dl"))
 
+  /** A batch's positional posting rows: (tb, term, doc_id, pos) per token
+    * OCCURRENCE, pos 0-based over the [a-z]+ token stream — the same
+    * tokenizer as [[postingRows]], one analyzer per index family. */
+  def positionRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), posexplode(toksOf(col("text"))).as(Seq("pos", "term")))
+      .select(termBucket(col("term")).as("tb"), col("term"), col("doc_id"),
+        col("pos"))
+
   /** One micro-batch of inverted-index maintenance on the shared
     * [[IngestRecipe.applyBatch]] seam (the same exactly-once armor as the
-    * dedup/semantic/winnow families): append the batch's postings into
-    * their term-bucket partitions and its doclens, O(delta) files; the
+    * dedup/semantic/winnow families): append the batch's postings and
+    * positional postings into their term-bucket partitions and its
+    * doclens, O(delta) files; the
     * per-batch output is the vocabulary-growth audit (docs × new-terms vs
     * the PRE-CRASH base — replay-stable by the recipe's anti-join). The
     * base-vocab probe is a 1-column distinct over the postings index —
@@ -326,8 +347,10 @@ object TextStats {
       Seq(
         IngestRecipe.IndexPart(s"$indexPath/postings", PostingSchema, post,
           partitionBy = Seq("tb")),
-        IngestRecipe.IndexPart(s"$indexPath/doclens", DocLenSchema, dlr))) {
-      case Seq(basePostings, _) =>
+        IngestRecipe.IndexPart(s"$indexPath/doclens", DocLenSchema, dlr),
+        IngestRecipe.IndexPart(s"$indexPath/positions", PositionSchema,
+          positionRows(b), partitionBy = Seq("tb")))) {
+      case Seq(basePostings, _, _) =>
         val baseVocab = basePostings.select("term").distinct()
         val perDoc = post.groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
         val novel = post.join(baseVocab, Seq("term"), "left_anti")
@@ -337,8 +360,35 @@ object TextStats {
           .select(col("doc_id"), col("dl"),
             coalesce(col("n_terms"), lit(0L)).as("n_terms"),
             coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
-      case _ => throw new MatchError("two index parts expected")
+      case _ => throw new MatchError("three index parts expected")
     }
+  }
+
+  /** Exact phrase search served from the standing positional component —
+    * the SECOND consumer of the one artifact (the reason to persist it):
+    * per-term occurrence fetch partition-pruned to the phrase terms'
+    * buckets, then adjacency by (doc_id, aligned-start) equi-joins —
+    * term i must sit at start + i. Replay tolerance: occurrence rows are
+    * full-row unique in a clean index, so replay duplicates collapse
+    * under one dropDuplicates over the PRUNED slice (never corpus-wide).
+    * The joins are `shuffle_hash`-pinned like the batch `search_phrase`:
+    * both sides are occurrence-scale and data-dependent, so neither a
+    * broadcast gamble nor a sort-merge is the right default. Returns
+    * (doc_id, n_hits = phrase start positions), ordered by doc_id. */
+  def phraseFromIndex(positions: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val buckets = phrase.map(termBucketOf).distinct
+    val occ = positions
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(phrase.distinct: _*))
+      .dropDuplicates("term", "doc_id", "pos")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      occ.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduceLeft((a, b) => a.join(b.hint("shuffle_hash"), Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
   }
 
   /** BM25 served from the standing inverted index — bit-identical to
@@ -366,14 +416,16 @@ object TextStats {
     bm25Rank(tf, stats, terms, topN)
   }
 
-  /** Periodic repair of a replay-inflated index: full-row dedup of both
-    * components (clean state is full-row unique — postings key on
-    * (term, doc_id), doclens on doc_id), postings rewritten into their
-    * bucket layout. */
+  /** Periodic repair of a replay-inflated index: full-row dedup of all
+    * three components (clean state is full-row unique — postings key on
+    * (term, doc_id), doclens on doc_id, positions on (term, doc_id, pos)),
+    * the bucketed components rewritten into their layout. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
     IngestRecipe.compact(spark, s"$indexPath/postings", PostingSchema,
       partitionBy = Seq("tb"))
     IngestRecipe.compact(spark, s"$indexPath/doclens", DocLenSchema)
+    IngestRecipe.compact(spark, s"$indexPath/positions", PositionSchema,
+      partitionBy = Seq("tb"))
   }
 }

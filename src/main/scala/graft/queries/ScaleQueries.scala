@@ -17,6 +17,28 @@ object ScaleQueries {
   /** Fixed BM25 seed query over the synthetic corpus vocabulary. */
   private val Bm25Terms = Seq("hash", "join", "scan", "vector", "stream")
 
+  /** The standing inverted-index artifact over the documents table —
+    * built once per (process, sf-dir) THROUGH the exactly-once ingest
+    * seam ([[graft.ext.TextStats.bm25IngestBatch]], two micro-batches),
+    * then served by BOTH lexical consumers (`search_bm25_indexed` reads
+    * postings + doclens, `search_phrase_indexed` reads positions): one
+    * artifact, one analyzer, multiple consumers. */
+  private[queries] def invertedIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    Artifacts.cached("graft_inverted_idx", dir) { p =>
+      // the ingest seam APPENDS, so honor Artifacts' stale-artifact
+      // contract explicitly: a leftover dir from an older process must
+      // not absorb this build's batches as replay duplicates
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      val docs = table(s, dir, "documents")
+      TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 0),
+        s"$p/idx", s"$p/out", 0L)
+      TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 1),
+        s"$p/idx", s"$p/out", 1L)
+    }
+
   /** Co-purchase edge list per sf-dir, materialized once per process —
     * the production shape for iterative graph analytics: the edge list is
     * a derived artifact built once per corpus snapshot (GraphX/GraphFrames
@@ -296,31 +318,54 @@ object ScaleQueries {
       Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
       "BM25 lexical relevance against a seed query (corpus curation ranking)"),
 
-    // The SAME ranking served from a standing inverted index
-    // ([[graft.ext.TextStats.bm25IngestBatch]] builds it here in two
-    // batches on the shared exactly-once recipe seam): the serve never
-    // re-tokenizes the corpus — its postings scan is partition-PRUNED to
-    // the query terms' term-bucket directories via driver-computed CRC32
-    // literals, which is the reason inverted indexes exist at 100 TB.
-    // Shares text_bm25's oracle: index-served ≡ corpus-direct,
-    // bit-identically (shared scoring tail, Bm25IndexSpec pins it).
+    // The SAME ranking served from the standing inverted-index artifact
+    // ([[invertedIndexPath]]: built once per (process, sf-dir) THROUGH
+    // the exactly-once ingest seam, then read by BOTH lexical consumers):
+    // the serve never re-tokenizes the corpus — its postings scan is
+    // partition-PRUNED to the query terms' term-bucket directories via
+    // driver-computed CRC32 literals, which is the reason inverted
+    // indexes exist at 100 TB. Shares text_bm25's oracle: index-served ≡
+    // corpus-direct, bit-identically (shared scoring tail, Bm25IndexSpec
+    // pins it).
     "search_bm25_indexed" -> Q(
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_bm25idx").toString
-        val docs = table(s, dir, "documents")
-        TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 0),
-          s"$root/idx", s"$root/out", 0L)
-        TextStats.bm25IngestBatch(docs.filter(col("doc_id") % 2 === 1),
-          s"$root/idx", s"$root/out", 1L)
+        val p = invertedIndexPath(s, dir)
         TextStats.bm25FromIndex(
-          s.read.schema(TextStats.PostingSchema).parquet(s"$root/idx/postings"),
-          s.read.schema(TextStats.DocLenSchema).parquet(s"$root/idx/doclens"),
+          s.read.schema(TextStats.PostingSchema).parquet(s"$p/idx/postings"),
+          s.read.schema(TextStats.DocLenSchema).parquet(s"$p/idx/doclens"),
           Bm25Terms, topN = 20)
       },
       Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
-      "BM25 served from a standing inverted index (2-batch exactly-once ingest; " +
+      "BM25 served from the standing inverted index (exactly-once-ingested artifact; " +
         "term-bucket partition-pruned probe)"),
+
+    // Exact phrase search served from the SAME artifact's positional
+    // component — the second consumer of one standing index (sharing the
+    // artifact across consumers is the reason to persist it, like the
+    // minhash/containment screens over one signature pass). The batch
+    // twin is `search_phrase`; this form fetches per-term occurrences
+    // from the bucket-pruned positions table and aligns them by
+    // (doc_id, start) equi-joins. Own oracle: DuckDB recomputes the
+    // adjacency over the SAME [a-z]+ analyzer from text directly, so the
+    // index must reproduce corpus-direct phrase hits exactly.
+    "search_phrase_indexed" -> Q(
+      (s, dir) => {
+        val p = invertedIndexPath(s, dir)
+        TextStats.phraseFromIndex(
+          s.read.schema(TextStats.PositionSchema).parquet(s"$p/idx/positions"),
+          Seq("hash", "join"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t,
+             |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''), 1) AS pos
+             |  FROM documents)
+             |SELECT a.doc_id, count(*) AS n_hits
+             |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |WHERE a.t = 'hash' AND b.t = 'join'
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      "phrase search served from the standing index's positional component " +
+        "(one artifact, two consumers)"),
 
     // Equi-depth histogram WITHOUT a global sort: decile boundaries come
     // from one grouped percentile aggregate (swap in approx_percentile at

@@ -113,5 +113,51 @@ class Bm25IndexSpec extends SparkSpec {
   test("cold start: serving an absent index returns no rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_b25c").toString
     assert(serve(root).count() == 0L)
+    assert(TextStats.phraseFromIndex(
+      readP(s"$root/idx/positions", TextStats.PositionSchema),
+      Seq("hash", "join")).count() == 0L)
+  }
+
+  // corpus-direct twin of phraseFromIndex, for equivalence pins
+  private def directPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tk = docs.select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) > 0)).as(Seq("pos", "t")))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      tk.filter(col("t") === t).select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduceLeft((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits")).orderBy("doc_id")
+  }
+
+  private def phrase(root: String, p: Seq[String]): DataFrame =
+    TextStats.phraseFromIndex(
+      readP(s"$root/idx/positions", TextStats.PositionSchema), p)
+
+  test("index-served phrase search ≡ corpus-direct adjacency, incl. repeated-term phrases") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25f").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    // known hits: doc 2 "hash join; scan…" → ("hash","join") once; doc 7
+    // "join"×8 → ("join","join") aligns 7 overlapping starts
+    assert(phrase(root, Seq("hash", "join")).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    assert(phrase(root, Seq("join", "join")).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 7L)))
+    assert(phrase(root, Seq("scan", "scan", "scan")).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+    assert(phrase(root, Seq("kappa", "hash")).count() == 0L)
+    // and ≡ the corpus-direct twin on the real sf0.001 documents table
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_b25g").toString
+    ingest(r2, docs.filter($"doc_id" % 2 === 0), 0L)
+    ingest(r2, docs.filter($"doc_id" % 2 === 1), 1L)
+    assert(rows(phrase(r2, Seq("hash", "join"))) ==
+      rows(directPhrase(docs, Seq("hash", "join"))))
+    // replay duplicates must not inflate adjacency counts
+    ingest(r2, docs.filter($"doc_id" % 2 === 1), 1L)
+    assert(rows(phrase(r2, Seq("hash", "join"))) ==
+      rows(directPhrase(docs, Seq("hash", "join"))))
   }
 }

@@ -185,12 +185,16 @@ class CompactionMatrixSpec extends SparkSpec {
         // terms like t/a/b/g/u — query a mix present in every batch
         id => TextStats.bm25IngestBatch(docBatch(id), s"$bm/idx", s"$bm/out", id),
         Seq(() => readP(s"$bm/idx/postings", TextStats.PostingSchema).count(),
-          () => readP(s"$bm/idx/doclens", TextStats.DocLenSchema).count()),
+          () => readP(s"$bm/idx/doclens", TextStats.DocLenSchema).count(),
+          () => readP(s"$bm/idx/positions", TextStats.PositionSchema).count()),
         Some(() => TextStats.compactBm25Index(spark, s"$bm/idx")),
         () => rows(TextStats.bm25FromIndex(
           readP(s"$bm/idx/postings", TextStats.PostingSchema),
           readP(s"$bm/idx/doclens", TextStats.DocLenSchema),
-          Seq("t", "a", "g", "u"), topN = 10))),
+          Seq("t", "a", "g", "u"), topN = 10)) ++
+          rows(TextStats.phraseFromIndex(
+            readP(s"$bm/idx/positions", TextStats.PositionSchema),
+            Seq("t", "a")))),
       Family("source-audit",
         id => SourceAudit.auditIngestBatch(auBatch(id), au, id),
         Seq(() => spark.read.parquet(s"$au/facts").count()),
