@@ -391,6 +391,23 @@ object StreamingOps {
         graft.ext.Winnow.ingestBatch(batch, indexPath, pairsOutPath, batchId)
       }
 
+  /** Inverted-index maintenance at ingest — foreachBatch wiring for
+    * [[graft.ext.TextStats.bm25IngestBatch]]: each document micro-batch
+    * is tokenized once, its postings / doclens / positional postings
+    * merge into the standing lexical artifact (O(delta) files in the
+    * term-bucket footprint), and the vocabulary-growth audit lands under
+    * `batch_id=<id>` with overwrite (replay-idempotent). The serving
+    * side ([[graft.ext.TextStats.bm25FromIndex]] /
+    * [[graft.ext.TextStats.phraseFromIndex]]) reads the artifact, not
+    * Spark state, so queries never block on the stream. */
+  def bm25IngestStream(docs: DataFrame, indexPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.TextStats.bm25IngestBatch(batch, indexPath, outPath, batchId)
+      }
+
   /** Per-user contribution capping at ingest — foreachBatch wiring for
     * [[graft.ext.Mining.capIngestBatch]]: each event micro-batch keeps
     * only the rows within each user's standing quota (first-arrived

@@ -1252,6 +1252,67 @@ class StreamingSpec extends SparkSpec {
       .agg(countDistinct("event_id").as("n")).filter(col("n") > 5).count()
     assert(over == 0L, "ledger exceeded the cap for some user")
   }
+
+  test("bm25 ingest stream: index, serving, and audits == sequential batch fold") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.TextStats
+    val docs = graft.queries.Registry.table(spark, dir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
+    // sequential batch fold — the reference semantics (cold start both)
+    val foldIdx = root.resolve("fold_idx").toString
+    val foldOut = root.resolve("fold_out").toString
+    TextStats.bm25IngestBatch(half1, foldIdx, foldOut, 0L)
+    TextStats.bm25IngestBatch(half2, foldIdx, foldOut, 1L)
+    // stream: two staged files, one per micro-batch
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(half1, "a.parquet", t0 - 60000)
+    writeOne(half2, "b.parquet", t0)
+    val incIdx = root.resolve("inc_idx").toString
+    val incOut = root.resolve("inc_out").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.bm25IngestStream(stream, incIdx, incOut)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    val terms = Seq("hash", "join", "scan", "vector", "stream")
+    def served(idx: String): Seq[String] = {
+      val post = spark.read.schema(TextStats.PostingSchema).parquet(s"$idx/postings")
+      val dls = spark.read.schema(TextStats.DocLenSchema).parquet(s"$idx/doclens")
+      val pos = spark.read.schema(TextStats.PositionSchema).parquet(s"$idx/positions")
+      (TextStats.bm25FromIndex(post, dls, terms, 20).collect() ++
+        TextStats.phraseFromIndex(pos, Seq("hash", "join")).collect())
+        .map(_.toString).toSeq
+    }
+    assert(served(incIdx) == served(foldIdx),
+      "stream-built index serves differently from the sequential fold")
+    assert(served(incIdx).nonEmpty, "degenerate fixture (nothing served)")
+    // and the stream-built index reproduces the corpus-direct ranking
+    val directBm25 = TextStats.bm25(docs, terms, 20).collect().map(_.toString).toSeq
+    assert(served(incIdx).take(directBm25.size) == directBm25,
+      "stream-built index diverged from corpus-direct BM25")
+    // vocabulary-growth audits land per batch_id and match the fold
+    def audit(out: String, id: Long): Seq[String] =
+      spark.read.schema(TextStats.Bm25OutSchema).parquet(s"$out/batch_id=$id")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    (0L to 1L).foreach { id =>
+      assert(audit(incOut, id) == audit(foldOut, id),
+        s"batch $id audit diverged between stream and fold")
+    }
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture
