@@ -160,4 +160,30 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(phrase(r2, Seq("hash", "join"))) ==
       rows(directPhrase(docs, Seq("hash", "join"))))
   }
+
+  test("phrase hits ≡ scalar sliding-window count on random tie-heavy corpora") {
+    // tiny vocabulary → heavy repetition and overlapping starts, the
+    // regime where an off-by-one in start alignment or a dedup mistake
+    // would show; scalar reference slides a window over the token list
+    val gen = org.scalacheck.Gen.listOfN(12, for {
+      id <- org.scalacheck.Gen.choose(1L, 500L)
+      toks <- org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf("a", "b", "c"))
+    } yield (id, toks))
+    val phraseGen = org.scalacheck.Gen.choose(2, 3).flatMap(k =>
+      org.scalacheck.Gen.listOfN(k, org.scalacheck.Gen.oneOf("a", "b", "c")))
+    (1 to 5).foreach { i =>
+      val docs = gen.sample.get.groupBy(_._1).map(_._2.head).toSeq // ids unique
+      val p = phraseGen.sample.get
+      val root = java.nio.file.Files.createTempDirectory(s"graft_b25q$i").toString
+      ingest(root, docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text"), 0L)
+      val want = docs.flatMap { case (id, ts) =>
+        val n = ts.sliding(p.size).count(_ == p)
+        if (n > 0) Some((id, n.toLong)) else None
+      }.sortBy(_._1)
+      val got = phrase(root, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"case $i phrase=$p docs=$docs")
+    }
+  }
 }
