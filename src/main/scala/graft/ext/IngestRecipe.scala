@@ -62,6 +62,19 @@ object IngestRecipe {
       parts: Seq[(String, StructType)]): Seq[DataFrame] =
     preCrashBasesKeyed(parts.map { case (p, s) => (p, s, batchKeys) })
 
+  /** [[applyBatch]] with PER-PART key frames, for recipes whose standing
+    * components key on different columns (the BM25 index: postings /
+    * doclens / positions anti-join on doc_id, the corpus-stats ledger on
+    * batch_id). Same three steps, same replay armor. */
+  def applyBatchKeyed(batchId: Long, outPath: String,
+      parts: Seq[(IndexPart, DataFrame)])
+      (probe: Seq[DataFrame] => DataFrame): Unit = {
+    val bases = preCrashBasesKeyed(
+      parts.map { case (p, keys) => (p.path, p.schema, keys) })
+    writeBatchOutput(probe(bases), outPath, batchId)
+    appendParts(parts.map(_._1))
+  }
+
   /** Per-part key frames, for recipes whose components key on different
     * columns (the cascade's exact/LSH parts key on doc_id, its semantic
     * part on vec_id): each component anti-joins ITS OWN key frame's

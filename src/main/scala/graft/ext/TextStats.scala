@@ -268,6 +268,23 @@ object TextStats {
       StructField("term", StringType), StructField("doc_id", LongType),
       StructField("pos", IntegerType)))
   }
+  /** Corpus-stats ledger — the FOURTH component of the standing artifact:
+    * one row per applied batch with the batch's doc count and summed
+    * token length, so a probe derives (n_docs, avgdl) from O(batches)
+    * ledger rows instead of scanning the corpus-wide doclens component
+    * (the r13 scaladoc said a deployment would snapshot this at ingest —
+    * this IS that snapshot, maintained per batch). Replay armor is the
+    * cap-ledger shape: a replayed batch appends a bit-identical row that
+    * collapses under full-row dedup. avgdl = Σsum_dl / Σn_docs as one
+    * double division — bit-identical to `avg(dl)` over doclens while the
+    * totals stay below 2⁵³ (double-exact integer range; a 100 TB corpus
+    * is ~10¹³ tokens, three orders inside it). */
+  val Bm25StatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("batch_id", LongType),
+      StructField("n_docs", LongType), StructField("sum_dl", LongType)))
+  }
+
   /** Exactly-once per-batch ingest output ([[bm25IngestBatch]]): the
     * batch's per-doc length, distinct-term count, and count of terms the
     * PRE-BATCH index had never seen (corpus vocabulary growth). */
@@ -342,15 +359,23 @@ object TextStats {
     val b = batch.select("doc_id", "text").localCheckpoint()
     // tokenize ONCE; the probe and the merge both consume these rows
     val post = postingRows(b).localCheckpoint()
-    val dlr = docLenRows(b)
-    IngestRecipe.applyBatch(b.select(col("doc_id")), batchId, outPath,
+    val dlr = docLenRows(b).localCheckpoint()
+    val statsRow = dlr.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+      .select(lit(batchId).as("batch_id"), col("n_docs"), col("sum_dl"))
+    val docKeys = b.select(col("doc_id"))
+    val batchKey = b.sparkSession.range(1).select(lit(batchId).as("batch_id"))
+    IngestRecipe.applyBatchKeyed(batchId, outPath,
       Seq(
         IngestRecipe.IndexPart(s"$indexPath/postings", PostingSchema, post,
-          partitionBy = Seq("tb")),
-        IngestRecipe.IndexPart(s"$indexPath/doclens", DocLenSchema, dlr),
+          partitionBy = Seq("tb")) -> docKeys,
+        IngestRecipe.IndexPart(s"$indexPath/doclens", DocLenSchema, dlr)
+          -> docKeys,
         IngestRecipe.IndexPart(s"$indexPath/positions", PositionSchema,
-          positionRows(b), partitionBy = Seq("tb")))) {
-      case Seq(basePostings, _, _) =>
+          positionRows(b), partitionBy = Seq("tb")) -> docKeys,
+        IngestRecipe.IndexPart(s"$indexPath/stats", Bm25StatsSchema, statsRow)
+          -> batchKey)) {
+      case Seq(basePostings, _, _, _) =>
         val baseVocab = basePostings.select("term").distinct()
         val perDoc = post.groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
         val novel = post.join(baseVocab, Seq("term"), "left_anti")
@@ -360,7 +385,7 @@ object TextStats {
           .select(col("doc_id"), col("dl"),
             coalesce(col("n_terms"), lit(0L)).as("n_terms"),
             coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
-      case _ => throw new MatchError("three index parts expected")
+      case _ => throw new MatchError("four index parts expected")
     }
   }
 
@@ -391,35 +416,87 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** The 1-row (n_docs, avgdl) frame from the corpus-stats ledger
+    * component: O(batches) rows, replay duplicates dropped full-row. The
+    * double division Σsum_dl / Σn_docs is bit-identical to `avg(dl)` over
+    * doclens (exact integer sums below 2⁵³ — [[Bm25StatsSchema]]); an
+    * empty ledger yields (0, NULL), exactly what count/avg give on an
+    * empty doclens scan, so cold start is unchanged. */
+  def corpusStatsFromLedger(
+      statsLedger: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    statsLedger.dropDuplicates()
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        (sum("sum_dl").cast("double") / sum("n_docs").cast("double")).as("avgdl"))
+
+  /** Proximity (slop) phrase search from the same positional component —
+    * the query shape retrieval users reach for right after exact phrase:
+    * count ordered occurrence tuples p₁ < … < p_k with term i at p_i and
+    * total span p_k − p₁ ≤ (k−1) + slop. slop = 0 forces every gap to 1
+    * (k strictly increasing positions inside a span of k−1), so it
+    * degenerates EXACTLY to [[phraseFromIndex]]'s adjacency count —
+    * scalacheck-pinned. The span bound also implies each single gap is
+    * ≤ 1 + slop (the other k−2 gaps are ≥ 1 each), so that per-gap check
+    * is applied at EVERY join purely as intermediate pruning — it cannot
+    * change the result, it only stops a term-dense doc from building
+    * tuples the final span filter would discard.
+    *
+    * Plan shape: same bucket-pruned occurrence fetch as the exact form,
+    * then a chain of shuffle_hash EQUI-joins on doc_id with the window
+    * checks as post-join filters — never a theta-join on pos (a range
+    * join would forfeit the hash path and quadratic-scan every doc's
+    * occurrence list pair; the post-join filter keeps the join keyed and
+    * the check codegen'd). */
+  def phraseFromIndexSlop(positions: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String], slop: Int): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(slop >= 0, s"negative slop: $slop")
+    val k = phrase.size
+    val buckets = phrase.map(termBucketOf).distinct
+    val occ = positions
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(phrase.distinct: _*))
+      .dropDuplicates("term", "doc_id", "pos")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      occ.filter(col("term") === t).select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val chained = legs.reduceLeft { (acc, leg) =>
+      val i = leg.columns.last.stripPrefix("p").toInt
+      acc.join(leg.hint("shuffle_hash"), Seq("doc_id"))
+        .filter(col(s"p$i") > col(s"p${i - 1}") &&
+          col(s"p$i") - col(s"p${i - 1}") <= 1 + slop)
+    }
+    chained
+      .filter(col(s"p${k - 1}") - col("p0") <= (k - 1) + slop)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 served from the standing inverted index — bit-identical to
     * [[bm25]] over the same corpus by construction (shared [[bm25Rank]]
-    * tail). The serve never touches document text: the postings scan is
-    * partition-pruned to the query terms' buckets via DRIVER-computed
-    * literals ([[termBucketOf]]), so probe cost is O(postings of the
-    * query terms) + one slim (doc_id, dl) pass for corpus stats — at
-    * 100 TB the former is the point of having an inverted index and the
-    * latter is a two-column, ~16-bytes-per-doc aggregate a deployment
-    * would additionally snapshot at compaction time. Replay-duplicate
-    * tolerance (at-least-once appends): postings collapse by
-    * (term, doc_id) — duplicates are full-row identical — and doclens by
-    * doc_id, both map-side-combinable aggregates. */
+    * tail). The serve never touches document text OR the corpus-wide
+    * doclens component: the postings scan is partition-pruned to the
+    * query terms' buckets via DRIVER-computed literals ([[termBucketOf]]),
+    * and (n_docs, avgdl) come from the O(batches) stats ledger the ingest
+    * leg maintains ([[corpusStatsFromLedger]]) — so probe cost is
+    * O(postings of the query terms) + O(applied batches), independent of
+    * corpus size. Replay-duplicate tolerance (at-least-once appends):
+    * postings collapse by (term, doc_id) — duplicates are full-row
+    * identical — and ledger rows full-row, both tiny aggregates. */
   def bm25FromIndex(postings: org.apache.spark.sql.DataFrame,
-      doclens: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      statsLedger: org.apache.spark.sql.DataFrame, terms: Seq[String],
       topN: Int): org.apache.spark.sql.DataFrame = {
     val buckets = terms.map(termBucketOf).distinct
     val tf = postings
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
       .groupBy("term", "doc_id")
       .agg(max("tf").as("tf"), max("dl").as("dl"))
-    val dls = doclens.groupBy("doc_id").agg(max("dl").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    bm25Rank(tf, stats, terms, topN)
+    bm25Rank(tf, corpusStatsFromLedger(statsLedger), terms, topN)
   }
 
   /** Periodic repair of a replay-inflated index: full-row dedup of all
-    * three components (clean state is full-row unique — postings key on
-    * (term, doc_id), doclens on doc_id, positions on (term, doc_id, pos)),
-    * the bucketed components rewritten into their layout. */
+    * four components (clean state is full-row unique — postings key on
+    * (term, doc_id), doclens on doc_id, positions on (term, doc_id, pos),
+    * the stats ledger on batch_id), the bucketed components rewritten
+    * into their layout. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
     IngestRecipe.compact(spark, s"$indexPath/postings", PostingSchema,
@@ -427,5 +504,6 @@ object TextStats {
     IngestRecipe.compact(spark, s"$indexPath/doclens", DocLenSchema)
     IngestRecipe.compact(spark, s"$indexPath/positions", PositionSchema,
       partitionBy = Seq("tb"))
+    IngestRecipe.compact(spark, s"$indexPath/stats", Bm25StatsSchema)
   }
 }

@@ -151,7 +151,7 @@ object Trainer {
   /** (doc_id, y, fs) array form of the exploded feature frame — built
     * once and localCheckpointed so each epoch re-reads one compact
     * materialization instead of re-running the corpus scan. */
-  private def hashedDocs(feats: DataFrame): DataFrame =
+  private[graft] def hashedDocs(feats: DataFrame): DataFrame =
     feats.groupBy("doc_id", "y")
       .agg(collect_list(struct(col("slot"), col("x6"))).as("fs"))
       .localCheckpoint()
@@ -168,6 +168,38 @@ object Trainer {
     fd("aggregate(fs, 0L, (acc, e) -> acc + e.x6 * coalesce(try_element_at(wm, e.slot), 0L)) - mm",
       "1000000")
 
+  /** ONE centered, preconditioned gradient step over a [[hashedDocs]]
+    * array frame against the (slot, w) weights and the (frozen) per-slot
+    * stats — the shared kernel of the batch [[hashedEpochs]] loop and
+    * the online [[hashedSgdIngestBatch]] ingest leg, so batch-K-epochs ≡
+    * K-identical-ingest-batches holds by construction. The weight domain
+    * is the STATS slots (w is left-joined, absent = 0), so an EMPTY
+    * weight frame is a well-defined zero init, and an EMPTY doc batch
+    * yields graw = ∅ and rr = 0 — the update reduces to w − fd(0, den),
+    * holding the incoming weights exactly (the empty-batch lesson from
+    * the 3-feature [[step]], hashed edition; spec-pinned). */
+  def hashedStep(docs: DataFrame, w: DataFrame, stats: DataFrame): DataFrame = {
+    val r = docs.crossJoin(broadcast(hashedCtx(w, stats)))
+      .withColumn("z6", expr(hashedZ6))
+      .withColumn("r6", expr(
+        s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
+    val graw = r.select(explode(col("fs")).as("e"), col("r6"))
+      .select(col("e.slot").as("slot"), (col("e.x6") * col("r6")).as("xr"))
+      .groupBy("slot").agg(sum("xr").as("graw"))
+      .localCheckpoint()
+    // R = Σ_docs r6, recovered from the intercept's raw gradient
+    // (an exact 10⁶-multiple); agg keeps the frame 1-row on empty
+    val rF = graw.filter(col("slot") === -1L)
+      .agg(coalesce(sum(expr(fd("graw", "1000000"))), lit(0L)).as("rr"))
+    stats.select("slot", "m6", "den")
+      .join(graw, Seq("slot"), "left")
+      .join(w, Seq("slot"), "left")
+      .crossJoin(broadcast(rF))
+      .select(col("slot"), expr(
+        s"coalesce(w, 0L) - ${fd(s"(coalesce(graw, 0L) - m6*rr)*$HashLrNum", "den")}")
+        .as("w"))
+  }
+
   /** K full-batch epochs of centered, preconditioned hashed-feature
     * logistic regression from zero init. Returns the per-slot stats
     * frame plus the K per-epoch (slot, w) weight frames (weight domain
@@ -178,26 +210,7 @@ object Trainer {
     val docs = hashedDocs(feats)
     var w = stats.select(col("slot"), lit(0L).as("w"))
     val out = (1 to k).map { _ =>
-      val r = docs.crossJoin(broadcast(hashedCtx(w, stats)))
-        .withColumn("z6", expr(hashedZ6))
-        .withColumn("r6", expr(
-          s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
-      val graw = r.select(explode(col("fs")).as("e"), col("r6"))
-        .select(col("e.slot").as("slot"), (col("e.x6") * col("r6")).as("xr"))
-        .groupBy("slot").agg(sum("xr").as("graw"))
-        .localCheckpoint()
-      // R = Σ_docs r6, recovered from the intercept's raw gradient
-      // (an exact 10⁶-multiple); agg keeps the frame 1-row on empty
-      val rF = graw.filter(col("slot") === -1L)
-        .agg(coalesce(sum(expr(fd("graw", "1000000"))), lit(0L)).as("rr"))
-      w = stats.select("slot", "m6", "den")
-        .join(graw, Seq("slot"), "left")
-        .join(w, Seq("slot"), "left")
-        .crossJoin(broadcast(rF))
-        .select(col("slot"), expr(
-          s"coalesce(w, 0L) - ${fd(s"(coalesce(graw, 0L) - m6*rr)*$HashLrNum", "den")}")
-          .as("w"))
-        .localCheckpoint()
+      w = hashedStep(docs, w, stats).localCheckpoint()
       w
     }
     (stats, out)
@@ -247,6 +260,77 @@ object Trainer {
       Seq(IngestRecipe.IndexPart(ledgerPath, LedgerSchema,
         outBack.select(lit(batchId).as("batch_id"), col("n"), col("w0"),
           col("w1"), col("w2"), col("sae6"))))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Hashed-feature SGD at ingest — the production-shaped filter (the
+  // 4096-slot hashed model that actually separates held-out data)
+  // trained ONE gradient step per arriving batch, on the same
+  // IngestRecipe seam as the 3-feature [[sgdIngestBatch]]. Per-slot
+  // weights ride a LEDGER (batch_id, slot, w) — one ≤(D+1)-row weight
+  // vector per applied batch, monitoring-scale, never data-scale.
+  //
+  // The per-slot STATS (centering means + Jacobi preconditioner) are
+  // FROZEN from a train fold and passed in by the caller — the same
+  // freeze the cascade applies to its centroids. The alternative
+  // (running-sum stats) would make each step's preconditioner depend on
+  // arrival order in a way no batch twin can replay, and production
+  // hashed filters do exactly this freeze: featurizer statistics are
+  // fit once offline, the online pass only updates weights.
+  // ------------------------------------------------------------------
+
+  /** Per-batch output of [[hashedSgdIngestBatch]]: the full post-step
+    * weight vector (batch_id is the partition directory). */
+  val HashedOutSchema: StructType = StructType(Seq(
+    StructField("slot", LongType), StructField("w", LongType)))
+
+  /** Standing hashed-weights ledger: the post-step weight vector of
+    * every applied batch. */
+  val HashedLedgerSchema: StructType =
+    StructType(StructField("batch_id", LongType) +: HashedOutSchema.fields)
+
+  /** Latest weight vector in a (replay-duplicate-tolerant) hashed
+    * ledger frame: full-row dedup, LOUD conflict guard (two surviving
+    * rows on one (batch_id, slot) can only come from misuse), then the
+    * max-batch_id vector. An empty ledger yields an EMPTY (slot, w)
+    * frame — [[hashedStep]]'s well-defined zero init. */
+  def latestHashedWeights(ledger: DataFrame): DataFrame = {
+    val rows = ledger.dropDuplicates()
+    val conflicts = rows.groupBy("batch_id", "slot").count()
+      .filter(col("count") > 1).count()
+    require(conflicts == 0,
+      s"hashed sgd ledger: $conflicts (batch_id, slot) pair(s) carry conflicting weights")
+    rows.crossJoin(broadcast(rows.agg(max("batch_id").as("mb"))))
+      .filter(col("batch_id") === col("mb"))
+      .select("slot", "w")
+  }
+
+  /** One hashed-feature micro-batch through online SGD, exactly-once on
+    * the [[IngestRecipe]] seam — identical armor to [[sgdIngestBatch]]:
+    * anti-join the standing ledger on this batch's own batch_id, apply
+    * ONE [[hashedStep]] from the weights AS OF batch_id−1 (never
+    * "latest" — a replay must recompute identical weights even if later
+    * batches' rows already landed), write the post-step vector under
+    * `batch_id=<id>` overwrite, append it to the ledger via the output
+    * read-back. `feats` is the exploded (doc_id, y, slot, x6) frame of
+    * the arriving docs; `stats` the frozen train-fold statistics.
+    * Feeding the SAME feature batch as batches 1..K reproduces
+    * [[hashedEpochs]]' K epochs bit-for-bit (shared [[hashedStep]];
+    * spec-pinned), and an empty batch holds the standing weights. */
+  def hashedSgdIngestBatch(feats: DataFrame, stats: DataFrame,
+      ledgerPath: String, outPath: String, batchId: Long): Unit = {
+    val spark = feats.sparkSession
+    val keys = spark.range(1).select(lit(batchId).as("batch_id"))
+    IngestRecipe.applyBatchMergeFromOutput(
+      keys, batchId, outPath, HashedOutSchema,
+      Seq(ledgerPath -> HashedLedgerSchema)) {
+      case Seq(base) =>
+        hashedStep(hashedDocs(feats),
+          latestHashedWeights(base.filter(col("batch_id") < batchId)), stats)
+    } { outBack =>
+      Seq(IngestRecipe.IndexPart(ledgerPath, HashedLedgerSchema,
+        outBack.select(lit(batchId).as("batch_id"), col("slot"), col("w"))))
     }
   }
 }

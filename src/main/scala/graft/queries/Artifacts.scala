@@ -10,8 +10,19 @@ package graft.queries
   * artifacts on first touch (mode overwrite), so a stale artifact from an
   * older CODE version can never poison a newer process. */
 object Artifacts {
+  /** Single-evaluation holder: TrieMap.getOrElseUpdate may run its thunk
+    * in TWO racing threads (only one result is kept) — harmless for the
+    * original mode-overwrite builders, destructive for delete-then-append
+    * builders like the inverted index (one thread's delete erases the
+    * other's in-flight appends). Storing a lazy holder makes losing-race
+    * holders cost nothing unevaluated; `.value` on the single WINNER runs
+    * the build exactly once (lazy-val init is synchronized). */
+  private final class Build(thunk: () => String) {
+    lazy val value: String = thunk()
+  }
+
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Build]
 
   private def dirDigest(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -23,7 +34,8 @@ object Artifacts {
     s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}"
 
   /** Path for `prefix` over `dir`; `build(path)` runs exactly once per
-    * (prefix, dir) per process. */
+    * (prefix, dir) per process — even under concurrent first callers. */
   def cached(prefix: String, dir: String)(build: String => Unit): String =
-    cache.getOrElseUpdate((prefix, dir), { val p = path(prefix, dir); build(p); p })
+    cache.getOrElseUpdate((prefix, dir),
+      new Build(() => { val p = path(prefix, dir); build(p); p })).value
 }

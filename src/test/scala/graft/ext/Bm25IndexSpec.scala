@@ -39,7 +39,20 @@ class Bm25IndexSpec extends SparkSpec {
   private def serve(root: String, qs: Seq[String] = terms, k: Int = 10): DataFrame =
     TextStats.bm25FromIndex(
       readP(s"$root/idx/postings", TextStats.PostingSchema),
-      readP(s"$root/idx/doclens", TextStats.DocLenSchema), qs, k)
+      readP(s"$root/idx/stats", TextStats.Bm25StatsSchema), qs, k)
+
+  /** (n_docs, avgdl) recomputed the pre-snapshot way — a full doclens
+    * scan — for the snapshot ≡ recomputed pins. */
+  private def statsFromDoclens(root: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    rows(readP(s"$root/idx/doclens", TextStats.DocLenSchema)
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")))
+  }
+
+  private def statsFromLedger(root: String): Seq[String] =
+    rows(TextStats.corpusStatsFromLedger(
+      readP(s"$root/idx/stats", TextStats.Bm25StatsSchema)))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
@@ -77,6 +90,25 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rows(serve(root)) == out0, "compaction changed the served ranking")
   }
 
+  test("stats snapshot ≡ doclens-recomputed, through replay and compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25s").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    assert(statsFromLedger(root) == statsFromDoclens(root))
+    // at-least-once replay inflates BOTH components with identical rows;
+    // the dedup'd snapshot must not drift from the dedup'd scan
+    (1 to 3).foreach(_ => ingest(root, corpus.filter($"doc_id" > 3), 1L))
+    assert(statsFromLedger(root) == statsFromDoclens(root),
+      "replay drifted the stats ledger away from doclens")
+    TextStats.compactBm25Index(spark, s"$root/idx")
+    assert(statsFromLedger(root) == statsFromDoclens(root),
+      "compaction drifted the stats ledger away from doclens")
+    // and the snapshot actually replaced the doclens scan in the serve
+    val plan = serve(root, Seq("hash"), 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("doclens"),
+      s"the serve plan still scans the doclens component:\n$plan")
+  }
+
   test("vocabulary-growth output matches a scalar fold") {
     val root = java.nio.file.Files.createTempDirectory("graft_b25v").toString
     ingest(root, Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("doc_id", "text"), 0L)
@@ -102,9 +134,13 @@ class Bm25IndexSpec extends SparkSpec {
     sparkSide.foreach { case (t, tb) =>
       assert(TextStats.termBucketOf(t) == tb, s"bucket mismatch for '$t'")
     }
+    // NON-EMPTY filter list naming tb: FileSourceScanExec prints the
+    // 'PartitionFilters: []' label even when pruning regressed, and 'tb'
+    // alone could match a post-scan Filter — the regex requires a tb
+    // predicate INSIDE the bracket list
     val plan = serve(root, Seq("hash"), 5).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
-      s"no tb partition filter in the postings scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      s"no non-empty tb partition-filter list in the postings scan:\n$plan")
     // the pruned serve still ranks correctly
     assert(rows(serve(root, Seq("hash"), 5)) ==
       rows(TextStats.bm25(corpus, Seq("hash"), 5)))
@@ -159,6 +195,67 @@ class Bm25IndexSpec extends SparkSpec {
     ingest(r2, docs.filter($"doc_id" % 2 === 1), 1L)
     assert(rows(phrase(r2, Seq("hash", "join"))) ==
       rows(directPhrase(docs, Seq("hash", "join"))))
+  }
+
+  // scalar brute force for the slop semantics: ordered index tuples
+  // i1 < … < ik with toks(ij) == p(j) and ik − i1 ≤ (k−1) + slop
+  private def scalarSlop(ts: Seq[String], p: Seq[String], slop: Int): Long = {
+    val occs = p.map(t => ts.zipWithIndex.collect { case (`t`, i) => i })
+    def rec(j: Int, first: Int, last: Int): Long =
+      if (j == p.size) 1L
+      else occs(j).iterator
+        .filter(i => i > last && i - (if (j == 0) i else first) <= p.size - 1 + slop)
+        .map(i => rec(j + 1, if (j == 0) i else first, i)).sum
+    rec(0, 0, -1)
+  }
+
+  private def slopHits(root: String, p: Seq[String], slop: Int): Seq[(Long, Long)] =
+    TextStats.phraseFromIndexSlop(
+        readP(s"$root/idx/positions", TextStats.PositionSchema), p, slop)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("slop phrase: slop=0 ≡ exact adjacency; slop>0 ≡ scalar tuple count") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25sl").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    // slop=0 degenerates to the exact-phrase count, incl. repeated terms
+    Seq(Seq("hash", "join"), Seq("join", "join"), Seq("scan", "scan", "scan"))
+      .foreach { p =>
+        assert(slopHits(root, p, 0) ==
+          phrase(root, p).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          s"slop=0 diverged from exact phrase for $p")
+      }
+    // known hits with slack: doc 2 "hash join; scan scan scan scan vector"
+    // → ("hash","scan") needs slop ≥ 1 (positions 0 and 2..5; span ≤ 1+slop)
+    assert(slopHits(root, Seq("hash", "scan"), 0) == Seq())
+    assert(slopHits(root, Seq("hash", "scan"), 1) == Seq((2L, 1L)))
+    assert(slopHits(root, Seq("hash", "scan"), 4) == Seq((2L, 4L)))
+    // replay duplicates must not inflate tuple counts
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    assert(slopHits(root, Seq("hash", "scan"), 4) == Seq((2L, 4L)))
+  }
+
+  test("slop phrase hits ≡ scalar brute force on random tie-heavy corpora") {
+    val gen = org.scalacheck.Gen.listOfN(12, for {
+      id <- org.scalacheck.Gen.choose(1L, 500L)
+      toks <- org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf("a", "b", "c"))
+    } yield (id, toks))
+    val phraseGen = org.scalacheck.Gen.choose(2, 3).flatMap(k =>
+      org.scalacheck.Gen.listOfN(k, org.scalacheck.Gen.oneOf("a", "b", "c")))
+    (1 to 5).foreach { i =>
+      val docs = gen.sample.get.groupBy(_._1).map(_._2.head).toSeq
+      val p = phraseGen.sample.get
+      val slop = i % 3 // 0, 1, 2 all exercised
+      val root = java.nio.file.Files.createTempDirectory(s"graft_b25sl$i").toString
+      ingest(root, docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text"), 0L)
+      val want = docs.flatMap { case (id, ts) =>
+        val n = scalarSlop(ts, p, slop)
+        if (n > 0) Some((id, n)) else None
+      }.sortBy(_._1)
+      assert(slopHits(root, p, slop) == want,
+        s"case $i phrase=$p slop=$slop docs=$docs")
+    }
   }
 
   test("phrase hits ≡ scalar sliding-window count on random tie-heavy corpora") {

@@ -91,6 +91,14 @@ class CompactionMatrixSpec extends SparkSpec {
     case _ => Seq((1L, 1L, 4L, 9L))
   }).toDF("y", "x0", "x1", "x2")
 
+  private def hfeatBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((1L, 1L, -1L, 1000000L), (1L, 1L, 3L, 500000L),
+      (2L, 0L, -1L, 1000000L), (2L, 0L, 5L, 250000L))
+    case 1L => Seq((10L, 1L, -1L, 1000000L), (10L, 1L, 3L, 300000L),
+      (11L, 0L, -1L, 1000000L), (11L, 0L, 5L, 150000L))
+    case _ => Seq((20L, 1L, -1L, 1000000L), (20L, 1L, 3L, 400000L))
+  }).toDF("doc_id", "y", "slot", "x6")
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -100,8 +108,9 @@ class CompactionMatrixSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
     val (mh, ct, bp, se, ph, wn) =
       (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
-    val (cap, cu, au, sg, cx, bm) =
-      (root("cap"), root("cu"), root("au"), root("sg"), root("cx"), root("bm"))
+    val (cap, cu, au, sg, cx, bm, sh) =
+      (root("cap"), root("cu"), root("au"), root("sg"), root("cx"), root("bm"),
+        root("sh"))
     Seq(
       Family("cascade",
         id => Dedup.cascadeIngestBatch(docBatch(id), embBatch(id), centroids,
@@ -125,6 +134,19 @@ class CompactionMatrixSpec extends SparkSpec {
           Trainer.LedgerSchema)),
         () => rows(Trainer.latestWeights(
           readP(s"$sg/ledger", Trainer.LedgerSchema)))),
+      {
+        // frozen train-fold stats — the contract of the hashed ingest leg
+        val hstats = Trainer.hashedStats(
+          hfeatBatch(0L).unionByName(hfeatBatch(1L)))
+        Family("sgd-hashed-ledger",
+          id => Trainer.hashedSgdIngestBatch(hfeatBatch(id), hstats,
+            s"$sh/ledger", s"$sh/out", id),
+          Seq(() => readP(s"$sh/ledger", Trainer.HashedLedgerSchema).count()),
+          Some(() => IngestRecipe.compact(spark, s"$sh/ledger",
+            Trainer.HashedLedgerSchema)),
+          () => rows(Trainer.latestHashedWeights(
+            readP(s"$sh/ledger", Trainer.HashedLedgerSchema))))
+      },
       Family("minhash",
         id => Dedup.dedupIngestBatch(docBatch(id), s"$mh/idx", s"$mh/out", id),
         Seq(() => readP(s"$mh/idx/banded", Dedup.BandedSchema).count(),
@@ -186,11 +208,12 @@ class CompactionMatrixSpec extends SparkSpec {
         id => TextStats.bm25IngestBatch(docBatch(id), s"$bm/idx", s"$bm/out", id),
         Seq(() => readP(s"$bm/idx/postings", TextStats.PostingSchema).count(),
           () => readP(s"$bm/idx/doclens", TextStats.DocLenSchema).count(),
-          () => readP(s"$bm/idx/positions", TextStats.PositionSchema).count()),
+          () => readP(s"$bm/idx/positions", TextStats.PositionSchema).count(),
+          () => readP(s"$bm/idx/stats", TextStats.Bm25StatsSchema).count()),
         Some(() => TextStats.compactBm25Index(spark, s"$bm/idx")),
         () => rows(TextStats.bm25FromIndex(
           readP(s"$bm/idx/postings", TextStats.PostingSchema),
-          readP(s"$bm/idx/doclens", TextStats.DocLenSchema),
+          readP(s"$bm/idx/stats", TextStats.Bm25StatsSchema),
           Seq("t", "a", "g", "u"), topN = 10)) ++
           rows(TextStats.phraseFromIndex(
             readP(s"$bm/idx/positions", TextStats.PositionSchema),

@@ -92,6 +92,85 @@ class TrainerSpec extends SparkSpec {
       s"K identical batches must reproduce the K epochs: $ledgerW vs $epochW")
   }
 
+  // ---- hashed-feature SGD at ingest (the production-shaped filter) ----
+
+  private val hfeats = Seq(
+    (1L, 1L, -1L, 1000000L), (1L, 1L, 3L, 500000L), (1L, 1L, 7L, 250000L),
+    (2L, 0L, -1L, 1000000L), (2L, 0L, 5L, 400000L),
+    (3L, 1L, -1L, 1000000L), (3L, 1L, 3L, 300000L),
+    (4L, 0L, -1L, 1000000L), (4L, 0L, 7L, 100000L))
+
+  private def hdf(rows: Seq[(Long, Long, Long, Long)]): DataFrame =
+    rows.toDF("doc_id", "y", "slot", "x6")
+
+  private def hashedLedgerAt(path: String, id: Long): Seq[(Long, Long)] =
+    ParquetIO.readOrEmpty(spark, path, Trainer.HashedLedgerSchema)
+      .dropDuplicates().filter(col("batch_id") === id)
+      .orderBy("slot").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+
+  private def wRows(df: DataFrame): Seq[(Long, Long)] =
+    df.orderBy("slot").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("hashed: same batch fed K times ≡ hashedEpochs' K epochs (shared step)") {
+    val feats = hdf(hfeats)
+    val stats = Trainer.hashedStats(feats)
+    val root = java.nio.file.Files.createTempDirectory("graft_sgdh_eq")
+    val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+    (0L to 3L).foreach(i =>
+      Trainer.hashedSgdIngestBatch(feats, stats, ledger, out, i))
+    val (_, eps) = Trainer.hashedEpochs(feats, 4)
+    eps.zipWithIndex.foreach { case (w, i) =>
+      assert(hashedLedgerAt(ledger, i.toLong) == wRows(w),
+        s"ingest batch $i diverged from epoch ${i + 1}")
+    }
+    // crash-replay of a MIDDLE batch (perturbed layout): as-of batch_id−1
+    // weights make the rewrite byte-identical — nothing moves
+    val before = (0L to 3L).map(hashedLedgerAt(ledger, _))
+    Trainer.hashedSgdIngestBatch(feats.repartition(5), stats, ledger, out, 1L)
+    assert((0L to 3L).map(hashedLedgerAt(ledger, _)) == before,
+      "replay changed the hashed trajectory")
+    assert(wRows(Trainer.latestHashedWeights(
+        ParquetIO.readOrEmpty(spark, ledger, Trainer.HashedLedgerSchema))) ==
+      wRows(eps.last), "latestHashedWeights diverged from the last epoch")
+  }
+
+  test("hashed: empty batch against NONZERO weights holds them") {
+    val feats = hdf(hfeats)
+    val stats = Trainer.hashedStats(feats)
+    val root = java.nio.file.Files.createTempDirectory("graft_sgdh_empty")
+    val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+    Trainer.hashedSgdIngestBatch(feats, stats, ledger, out, 0L)
+    val w0 = hashedLedgerAt(ledger, 0L)
+    assert(w0.exists(_._2 != 0L), "degenerate fixture: batch 0 trained to zero")
+    Trainer.hashedSgdIngestBatch(hdf(Nil), stats, ledger, out, 1L)
+    assert(hashedLedgerAt(ledger, 1L) == w0,
+      "empty hashed batch moved the standing weights")
+    // and the next real batch steps from the HELD weights
+    val b2 = hdf(hfeats.take(3))
+    Trainer.hashedSgdIngestBatch(b2, stats, ledger, out, 2L)
+    val want2 = wRows(Trainer.hashedStep(Trainer.hashedDocs(b2),
+      w0.toDF("slot", "w"), stats))
+    assert(hashedLedgerAt(ledger, 2L) == want2,
+      "post-empty batch did not step from the held weights")
+  }
+
+  test("hashed ledger conflict guard fails loudly on diverging replays") {
+    val feats = hdf(hfeats)
+    val stats = Trainer.hashedStats(feats)
+    val root = java.nio.file.Files.createTempDirectory("graft_sgdh_conf")
+    val (ledger, out) = (root.resolve("l").toString, root.resolve("o").toString)
+    Trainer.hashedSgdIngestBatch(feats, stats, ledger, out, 0L)
+    ParquetIO.readOrEmpty(spark, ledger, Trainer.HashedLedgerSchema)
+      .limit(1).select(col("batch_id"), col("slot"), (col("w") + 1L).as("w"))
+      .write.mode("append").parquet(ledger)
+    val thrown = intercept[IllegalArgumentException] {
+      Trainer.latestHashedWeights(
+        ParquetIO.readOrEmpty(spark, ledger, Trainer.HashedLedgerSchema)).collect()
+    }
+    assert(thrown.getMessage.contains("conflicting"), thrown.getMessage)
+  }
+
   test("empty batch against NONZERO weights holds them (no silent reset)") {
     // direct step: the regression shape was max(w)->NULL->coalesce(0)
     val w = Seq((7L, -3L, 11L)).toDF("w0", "w1", "w2")

@@ -1291,9 +1291,9 @@ class StreamingSpec extends SparkSpec {
     val terms = Seq("hash", "join", "scan", "vector", "stream")
     def served(idx: String): Seq[String] = {
       val post = spark.read.schema(TextStats.PostingSchema).parquet(s"$idx/postings")
-      val dls = spark.read.schema(TextStats.DocLenSchema).parquet(s"$idx/doclens")
+      val sts = spark.read.schema(TextStats.Bm25StatsSchema).parquet(s"$idx/stats")
       val pos = spark.read.schema(TextStats.PositionSchema).parquet(s"$idx/positions")
-      (TextStats.bm25FromIndex(post, dls, terms, 20).collect() ++
+      (TextStats.bm25FromIndex(post, sts, terms, 20).collect() ++
         TextStats.phraseFromIndex(pos, Seq("hash", "join")).collect())
         .map(_.toString).toSeq
     }
