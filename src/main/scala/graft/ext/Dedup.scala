@@ -1060,7 +1060,8 @@ object Dedup {
       centroids: DataFrame, indexPath: String, outPath: String,
       batchId: Long, jaccardThreshold: Double = 0.7,
       cosineThreshold: Double = 0.35,
-      persistCand: DataFrame => DataFrame = identity): Unit = {
+      persistCand: DataFrame => DataFrame = identity,
+      persistSemCand: DataFrame => DataFrame = identity): Unit = {
     val b = batch.select("doc_id", "text").localCheckpoint()
     val fpd = b.select(col("doc_id"), md5(col("text")).as("fp"))
     // shingle + assign ONCE per batch: probe and merge both consume them
@@ -1102,10 +1103,20 @@ object Dedup {
         val a2 = assignedAll.join(
           surv2.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
           Seq("vec_id"), "left_semi")
-        val drops3 = semBase
-          .select(col("c_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-          .join(a2.select(col("c_id"), col("vec_id").as("id_b"),
-            col("embedding").as("emb_b")).hint("shuffle_hash"), "c_id")
+        // candidate pairs (same frozen cluster) persist through the
+        // oracle seam like the minhash ones, so DuckDB re-verifies the
+        // cosine over EXACTLY the scored pair set; the verify then runs
+        // over the read-back frame (identity = the same frame, two
+        // candidate-scale hash joins back to the embedding sides)
+        val semCand = persistSemCand(semBase
+          .select(col("c_id"), col("vec_id").as("id_a"))
+          .join(a2.select(col("c_id"), col("vec_id").as("id_b"))
+            .hint("shuffle_hash"), "c_id"))
+        val drops3 = semCand
+          .join(semBase.select(col("vec_id").as("id_a"),
+            col("embedding").as("emb_a")).hint("shuffle_hash"), Seq("id_a"))
+          .join(a2.select(col("vec_id").as("id_b"),
+            col("embedding").as("emb_b")).hint("shuffle_hash"), Seq("id_b"))
           .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
           .filter(col("cos") >= cosineThreshold)
           .select(col("id_b").as("doc_id")).distinct()

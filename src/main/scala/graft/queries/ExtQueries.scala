@@ -1668,47 +1668,22 @@ object ExtQueries {
           .filter(col("z6") > 0L).select("doc_id")
         val surv4 = surv3.join(keep4.hint("shuffle_hash"), Seq("doc_id"),
           "left_semi").localCheckpoint()
-        // stage 5: τ=2 temperature mixing by lang over survivors
+        // stages 5–7 ride the ONE shared arithmetic with the incremental
+        // readout ([[graft.ext.CorpusBuild]]): τ=2 rates, deterministic
+        // sampling hash, two-level-prefix-sum packing + shard hashing
         val wl = surv4.withColumn("orig", col("doc_id") % 1000000L)
           .join(docs.select(col("doc_id").as("orig"), col("lang"))
             .hint("shuffle_hash"), Seq("orig"))
           .select("doc_id", "lang", "text").localCheckpoint()
-        val counts = wl.groupBy("lang").agg(count(lit(1)).as("n"))
-          .withColumn("s6",
-            floor(sqrt(col("n").cast("double")) * lit(1000000.0)).cast("long"))
-        val z = counts.agg(sum("s6").as("z6"), sum("n").as("ntot"))
-        val rates = counts.crossJoin(broadcast(z))
-          .withColumn("q", expr(
-            """CAST((CAST(s6 AS DECIMAL(38,0)) * (ntot div 4) * 10000)
-              |     div (CAST(z6 AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin))
-          .withColumn("rate10k", least(lit(10000L), coalesce(col("q"),
-            raise_error(concat(
-              lit("corpus_build: rate quotient overflowed for lang "),
-              col("lang"))))))
-          .select("lang", "rate10k")
-        val u = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
-          lit(1000000007L)), lit(10000L))
+        val rates = graft.ext.CorpusBuild.mixRates(
+          wl.groupBy("lang").agg(count(lit(1)).as("n")))
         val sampled = wl.join(broadcast(rates), "lang")
-          .filter(u < col("rate10k"))
+          .filter(graft.ext.CorpusBuild.sampleU < col("rate10k"))
           .select("doc_id", "lang", "text").localCheckpoint()
-        // stage 6: 1024-token packing per lang (two-level prefix sum)
         val tk = sampled.select(col("lang"), col("doc_id"),
           TextStats.bpeTokenCount(col("text")).cast("long").as("toks"))
           .localCheckpoint()
-        val maxId = graft.ext.PrefixSum.maxBound(tk, "doc_id")
-        val packed = graft.ext.PrefixSum
-          .cumulative(tk, "doc_id", Seq("toks"), Seq("lang"),
-            bounds = Some((0.0, maxId)))
-          .withColumn("bin", ((col("cum_toks") - col("toks")) / 1024).cast("long"))
-        // stage 7: sequence-level shard assignment (multiplicative hash)
-        val langkey = (ascii(substring(col("lang"), 1, 1)).cast("long") * 256L +
-          ascii(substring(col("lang"), 2, 1)).cast("long"))
-        val seqs = packed.groupBy("lang", "bin")
-          .agg(count(lit(1)).as("n_docs"), sum("toks").as("toks"))
-          .withColumn("shard",
-            pmod(pmod(langkey * 1048576L + col("bin"), lit(1000000007L))
-              * 2654435761L, lit(1000000007L)) % 8L)
-          .localCheckpoint()
+        val seqs = graft.ext.CorpusBuild.packSeqs(tk)
         val nullL = lit(null).cast("long")
         def cnt(df: org.apache.spark.sql.DataFrame, n: String) =
           df.agg(count(lit(1)).as(n))
@@ -1839,6 +1814,272 @@ object ExtQueries {
               |FROM seqs GROUP BY shard
               |ORDER BY stage""".stripMargin),
       "end-to-end corpus build: cascade → trained filter → temperature mix → 1024-token packing → shard manifest, per-stage attrition"),
+
+    // The SAME end-to-end build ON THE INGEST SEAM (judge directive r13
+    // #2, [[graft.ext.CorpusBuild]]): the corpus arrives as three
+    // batches — even originals, odd originals, planted delta — each
+    // probing the STANDING cascade indexes (O(delta) per batch) and the
+    // frozen trained filter at ingest; stages 5–7 run at publish time
+    // from the standing survivors component + the slim per-batch lang
+    // ledger (rates from O(batches×langs) rows, never a corpus scan),
+    // through the same shared mix/pack/shard arithmetic as the inline
+    // query. Fold semantics in the oracle: per-batch stage-1–3 drops are
+    // delta-vs-standing (batch 0 sees an empty base; planted deltas
+    // carry no embeddings so batch 2's semantic leg is structurally
+    // empty, while batch 1's FIRES against batch 0's standing semantic
+    // index — odd-vs-even cosine pairs). All candidate sets (minhash
+    // batches 1+2, semantic batch 1) persist through the OracleAux seam
+    // in ONE table so DuckDB re-verifies Jaccard/cosine over exactly
+    // the scored pairs; weights + survivor features persist like the
+    // inline query's. CorpusBuildSpec pins batching invariance, replay
+    // idempotence, fixture-exact stage verdicts, and ledger ≡ survivors
+    // consistency.
+    "corpus_build_incremental" -> Q(
+      (s, dir) => {
+        val p = Artifacts.cached("graft_cbi", dir) { path =>
+          // the seam APPENDS — stale-artifact contract, as for the
+          // inverted index: wipe any older process's components
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          val docs = table(s, dir, "documents")
+          val withLang = Dedup.planted(docs)
+            .withColumn("orig", col("doc_id") % 1000000L)
+            .join(docs.select(col("doc_id").as("orig"), col("lang"))
+              .hint("shuffle_hash"), Seq("orig"))
+            .select("doc_id", "text", "lang").localCheckpoint()
+          val emb = table(s, dir, "embeddings")
+          val cents = graft.ext.Similarity.seedCentroids(emb, ivfNlist(s, dir))
+            .localCheckpoint()
+          // frozen scorer: the same raw-corpus-trained weights as inline
+          val (stats, eps) = graft.ext.Trainer.hashedEpochs(qthFeats(s, dir), 8)
+          val ctxW = stats.select("slot", "m6").join(eps.last, Seq("slot"))
+            .select("slot", "m6", "w").localCheckpoint()
+          val score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            surv => graft.ext.Trainer.hashedPredict(
+                qthFeatsOf(surv), ctxW.select("slot", "w"), ctxW)
+              .filter(col("z6") > 0L).select("doc_id")
+          // candidate side-channel: each probe's pair set is persisted
+          // EAGERLY at hook time and the hook returns the schema-pinned
+          // read-back, so the verify provably scores the persisted set.
+          // Eager is load-bearing, not style: a lazily-buffered candidate
+          // frame re-evaluated after later batches' index appends read a
+          // DIFFERENT standing base (stale/cached file listing) and
+          // silently dropped the odd-original pairs — caught by the
+          // oracle gate. The three legs then union into ONE table
+          // (b = 1/2 minhash, 3 semantic), non-empty by construction
+          // (planted near-dups guarantee batch-2 collisions), so the
+          // oracle's glob never dangles even when a leg is empty.
+          val mhSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_d",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id_b",
+              org.apache.spark.sql.types.LongType)))
+          val semSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("c_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id_a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id_b",
+              org.apache.spark.sql.types.LongType)))
+          def eager(tag: Int, schema: org.apache.spark.sql.types.StructType)
+              : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+            df => {
+              df.write.mode("overwrite").parquet(s"$path/cand/b$tag")
+              s.read.schema(schema).parquet(s"$path/cand/b$tag")
+            }
+          def batchOf(f: org.apache.spark.sql.Column) =
+            withLang.filter(f)
+          graft.ext.CorpusBuild.ingestBatch(
+            batchOf(col("doc_id") < 1000000L && col("doc_id") % 2 === 0),
+            emb, cents, score, s"$path/idx", s"$path/out", 0L)
+          graft.ext.CorpusBuild.ingestBatch(
+            batchOf(col("doc_id") < 1000000L && col("doc_id") % 2 === 1),
+            emb, cents, score, s"$path/idx", s"$path/out", 1L,
+            persistCand = eager(1, mhSchema), persistSemCand = eager(3, semSchema))
+          graft.ext.CorpusBuild.ingestBatch(
+            batchOf(col("doc_id") >= 1000000L),
+            emb.limit(0), cents, score, s"$path/idx", s"$path/out", 2L,
+            persistCand = eager(2, mhSchema))
+          val nullL = lit(null).cast("long")
+          OracleAux.persist(dir, "cbi_cand")(
+            s.read.schema(mhSchema).parquet(s"$path/cand/b1")
+              .select(lit(1).as("b"), nullL.as("c_id"),
+                col("id_d").as("id_a"), col("id_b"))
+              .unionByName(s.read.schema(mhSchema).parquet(s"$path/cand/b2")
+                .select(lit(2).as("b"), nullL.as("c_id"),
+                  col("id_d").as("id_a"), col("id_b")))
+              .unionByName(s.read.schema(semSchema).parquet(s"$path/cand/b3")
+                .select(lit(3).as("b"), col("c_id"), col("id_a"), col("id_b"))))
+          OracleAux.persist(dir, "cbi_w")(ctxW)
+          val s3ids = s.read.parquet(s"$path/out")
+            .filter(col("stage").isin("4_quality", "kept")).select("doc_id")
+          OracleAux.persist(dir, "cbi_feats")(qthFeatsOf(
+            withLang.join(s3ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+              .select("doc_id", "text")))
+        }
+        graft.ext.CorpusBuild.readout(s, s"$p/idx", s"$p/out")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |b0 AS (SELECT doc_id, text FROM planted WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+              |b1 AS (SELECT doc_id, text FROM planted WHERE doc_id < 1000000 AND doc_id % 2 = 1),
+              |b2 AS (SELECT doc_id, text FROM planted WHERE doc_id >= 1000000),
+              |f0 AS (SELECT text, min(doc_id) AS fid FROM b0 GROUP BY text),
+              |d0e AS (SELECT b0.doc_id FROM b0 JOIN f0 USING (text) WHERE b0.doc_id <> f0.fid),
+              |s0 AS MATERIALIZED (SELECT doc_id, text FROM b0
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d0e)),
+              |f1 AS (SELECT text, min(doc_id) AS fid FROM b1 GROUP BY text),
+              |d1e AS (SELECT b1.doc_id FROM b1 JOIN f1 USING (text)
+              |        WHERE b1.doc_id <> f1.fid OR b1.text IN (SELECT text FROM s0)),
+              |s1x AS MATERIALIZED (SELECT doc_id, text FROM b1
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d1e)),
+              |tok0 AS (SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM s0),
+              |sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM tok0 WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              |  WHERE s IS NOT NULL),
+              |tok1 AS (SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM s1x),
+              |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM tok1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              |  WHERE s IS NOT NULL),
+              |sz0 AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+              |sz1 AS (SELECT doc_id, count(*) AS sz FROM sh1 GROUP BY 1),
+              |cand1 AS (SELECT DISTINCT id_a AS id_d, id_b
+              |          FROM read_parquet(${OracleAux.duckGlob("cbi_cand")}) WHERE b = 1),
+              |int1 AS (SELECT c.id_d, c.id_b, count(*) AS inter
+              |  FROM cand1 c
+              |  JOIN sh1 a ON a.doc_id = c.id_d
+              |  JOIN sh0 x ON x.doc_id = c.id_b AND x.s = a.s
+              |  GROUP BY 1, 2),
+              |d1m AS (SELECT DISTINCT id_d AS doc_id FROM (
+              |  SELECT i.id_d,
+              |    round(CAST(inter AS DOUBLE) / CAST(dz.sz + bz.sz - inter AS DOUBLE), 4) AS j
+              |  FROM int1 i
+              |  JOIN sz1 dz ON dz.doc_id = i.id_d
+              |  JOIN sz0 bz ON bz.doc_id = i.id_b)
+              |  WHERE j >= 0.7),
+              |s1m AS MATERIALIZED (SELECT doc_id, text FROM s1x
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d1m)),
+              |sc1 AS (SELECT c_id, id_a, id_b
+              |        FROM read_parquet(${OracleAux.duckGlob("cbi_cand")}) WHERE b = 3),
+              |d1s AS (SELECT DISTINCT id_b AS doc_id FROM (
+              |  SELECT c.id_b,
+              |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              |                                 CAST(bb.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM sc1 c
+              |  JOIN embeddings a ON a.vec_id = c.id_a
+              |  JOIN embeddings bb ON bb.vec_id = c.id_b)
+              |  WHERE cos >= 0.35),
+              |s1s AS MATERIALIZED (SELECT doc_id, text FROM s1m
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d1s)),
+              |f2 AS (SELECT text, min(doc_id) AS fid FROM b2 GROUP BY text),
+              |d2e AS (SELECT b2.doc_id FROM b2 JOIN f2 USING (text)
+              |        WHERE b2.doc_id <> f2.fid
+              |           OR b2.text IN (SELECT text FROM s0 UNION ALL SELECT text FROM s1x)),
+              |s2x AS MATERIALIZED (SELECT doc_id, text FROM b2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d2e)),
+              |tok2 AS (SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM s2x),
+              |sh2 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+              |  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+              |  WHERE s IS NOT NULL),
+              |sz2 AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+              |shb AS (SELECT * FROM sh0 UNION ALL SELECT * FROM sh1),
+              |szb AS (SELECT * FROM sz0 UNION ALL SELECT * FROM sz1),
+              |cand2 AS (SELECT DISTINCT id_a AS id_d, id_b
+              |          FROM read_parquet(${OracleAux.duckGlob("cbi_cand")}) WHERE b = 2),
+              |int2 AS (SELECT c.id_d, c.id_b, count(*) AS inter
+              |  FROM cand2 c
+              |  JOIN sh2 a ON a.doc_id = c.id_d
+              |  JOIN shb x ON x.doc_id = c.id_b AND x.s = a.s
+              |  GROUP BY 1, 2),
+              |d2m AS (SELECT DISTINCT id_d AS doc_id FROM (
+              |  SELECT i.id_d,
+              |    round(CAST(inter AS DOUBLE) / CAST(dz.sz + bz.sz - inter AS DOUBLE), 4) AS j
+              |  FROM int2 i
+              |  JOIN sz2 dz ON dz.doc_id = i.id_d
+              |  JOIN szb bz ON bz.doc_id = i.id_b)
+              |  WHERE j >= 0.7),
+              |s2s AS MATERIALIZED (SELECT doc_id, text FROM s2x
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM d2m)),
+              |surv3 AS MATERIALIZED (
+              |  SELECT doc_id, text FROM s0
+              |  UNION ALL SELECT doc_id, text FROM s1s
+              |  UNION ALL SELECT doc_id, text FROM s2s),
+              |wctx AS MATERIALIZED (SELECT slot, m6, w
+              |  FROM read_parquet(${OracleAux.duckGlob("cbi_w")})),
+              |mm AS (SELECT CAST(coalesce(sum(m6*w), 0) AS BIGINT) AS m FROM wctx),
+              |f3 AS (SELECT doc_id, slot, x6
+              |       FROM read_parquet(${OracleAux.duckGlob("cbi_feats")})),
+              |zf AS (SELECT doc_id, CAST(sum(x6 * coalesce(w, 0)) AS BIGINT) AS sdot
+              |       FROM f3 LEFT JOIN wctx USING (slot) GROUP BY doc_id),
+              |surv4 AS MATERIALIZED (
+              |  SELECT s.doc_id, s.text FROM surv3 s JOIN zf USING (doc_id) CROSS JOIN mm
+              |  WHERE ${qtFdSql("sdot - m", "1000000")} > 0),
+              |wl AS MATERIALIZED (
+              |  SELECT s.doc_id, d.lang, s.text
+              |  FROM surv4 s JOIN documents d ON d.doc_id = s.doc_id % 1000000),
+              |counts AS (SELECT lang, count(*) AS n FROM wl GROUP BY lang),
+              |c6 AS (SELECT lang, n,
+              |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s6
+              |       FROM counts),
+              |zz AS (SELECT sum(s6) AS z6, sum(n) AS ntot FROM c6),
+              |rates AS (SELECT lang,
+              |            least(10000, CAST((CAST(s6 AS HUGEINT) * (ntot // 4) * 10000)
+              |                              // (CAST(z6 AS HUGEINT) * n) AS BIGINT)) AS rate10k
+              |          FROM c6 CROSS JOIN zz),
+              |sampled AS MATERIALIZED (
+              |  SELECT wl.doc_id, wl.lang, wl.text FROM wl JOIN rates USING (lang)
+              |  WHERE (((wl.doc_id % 1000000007) * 2654435761) % 1000000007) % 10000 < rates.rate10k),
+              |tk AS (SELECT lang, doc_id,
+              |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks
+              |       FROM sampled),
+              |binned AS (
+              |  SELECT lang, doc_id, toks,
+              |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024) AS BIGINT) AS bin
+              |  FROM tk),
+              |seqs AS MATERIALIZED (
+              |  SELECT lang, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
+              |    ((CAST(ascii(substr(lang, 1, 1)) AS BIGINT) * 256
+              |      + ascii(substr(lang, 2, 1))) * 1048576 + bin)
+              |      % 1000000007 * 2654435761 % 1000000007 % 8 AS shard
+              |  FROM binned GROUP BY lang, bin),
+              |a0 AS (SELECT count(*) AS n FROM planted),
+              |de AS (SELECT (SELECT count(*) FROM d0e) + (SELECT count(*) FROM d1e)
+              |         + (SELECT count(*) FROM d2e) AS n),
+              |dm AS (SELECT (SELECT count(*) FROM d1m) + (SELECT count(*) FROM d2m) AS n),
+              |ds AS (SELECT count(*) AS n FROM d1s),
+              |a3 AS (SELECT count(*) AS n FROM surv3),
+              |a4 AS (SELECT count(*) AS n FROM surv4),
+              |a5 AS (SELECT count(*) AS n FROM sampled),
+              |p6 AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS nd,
+              |         count(*) AS ns, CAST(coalesce(sum(toks), 0) AS BIGINT) AS nt
+              |       FROM seqs)
+              |SELECT '1_exact' AS stage, a0.n AS n_in, de.n AS n_removed,
+              |  a0.n - de.n AS n_out, CAST(NULL AS BIGINT) AS n_tokens FROM a0, de
+              |UNION ALL SELECT '2_minhash', a0.n - de.n, dm.n, a0.n - de.n - dm.n, NULL
+              |  FROM a0, de, dm
+              |UNION ALL SELECT '3_semantic', a0.n - de.n - dm.n, ds.n, a3.n, NULL
+              |  FROM a0, de, dm, ds, a3
+              |UNION ALL SELECT '4_quality', a3.n, a3.n - a4.n, a4.n, NULL FROM a3, a4
+              |UNION ALL SELECT '5_sample', a4.n, a4.n - a5.n, a5.n, NULL FROM a4, a5
+              |UNION ALL SELECT '6_pack', a5.n, 0, ns, nt FROM a5, p6
+              |UNION ALL SELECT '7_shard_' || CAST(shard AS VARCHAR),
+              |  CAST(sum(n_docs) AS BIGINT), 0, count(*), CAST(sum(toks) AS BIGINT)
+              |FROM seqs GROUP BY shard
+              |ORDER BY stage""".stripMargin),
+      "the corpus build AT INGEST: per-batch cascade+filter verdicts on standing indexes, publish-time mix/pack/shard from the survivor ledgers"),
 
     "dedup_exact" -> Q(
       (s, dir) => Dedup.exactDupGroups(table(s, dir, "documents")),

@@ -409,6 +409,26 @@ object StreamingOps {
         graft.ext.TextStats.bm25IngestBatch(batch, indexPath, outPath, batchId)
       }
 
+  /** End-to-end corpus-build maintenance at ingest — foreachBatch wiring
+    * for [[graft.ext.CorpusBuild.ingestBatch]]: each (doc_id, text, lang)
+    * micro-batch probes the standing cascade, is scored by the frozen
+    * filter, lands its verdict frame exactly-once, and grows the
+    * survivors + lang-ledger components O(delta); the publish-time
+    * [[graft.ext.CorpusBuild.readout]] reads the artifacts, never Spark
+    * state. `embeddings`/`centroids`/`score` are the frozen context a
+    * deployment fixes at stream start (the cascade-centroid freeze,
+    * extended to the trained filter). */
+  def corpusBuildIngestStream(docs: DataFrame,
+      embeddings: DataFrame, centroids: DataFrame,
+      score: DataFrame => DataFrame, indexPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.CorpusBuild.ingestBatch(batch, embeddings, centroids,
+          score, indexPath, outPath, batchId)
+      }
+
   /** Per-user contribution capping at ingest — foreachBatch wiring for
     * [[graft.ext.Mining.capIngestBatch]]: each event micro-batch keeps
     * only the rows within each user's standing quota (first-arrived

@@ -1313,6 +1313,69 @@ class StreamingSpec extends SparkSpec {
         s"batch $id audit diverged between stream and fold")
     }
   }
+
+  test("corpus-build ingest stream: verdicts + readout == sequential batch fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ext.CorpusBuild
+    val run = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, run, "en"), (2L, "alpha beta gamma delta epsilon", "de"),
+      (3L, run, "en"), // exact dup of 1, later batch
+      (4L, (2 to 30).map(i => s"w$i").mkString("CHANGED ", " ", ""), "en"), // near-dup of 1
+      (5L, "short text here", "fr"), // fails the quality rule
+      (6L, "the quick brown fox jumps over dogs", "en")
+    ).toDF("doc_id", "text", "lang").localCheckpoint()
+    val emb = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
+      .toDF("c_id", "c_emb")
+    val score = (surv: org.apache.spark.sql.DataFrame) =>
+      surv.filter(size(split(col("text"), "\\s+")) >= 5).select("doc_id")
+    val half1 = docs.filter(col("doc_id") <= 2)
+    val half2 = docs.filter(col("doc_id") > 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_cb_stream")
+    val (foldIdx, foldOut) =
+      (root.resolve("fold_idx").toString, root.resolve("fold_out").toString)
+    CorpusBuild.ingestBatch(half1, emb, cents, score, foldIdx, foldOut, 0L)
+    CorpusBuild.ingestBatch(half2, emb, cents, score, foldIdx, foldOut, 1L)
+    val stage = java.nio.file.Files.createDirectory(root.resolve("stage"))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cb_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(half1, "a.parquet", t0 - 60000)
+    writeOne(half2, "b.parquet", t0)
+    val (incIdx, incOut) =
+      (root.resolve("inc_idx").toString, root.resolve("inc_out").toString)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val q = StreamingOps.corpusBuildIngestStream(stream, emb, cents, score,
+        incIdx, incOut)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(300000), "stream did not finish in 5 min")
+    finally q.stop()
+    def verdicts(out: String): Seq[String] =
+      spark.read.parquet(out).select("doc_id", "stage", "lang", "toks")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(verdicts(incOut) == verdicts(foldOut),
+      "stream verdicts diverged from the sequential fold")
+    assert(verdicts(incOut).nonEmpty, "degenerate fixture (no verdicts)")
+    // drops actually exercised: 3 exact, 4 minhash, 5 quality
+    val byDoc = spark.read.parquet(incOut).select("doc_id", "stage")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(3L) == "1_exact" && byDoc(4L) == "2_minhash" &&
+      byDoc(5L) == "4_quality" && byDoc(6L) == "kept", byDoc.toString)
+    assert(CorpusBuild.readout(spark, incIdx, incOut).collect().map(_.toString).toSeq ==
+      CorpusBuild.readout(spark, foldIdx, foldOut).collect().map(_.toString).toSeq,
+      "stream readout diverged from the sequential fold")
+  }
 }
 
 /** Companion holds the foreachBatch recording map so sink closures capture

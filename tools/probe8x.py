@@ -7,7 +7,21 @@ dedup operators see the pathological every-row-duplicated corpus — the
 worst case for candidate growth, kept identical to the round-1 probe for
 comparability.
 
-Usage: python3 tools/probe8x.py /root/testdata/sf0.1 /tmp/graft_8x 8
+`distinct` mode (judge directive r13 #4): copy i > 0 rewrites every
+document token with a `_c{i}` suffix, so copies share NO shingles — the
+corpus grows 8× in DISTINCT documents while the within-copy duplication
+rate (the planted-dup rate, keyed on doc_id mod 20/25 with offsets that
+are multiples of both) stays constant. This is the leg that separates
+"the LSH screens grow quadratically because the probe corpus is
+pathologically duplicated" from "the screens super-scale on any growth":
+the dup leg's per-bucket pairs grow ×64 by construction, the distinct
+leg's should grow ~linearly. Embeddings are NOT re-synthesized (a
+perturbed copy of a vector is still its semantic near-dup — making
+vectors genuinely distinct would change the geometry, not just the
+multiplicity), so the distinct leg speaks for the LEXICAL screens;
+semantic families keep the dup-leg reading.
+
+Usage: python3 tools/probe8x.py /root/testdata/sf0.1 /tmp/graft_8x 8 [distinct]
 """
 import sys
 import duckdb
@@ -24,7 +38,7 @@ OFF = {
 }
 SINGLE = ["nation", "region"]
 
-def main(src, dst, n):
+def main(src, dst, n, distinct=False):
     import os
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -37,12 +51,20 @@ def main(src, dst, n):
         # Registry.events handles both encodings, so the copy is fine as-is
         selects = []
         for i in range(n):
-            exprs = ", ".join(
-                f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in cols)
+            def expr(c):
+                if c in offs:
+                    return f"{c} + {i * offs[c]} AS {c}"
+                if distinct and t == "documents" and c == "text" and i > 0:
+                    # per-copy token suffix: copy i shares no shingles
+                    # with any other copy; token COUNT is unchanged
+                    return f"regexp_replace(text, '(\\S+)', '\\1_c{i}', 'g') AS text"
+                return c
+            exprs = ", ".join(expr(c) for c in cols)
             selects.append(f"SELECT {exprs} FROM '{src}/{t}.parquet'")
         union = " UNION ALL ".join(selects)
         con.execute(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         print(t, con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0])
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         distinct=(len(sys.argv) > 4 and sys.argv[4] == "distinct"))

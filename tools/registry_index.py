@@ -6,7 +6,7 @@ the latest Verify dump's oracle_sql.json, and PERF.md's 8x probe tables.
 COVERAGE.md stays the narrative; this file is the mechanical audit surface.
 
 Usage:
-    python3 tools/registry_index.py [verify_out_dir] [sweep_8x.json] > REGISTRY_INDEX.md
+    python3 tools/registry_index.py [verify_out_dir] [sweep_8x.json] [sweep_8x_distinct.json] > REGISTRY_INDEX.md
 
 Default verify_out_dir: /tmp/verify_out (written by `sbt "runMain
 graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`).
@@ -16,6 +16,11 @@ run with SPARK_GRAFT_SF_DIR=<8x copy> and SPARK_GRAFT_SF_DIR2=sf0.1: its
 per-query ratio queries[q]/queries_sf2[q] fills the 8x column for EVERY
 swept query; PERF.md's curated min-of-2 probe tables override where
 present (they are the better estimator for the queries they cover).
+
+sweep_8x_distinct.json (judge directive r13 #4) is the same two-leg
+artifact over the DISTINCT-docs 8x copy (tools/probe8x.py ... distinct):
+its ratio fills the `8x distinct` column, separating duplication-driven
+quadratic candidate growth from genuine super-scaling.
 """
 import glob
 import json
@@ -81,31 +86,38 @@ def sweep_ratios(path):
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     sweep_path = sys.argv[2] if len(sys.argv) > 2 else None
+    sweep_d_path = sys.argv[3] if len(sys.argv) > 3 else None
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     oracles = set(json.load(open(oracle_path))) if os.path.exists(oracle_path) else set()
     sites = definition_sites()
     ratios = sweep_ratios(sweep_path)
     ratios.update(latest_ratios())
+    ratios_d = sweep_ratios(sweep_d_path)
     gated = {"q2_min_cost_supplier", "q11_important_stock", "q20_potential_promotion"}
     print("# REGISTRY_INDEX — machine-generated per-query audit table")
     print()
-    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out <sweep_8x.json> > REGISTRY_INDEX.md`")
+    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out <sweep_8x.json> <sweep_8x_distinct.json> > REGISTRY_INDEX.md`")
     print("(after a fresh `sbt \"runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out\"`).")
     print("`oracle` = DuckDB hash-compare SQL registered; `8x` = 8x-data/1x-data seconds")
     print("from the full-registry sweep artifact, overridden by PERF.md's curated")
     print("min-of-2 probe tables where present (blank = not yet swept).")
+    print("`8x distinct` = the same ratio on the DISTINCT-docs 8x copy (every copy's")
+    print("tokens suffixed, duplication rate held constant) — near-linear here plus")
+    print("super-linear on the dup leg = banding caps absorbing duplication, not a")
+    print("screen regression.")
     print()
     print(f"{len(sites)} definition sites, {len(oracles)} oracles in {oracle_path}.")
     print()
-    print("| query | defined at | oracle | latest 8x ratio |")
-    print("|---|---|---|---|")
+    print("| query | defined at | oracle | latest 8x ratio | 8x distinct |")
+    print("|---|---|---|---|---|")
     for name in sorted(sites):
         if name in gated and name not in oracles:
             oracle = "gated (partsupp)"
         else:
             oracle = "yes" if name in oracles else "rows-only"
         r = f"{ratios[name]:.2f}" if name in ratios else ""
-        print(f"| {name} | {sites[name]} | {oracle} | {r} |")
+        rd = f"{ratios_d[name]:.2f}" if name in ratios_d else ""
+        print(f"| {name} | {sites[name]} | {oracle} | {r} | {rd} |")
     missing = oracles - set(sites)
     if missing:
         print()
