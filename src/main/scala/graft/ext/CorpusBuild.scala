@@ -120,7 +120,7 @@ object CorpusBuild {
       centroids: DataFrame, score: DataFrame => DataFrame,
       indexPath: String, outPath: String, batchId: Long,
       persistCand: DataFrame => DataFrame = identity,
-      persistSemCand: DataFrame => DataFrame = identity): Unit = {
+      persistSemCand: Option[DataFrame => DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val b = batch.select("doc_id", "text", "lang").localCheckpoint()
     Dedup.cascadeIngestBatch(b.select("doc_id", "text"), embeddings,
@@ -183,7 +183,11 @@ object CorpusBuild {
     * '7_shard_*'). */
   def readout(spark: SparkSession, indexPath: String,
       outPath: String): DataFrame = {
-    val v = spark.read.parquet(outPath).select("doc_id", "stage")
+    // readOrEmpty like the components below: a publish-time readout
+    // before the first batch commits is a well-defined empty funnel,
+    // not an AnalysisException
+    val v = ParquetIO.readOrEmpty(spark, outPath, OutSchema)
+      .select("doc_id", "stage")
     val c = v.agg(count(lit(1)).as("n0"),
         sum(when(col("stage") === "1_exact", 1L).otherwise(0L)).as("d1"),
         sum(when(col("stage") === "2_minhash", 1L).otherwise(0L)).as("d2"),

@@ -1061,7 +1061,7 @@ object Dedup {
       batchId: Long, jaccardThreshold: Double = 0.7,
       cosineThreshold: Double = 0.35,
       persistCand: DataFrame => DataFrame = identity,
-      persistSemCand: DataFrame => DataFrame = identity): Unit = {
+      persistSemCand: Option[DataFrame => DataFrame] = None): Unit = {
     val b = batch.select("doc_id", "text").localCheckpoint()
     val fpd = b.select(col("doc_id"), md5(col("text")).as("fp"))
     // shingle + assign ONCE per batch: probe and merge both consume them
@@ -1103,20 +1103,30 @@ object Dedup {
         val a2 = assignedAll.join(
           surv2.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
           Seq("vec_id"), "left_semi")
-        // candidate pairs (same frozen cluster) persist through the
-        // oracle seam like the minhash ones, so DuckDB re-verifies the
-        // cosine over EXACTLY the scored pair set; the verify then runs
-        // over the read-back frame (identity = the same frame, two
-        // candidate-scale hash joins back to the embedding sides)
-        val semCand = persistSemCand(semBase
-          .select(col("c_id"), col("vec_id").as("id_a"))
-          .join(a2.select(col("c_id"), col("vec_id").as("id_b"))
-            .hint("shuffle_hash"), "c_id"))
-        val drops3 = semCand
-          .join(semBase.select(col("vec_id").as("id_a"),
-            col("embedding").as("emb_a")).hint("shuffle_hash"), Seq("id_a"))
-          .join(a2.select(col("vec_id").as("id_b"),
-            col("embedding").as("emb_b")).hint("shuffle_hash"), Seq("id_b"))
+        // With an oracle hook, the candidate pairs (same frozen cluster)
+        // persist like the minhash ones so DuckDB re-verifies the cosine
+        // over EXACTLY the scored pair set, and the verify runs over the
+        // read-back (two candidate-scale hash joins back to the
+        // embedding sides). WITHOUT a hook — every production caller —
+        // the original one-join plan carries the embeddings through the
+        // c_id join directly; the read-back tail is paid only where the
+        // oracle seam needs it.
+        val paired = persistSemCand match {
+          case None =>
+            semBase.select(col("c_id"), col("vec_id").as("id_a"),
+                col("embedding").as("emb_a"))
+              .join(a2.select(col("c_id"), col("vec_id").as("id_b"),
+                col("embedding").as("emb_b")).hint("shuffle_hash"), "c_id")
+          case Some(hook) =>
+            hook(semBase.select(col("c_id"), col("vec_id").as("id_a"))
+                .join(a2.select(col("c_id"), col("vec_id").as("id_b"))
+                  .hint("shuffle_hash"), "c_id"))
+              .join(semBase.select(col("vec_id").as("id_a"),
+                col("embedding").as("emb_a")).hint("shuffle_hash"), Seq("id_a"))
+              .join(a2.select(col("vec_id").as("id_b"),
+                col("embedding").as("emb_b")).hint("shuffle_hash"), Seq("id_b"))
+        }
+        val drops3 = paired
           .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
           .filter(col("cos") >= cosineThreshold)
           .select(col("id_b").as("doc_id")).distinct()

@@ -291,19 +291,27 @@ object Trainer {
     StructType(StructField("batch_id", LongType) +: HashedOutSchema.fields)
 
   /** Latest weight vector in a (replay-duplicate-tolerant) hashed
-    * ledger frame: full-row dedup, LOUD conflict guard (two surviving
-    * rows on one (batch_id, slot) can only come from misuse), then the
-    * max-batch_id vector. An empty ledger yields an EMPTY (slot, w)
-    * frame — [[hashedStep]]'s well-defined zero init. */
+    * ledger frame: select the max-batch_id rows, full-row dedup, LOUD
+    * conflict guard (two surviving rows on one slot can only come from
+    * misuse). The guard scans only the SELECTED vector — O(slots), not
+    * O(batches × slots) per probe: a conflict on an older batch cannot
+    * change the weights this read feeds (only max-batch rows are
+    * selected), and the per-batch ingest calls this on every arriving
+    * batch, so a full-ledger scan here would make probe cost grow with
+    * stream age between compactions. An empty ledger yields an EMPTY
+    * (slot, w) frame — [[hashedStep]]'s well-defined zero init. */
   def latestHashedWeights(ledger: DataFrame): DataFrame = {
-    val rows = ledger.dropDuplicates()
-    val conflicts = rows.groupBy("batch_id", "slot").count()
+    val rows = ledger
+      .crossJoin(broadcast(ledger.agg(max("batch_id").as("mb"))))
+      .filter(col("batch_id") === col("mb"))
+      .dropDuplicates()
+      .select("slot", "w")
+      .localCheckpoint()
+    val conflicts = rows.groupBy("slot").count()
       .filter(col("count") > 1).count()
     require(conflicts == 0,
-      s"hashed sgd ledger: $conflicts (batch_id, slot) pair(s) carry conflicting weights")
-    rows.crossJoin(broadcast(rows.agg(max("batch_id").as("mb"))))
-      .filter(col("batch_id") === col("mb"))
-      .select("slot", "w")
+      s"hashed sgd ledger: $conflicts slot(s) carry conflicting weights at the latest batch")
+    rows
   }
 
   /** One hashed-feature micro-batch through online SGD, exactly-once on

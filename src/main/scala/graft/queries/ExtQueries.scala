@@ -1896,7 +1896,8 @@ object ExtQueries {
           graft.ext.CorpusBuild.ingestBatch(
             batchOf(col("doc_id") < 1000000L && col("doc_id") % 2 === 1),
             emb, cents, score, s"$path/idx", s"$path/out", 1L,
-            persistCand = eager(1, mhSchema), persistSemCand = eager(3, semSchema))
+            persistCand = eager(1, mhSchema),
+            persistSemCand = Some(eager(3, semSchema)))
           graft.ext.CorpusBuild.ingestBatch(
             batchOf(col("doc_id") >= 1000000L),
             emb.limit(0), cents, score, s"$path/idx", s"$path/out", 2L,
