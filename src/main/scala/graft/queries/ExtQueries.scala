@@ -357,6 +357,33 @@ object ExtQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     OracleAux.persist(dir, "qth_feats")(qthFeatsRaw(s, dir))
 
+  /** Shared test-fold confusion tail of the two hashed eval queries
+    * (batch-epochs and online-SGD trained): score `testF` with weights
+    * `w` + train-fold `stats`, report the exact matrix + ppm rates. */
+  private def qthConfusion(testF: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame, stats: org.apache.spark.sql.DataFrame,
+      trainF: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nTrain = trainF.filter(col("slot") === -1L)
+      .agg(count(lit(1)).as("n_train"))
+    graft.ext.Trainer.hashedPredict(testF, w, stats)
+      .select(col("y"), (col("z6") > 0L).as("pred"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_test"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        coalesce(col("tn"), lit(0L)).as("tn"))
+      .select(col("*"),
+        expr("((tp + tn) * 1000000) div greatest(n_test, 1L)").as("acc_ppm"),
+        expr("(tp * 1000000) div greatest(tp + fp, 1L)").as("precision_ppm"),
+        expr("(tp * 1000000) div greatest(tp + fn, 1L)").as("recall_ppm"))
+  }
+
   /** Label CTE recomputed from documents (not trusted from the
     * persisted frame) + the persisted slot features joined to it. */
   private val qthFlSql =
@@ -437,6 +464,45 @@ object ExtQueries {
        |$sel
        |ORDER BY batch_id, slot""".stripMargin
   }
+
+  /** Held-out eval twin of the ONLINE fold: K sequential steps over the
+    * TRAIN fold's doc_id % K batches (stats frozen on the train fold,
+    * exactly [[graft.ext.Trainer.hashedSgdIngestBatch]]'s contract),
+    * then the same test-fold confusion tail as [[qthEvalSql]]. */
+  private def qthSgdEvalSql(k: Int): String = {
+    val batches = (1 to k).map(e =>
+      s"b$e AS (SELECT * FROM fl WHERE doc_id % $k = ${e - 1})").mkString(",\n")
+    s"""WITH $qthFlSql,
+       |fl AS MATERIALIZED (SELECT * FROM fl0 WHERE doc_id % 100 < 90),
+       |$batches,
+       |${qthStepsSql(k, e => s"b$e")},
+       |cK AS (SELECT CAST(coalesce(sum(st.m6 * e$k.w), 0) AS BIGINT) AS mm
+       |  FROM st JOIN e$k USING (slot)),
+       |zt AS (SELECT doc_id, any_value(y) AS y,
+       |    CAST(sum(x6 * coalesce(e$k.w, 0)) AS BIGINT) AS sdot
+       |  FROM (SELECT * FROM fl0 WHERE doc_id % 100 >= 95) ft
+       |  LEFT JOIN e$k USING (slot) GROUP BY doc_id),
+       |t AS (SELECT y, (${qtFdSql("sdot - mm", "1000000")} > 0) AS pred
+       |  FROM zt CROSS JOIN cK),
+       |cm AS (
+       |  SELECT count(*) AS n_test,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       |    CAST(coalesce(sum(CASE WHEN y = 1 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(coalesce(sum(CASE WHEN y = 0 AND NOT pred THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+       |  FROM t)
+       |SELECT nd.n AS n_train, cm.n_test, cm.tp, cm.fp, cm.fn, cm.tn,
+       |  ((cm.tp + cm.tn) * 1000000) // greatest(cm.n_test, 1) AS acc_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fp, 1) AS precision_ppm,
+       |  (cm.tp * 1000000) // greatest(cm.tp + cm.fn, 1) AS recall_ppm
+       |FROM cm CROSS JOIN nd""".stripMargin
+  }
+
+  /** Batch count of the online-eval fold: six steps, each over a sixth
+    * of the train fold — enough online passes for the preconditioned
+    * model to separate held-out data while staying a genuine
+    * one-step-per-arriving-batch trajectory (NOT a multi-epoch replay). */
+  private val qthSgdEvalBatches = 6
 
   private def qthTrainSql(k: Int): String = {
     val sel = (1 to k).map(e =>
@@ -945,25 +1011,7 @@ object ExtQueries {
         val trainF = feats.filter(col("doc_id") % 100 < 90)
         val testF = feats.filter(col("doc_id") % 100 >= 95)
         val (stats, eps) = graft.ext.Trainer.hashedEpochs(trainF, 8)
-        val nTrain = trainF.filter(col("slot") === -1L)
-          .agg(count(lit(1)).as("n_train"))
-        graft.ext.Trainer.hashedPredict(testF, eps.last, stats)
-          .select(col("y"), (col("z6") > 0L).as("pred"))
-          .agg(count(lit(1)).as("n_test"),
-            sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
-            sum(when(col("y") === 0L && col("pred"), 1L).otherwise(0L)).as("fp"),
-            sum(when(col("y") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
-            sum(when(col("y") === 0L && !col("pred"), 1L).otherwise(0L)).as("tn"))
-          .crossJoin(broadcast(nTrain))
-          .select(col("n_train"), col("n_test"),
-            coalesce(col("tp"), lit(0L)).as("tp"),
-            coalesce(col("fp"), lit(0L)).as("fp"),
-            coalesce(col("fn"), lit(0L)).as("fn"),
-            coalesce(col("tn"), lit(0L)).as("tn"))
-          .select(col("*"),
-            expr("((tp + tn) * 1000000) div greatest(n_test, 1L)").as("acc_ppm"),
-            expr("(tp * 1000000) div greatest(tp + fp, 1L)").as("precision_ppm"),
-            expr("(tp * 1000000) div greatest(tp + fn, 1L)").as("recall_ppm"))
+        qthConfusion(testF, eps.last, stats, trainF)
       },
       Some(qthEvalSql(8)),
       "held-out eval of the hashed-feature filter: genuine separation (tp>0, acc >> base) distilling the stopword-ratio rule"),
@@ -1006,6 +1054,38 @@ object ExtQueries {
       },
       Some(qthSgdSql(3)),
       "online hashed-feature SGD at ingest: per-slot weight ledger, one exact step per batch from AS-OF weights"),
+
+    // Held-out eval of the ONLINE-trained filter: the train fold
+    // (doc_id % 100 < 90) arrives as six micro-batches through
+    // hashedSgdIngestBatch (stats frozen on the train fold), the test
+    // fold (% 100 ≥ 95) is scored with the ledger's latest weights —
+    // the proof that the filter a 100 TB ingest trains ONE step per
+    // arriving batch separates held-out data, not just the 8-epoch
+    // batch-trained one. Same confusion tail as
+    // quality_train_eval_hashed (shared qthConfusion).
+    "quality_sgd_eval_hashed" -> Q(
+      (s, dir) => {
+        val feats = qthFeats(s, dir).localCheckpoint()
+        val trainF = feats.filter(col("doc_id") % 100 < 90).localCheckpoint()
+        val testF = feats.filter(col("doc_id") % 100 >= 95)
+        val stats = graft.ext.Trainer.hashedStats(trainF)
+        val p = Artifacts.cached("graft_sgdhe", dir) { path =>
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          (0L until qthSgdEvalBatches.toLong).foreach { b =>
+            graft.ext.Trainer.hashedSgdIngestBatch(
+              trainF.filter(col("doc_id") % qthSgdEvalBatches === b), stats,
+              s"$path/ledger", s"$path/out", b)
+          }
+        }
+        val w = graft.ext.Trainer.latestHashedWeights(
+          s.read.schema(graft.ext.Trainer.HashedLedgerSchema)
+            .parquet(s"$p/ledger"))
+        qthConfusion(testF, w, stats, trainF)
+      },
+      Some(qthSgdEvalSql(qthSgdEvalBatches)),
+      "held-out eval of the INGEST-trained hashed filter: online one-step-per-batch weights still separate the test fold"),
 
     // Calibration of that quality score (reliability diagram + ECE,
     // Guo et al. 2017's measurement, exact-arithmetic form) — is a 0.8

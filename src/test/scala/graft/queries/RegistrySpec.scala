@@ -75,13 +75,14 @@ class RegistrySpec extends AnyFunSuite {
     // +dedup_cascade_incremental → 245; +corpus_build → 246;
     // +search_bm25_indexed → 247; +search_phrase_indexed → 248;
     // +search_phrase_slop, +quality_sgd_hashed → 250;
-    // +corpus_build_incremental → 251):
+    // +corpus_build_incremental → 251;
+    // +quality_sgd_eval_hashed → 252):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 251 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 252 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")
