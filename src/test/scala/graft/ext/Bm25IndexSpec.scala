@@ -141,6 +141,13 @@ class Bm25IndexSpec extends SparkSpec {
     val plan = serve(root, Seq("hash"), 5).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
       s"no non-empty tb partition-filter list in the postings scan:\n$plan")
+    // the slop serve prunes its positions scan the same way
+    val slopPlan = TextStats.phraseFromIndexSlop(
+        readP(s"$root/idx/positions", TextStats.PositionSchema),
+        Seq("hash", "join"), 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(slopPlan).isDefined,
+      s"no non-empty tb partition-filter list in the slop positions scan:\n$slopPlan")
     // the pruned serve still ranks correctly
     assert(rows(serve(root, Seq("hash"), 5)) ==
       rows(TextStats.bm25(corpus, Seq("hash"), 5)))

@@ -99,6 +99,13 @@ class CompactionMatrixSpec extends SparkSpec {
     case _ => Seq((20L, 1L, -1L, 1000000L), (20L, 1L, 3L, 400000L))
   }).toDF("doc_id", "y", "slot", "x6")
 
+  private def cbBatch(id: Long): DataFrame = (id match {
+    case 0L => Seq((1L, s"$run a b c", "en"), (2L, "u1 u2 u3 u4 u5", "de"))
+    case 1L => Seq((10L, s"$run a b c", "en"), // exact dup of standing 1
+      (11L, "v1 v2 v3 v4 v5 v6", "en"))
+    case _ => Seq((20L, "m1 m2 m3 m4 m5", "fr"))
+  }).toDF("doc_id", "text", "lang")
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
@@ -108,9 +115,9 @@ class CompactionMatrixSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory(s"graft_cmx_$n").toString
     val (mh, ct, bp, se, ph, wn) =
       (root("mh"), root("ct"), root("bp"), root("se"), root("ph"), root("wn"))
-    val (cap, cu, au, sg, cx, bm, sh) =
+    val (cap, cu, au, sg, cx, bm, sh, cb) =
       (root("cap"), root("cu"), root("au"), root("sg"), root("cx"), root("bm"),
-        root("sh"))
+        root("sh"), root("cb"))
     Seq(
       Family("cascade",
         id => Dedup.cascadeIngestBatch(docBatch(id), embBatch(id), centroids,
@@ -218,6 +225,21 @@ class CompactionMatrixSpec extends SparkSpec {
           rows(TextStats.phraseFromIndex(
             readP(s"$bm/idx/positions", TextStats.PositionSchema),
             Seq("t", "a")))),
+      Family("corpus-build",
+        // the composite: cascade + frozen scorer per batch, survivors +
+        // lang-ledger components, publish-time readout as the serve
+        id => CorpusBuild.ingestBatch(cbBatch(id), embBatch(id), centroids,
+          surv => surv.filter(org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.split(
+                org.apache.spark.sql.functions.col("text"), "\\s+")) >= 4)
+            .select("doc_id"),
+          s"$cb/idx", s"$cb/out", id),
+        Seq(() => readP(s"$cb/idx/survivors", CorpusBuild.SurvivorSchema).count(),
+          () => readP(s"$cb/idx/langledger", CorpusBuild.LangLedgerSchema).count(),
+          () => readP(s"$cb/idx/cascade/exact", Dedup.CascadeExactSchema).count(),
+          () => readP(s"$cb/idx/cascade/lsh/banded", Dedup.BandedSchema).count()),
+        Some(() => CorpusBuild.compactIndex(spark, s"$cb/idx")),
+        () => rows(CorpusBuild.readout(spark, s"$cb/idx", s"$cb/out"))),
       Family("source-audit",
         id => SourceAudit.auditIngestBatch(auBatch(id), au, id),
         Seq(() => spark.read.parquet(s"$au/facts").count()),

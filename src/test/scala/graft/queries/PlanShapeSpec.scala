@@ -150,6 +150,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("ShuffledHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
 
+  test("slop phrase: occurrence-alignment joins stay shuffle_hash equi-joins on doc_id") {
+    // the window checks must be POST-JOIN filters, never a theta-join on
+    // pos: a range join would forfeit the hash path and quadratic-scan
+    // every doc's occurrence-list pair
+    val positions = graft.ext.TextStats.positionRows(
+      table(spark, sf("sf0.001"), "documents"))
+    val plan = explainDf(graft.ext.TextStats.phraseFromIndexSlop(
+      positions, Seq("hash", "join", "scan"), 2))
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("containment screen keeps the same pinned-join shape as the minhash verify") {
     val plan = explainDf(Dedup.containmentPairs(table(spark, sf("sf0.001"), "documents")))
     // shared LSH bucket self-join + two (id, shingle) verify joins — same
