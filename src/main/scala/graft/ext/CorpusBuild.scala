@@ -188,11 +188,18 @@ object CorpusBuild {
     // not an AnalysisException
     val v = ParquetIO.readOrEmpty(spark, outPath, OutSchema)
       .select("doc_id", "stage")
+    // each stage sum coalesced: over ZERO verdict rows (readout before
+    // the first batch commits) sum() is NULL, and n0 − NULL would turn
+    // the documented all-zero cold-start funnel into an all-NULL one
     val c = v.agg(count(lit(1)).as("n0"),
-        sum(when(col("stage") === "1_exact", 1L).otherwise(0L)).as("d1"),
-        sum(when(col("stage") === "2_minhash", 1L).otherwise(0L)).as("d2"),
-        sum(when(col("stage") === "3_semantic", 1L).otherwise(0L)).as("d3"),
-        sum(when(col("stage") === "4_quality", 1L).otherwise(0L)).as("d4"))
+        coalesce(sum(when(col("stage") === "1_exact", 1L).otherwise(0L)),
+          lit(0L)).as("d1"),
+        coalesce(sum(when(col("stage") === "2_minhash", 1L).otherwise(0L)),
+          lit(0L)).as("d2"),
+        coalesce(sum(when(col("stage") === "3_semantic", 1L).otherwise(0L)),
+          lit(0L)).as("d3"),
+        coalesce(sum(when(col("stage") === "4_quality", 1L).otherwise(0L)),
+          lit(0L)).as("d4"))
       .localCheckpoint()
     val ledger = ParquetIO.readOrEmpty(spark, s"$indexPath/langledger",
       LangLedgerSchema).dropDuplicates()

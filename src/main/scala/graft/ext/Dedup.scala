@@ -1118,13 +1118,21 @@ object Dedup {
               .join(a2.select(col("c_id"), col("vec_id").as("id_b"),
                 col("embedding").as("emb_b")).hint("shuffle_hash"), "c_id")
           case Some(hook) =>
+            // the join-back sides dedupe by id: the standing component can
+            // carry replay duplicates between compactions (full-row
+            // identical, so dropDuplicates is lossless), and joining the
+            // hook's pair rows against duplicated embedding rows would
+            // multiply candidate volume quadratically (dup pairs × dup
+            // embedding rows) before the downstream distinct collapses it
+            val embA = semBase.select(col("vec_id").as("id_a"),
+              col("embedding").as("emb_a")).dropDuplicates("id_a")
+            val embB = a2.select(col("vec_id").as("id_b"),
+              col("embedding").as("emb_b")).dropDuplicates("id_b")
             hook(semBase.select(col("c_id"), col("vec_id").as("id_a"))
                 .join(a2.select(col("c_id"), col("vec_id").as("id_b"))
                   .hint("shuffle_hash"), "c_id"))
-              .join(semBase.select(col("vec_id").as("id_a"),
-                col("embedding").as("emb_a")).hint("shuffle_hash"), Seq("id_a"))
-              .join(a2.select(col("vec_id").as("id_b"),
-                col("embedding").as("emb_b")).hint("shuffle_hash"), Seq("id_b"))
+              .join(embA.hint("shuffle_hash"), Seq("id_a"))
+              .join(embB.hint("shuffle_hash"), Seq("id_b"))
         }
         val drops3 = paired
           .withColumn("cos", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))

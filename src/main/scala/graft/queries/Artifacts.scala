@@ -28,10 +28,19 @@ object Artifacts {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  /** The digest-keyed path for `prefix` over `dir` — no caching, for
-    * callers that manage their own build lifecycle. */
+  /** Process tag in every artifact path: two concurrent JVMs (the
+    * invariance sweep's paired Verify legs, a probe beside a bench) must
+    * never interleave one process's delete-then-append build with the
+    * other's in-flight appends or reads on a SHARED deterministic path.
+    * Since every new JVM rebuilds its artifacts on first touch anyway
+    * (the stale-code contract above), keying the path by PID costs
+    * nothing and removes the cross-process race entirely. */
+  private val procTag: String = java.lang.ProcessHandle.current().pid().toString
+
+  /** The digest-keyed, process-unique path for `prefix` over `dir` — no
+    * caching, for callers that manage their own build lifecycle. */
   def path(prefix: String, dir: String): String =
-    s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}"
+    s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}-p$procTag"
 
   /** Path for `prefix` over `dir`; `build(path)` runs exactly once per
     * (prefix, dir) per process — even under concurrent first callers. */

@@ -56,7 +56,12 @@ def main(src, dst, n, distinct=False):
                     return f"{c} + {i * offs[c]} AS {c}"
                 if distinct and t == "documents" and c == "text" and i > 0:
                     # per-copy token suffix: copy i shares no shingles
-                    # with any other copy; token COUNT is unchanged
+                    # with any other copy; WHITESPACE token count is
+                    # unchanged, but bpeTokenCount splits 'w1_c3' into ~5
+                    # sub-tokens vs 2, so BPE-token-sensitive queries
+                    # (corpus_build packing, BM25 dl/avgdl) see ~2-3x
+                    # longer docs on this leg — their distinct-leg ratios
+                    # are NOT comparable against the dup leg's
                     return f"regexp_replace(text, '(\\S+)', '\\1_c{i}', 'g') AS text"
                 return c
             exprs = ", ".join(expr(c) for c in cols)

@@ -104,7 +104,10 @@ def main():
     print("`8x distinct` = the same ratio on the DISTINCT-docs 8x copy (every copy's")
     print("tokens suffixed, duplication rate held constant) — near-linear here plus")
     print("super-linear on the dup leg = banding caps absorbing duplication, not a")
-    print("screen regression.")
+    print("screen regression. Caveat: the distinct leg's token suffixes preserve")
+    print("WHITESPACE token counts but inflate BPE token counts ~2-3x (tools/")
+    print("probe8x.py), so BPE-token-sensitive queries (corpus_build packing,")
+    print("BM25 dl/avgdl consumers) are not leg-comparable on that column.")
     print()
     print(f"{len(sites)} definition sites, {len(oracles)} oracles in {oracle_path}.")
     print()
