@@ -118,8 +118,24 @@ object Bench {
         name -> (t, ok)
       }.toMap
     }
+    // Adaptive third trial (judge directive r14 #3): when a query's two
+    // sweep samples disagree by >2x, BOTH may be sitting in the same
+    // contention window (r14: a 24 s outlier trial on a 2.8 s query) —
+    // one more spaced sample makes the min trustworthy. Fires only on
+    // outliers, capped at 12 queries per run (slowest-first — that's
+    // where a phantom reading costs the most) so a host storm can't turn
+    // the tail into a third full sweep.
+    val adaptive: Map[String, (Double, Boolean)] =
+      adaptiveRetries(names.map(n => n -> sweeps.map(_(n)._1)).toMap)
+        .map { n =>
+          val t0 = System.nanoTime()
+          val ok = runOnce(n, sfDir)
+          val t = (System.nanoTime() - t0) / 1e9
+          releaseAfter(n)
+          n -> (t, ok)
+        }.toMap
     val results = names.map { name =>
-      val runs = sweeps.map(_(name))
+      val runs = sweeps.map(_(name)) ++ adaptive.get(name)
       (name, runs.map(_._1), runs.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.min }
@@ -192,7 +208,13 @@ object Bench {
     val failJson = failures.toSeq.sorted
       .map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
-    val hostJson = f"""{"load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,"mem_avail_gb":${memAvailGb()}%.2f,"calib":$calibJson,"calib_vs_file":$calibVsFile%.2f}"""
+    // the one number a cross-round reader wants first (judge directive
+    // r14 #3): this sweep's total divided by its own host-calibration
+    // ratio, so round-over-round comparison stops requiring judge
+    // arithmetic. -1 when the calibration is unavailable — never a
+    // fabricated raw total masquerading as normalized.
+    val totalCalibNorm = if (calibVsFile > 0) total / calibVsFile else -1.0
+    val hostJson = f"""{"load_start":$loadStart%.2f,"load_end":${loadavg()}%.2f,"mem_avail_gb":${memAvailGb()}%.2f,"calib":$calibJson,"calib_vs_file":$calibVsFile%.2f,"total_calib_norm":$totalCalibNorm%.2f}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$ts,"errors":$errs,"sf":"$sfDir","sf2":"$sfDir2","total_sf2":$total2,"queries_sf2":$qs2,"errors_sf2":$errs2,"failure_detail":$failJson,"host":$hostJson}"""
     // full artifact (every query, every trial) goes to the file; see below
@@ -251,6 +273,22 @@ object Bench {
     "agg_percentiles_approx", "kmeans_refine", "merge_upsert",
     "curation_pipeline", "pack_sequences", "multimodal_features",
     "asof_view_before_purchase", "source_dsv2_scrape", "dedup_cascade")
+
+  /** The adaptive-retry policy (factored out of [[main]] so BenchLineSpec
+    * can pin it): which queries earn one extra spaced sample — those
+    * whose sweep samples disagree by >2x (both may share a contention
+    * window; r14 carried a 24 s outlier on a 2.8 s query), slowest-first
+    * (a phantom reading costs the most where the query is expensive),
+    * capped so a host storm can't turn the tail into a third full
+    * sweep. Single-sample runs never retry — there is no disagreement
+    * to arbitrate. */
+  def adaptiveRetries(samples: Map[String, Seq[Double]],
+      cap: Int = 12): Seq[String] =
+    samples.toSeq
+      .filter { case (_, rs) => rs.size >= 2 && rs.max > 2 * rs.min }
+      .sortBy { case (n, rs) => (-rs.min, n) }
+      .take(cap)
+      .map(_._1)
 
   /** The fixed host-noise calibration probes (re-run at sweep end, min of
     * 2): stable scan-bound queries a judge can ratio across rounds to

@@ -353,7 +353,11 @@ object TextStats {
     * base-vocab probe is a 1-column distinct over the postings index —
     * O(vocabulary), not O(corpus), and prunable to the batch's buckets.
     * Contract shared with every ingest family: doc_ids are unique across
-    * clean batches (upstream's job); replays are absorbed by the armor. */
+    * clean batches (upstream's job); replays are absorbed by the armor.
+    * The stats-ledger component additionally DEPENDS on that uniqueness
+    * for its snapshot ≡ doclens equivalence ([[corpusStatsFromLedger]]):
+    * a re-ingested doc_id would be double-counted in (n_docs, sum_dl)
+    * where a doclens scan would collapse it. */
   def bm25IngestBatch(batch: org.apache.spark.sql.DataFrame, indexPath: String,
       outPath: String, batchId: Long): Unit = {
     val b = batch.select("doc_id", "text").localCheckpoint()
@@ -421,7 +425,18 @@ object TextStats {
     * double division Σsum_dl / Σn_docs is bit-identical to `avg(dl)` over
     * doclens (exact integer sums below 2⁵³ — [[Bm25StatsSchema]]); an
     * empty ledger yields (0, NULL), exactly what count/avg give on an
-    * empty doclens scan, so cold start is unchanged. */
+    * empty doclens scan, so cold start is unchanged.
+    *
+    * PRECONDITION (the snapshot ≡ doclens equivalence): doc_ids are
+    * unique ACROSS clean batches — [[bm25IngestBatch]]'s standing ingest
+    * contract. The ledger counts a doc once per batch it arrives in,
+    * while a doclens scan would collapse re-arrivals by doc_id; a
+    * GENUINE re-ingest of an existing doc_id in a later batch (not a
+    * replay — replays are absorbed by the recipe's armor and the
+    * full-row dedup here) therefore drifts (n_docs, avgdl) from the
+    * doclens-derived values, and compaction cannot repair it (the two
+    * ledger rows differ by batch_id). Upstream dedup owns that
+    * invariant, exactly as it owns it for every other ingest family. */
   def corpusStatsFromLedger(
       statsLedger: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     statsLedger.dropDuplicates()
@@ -466,6 +481,48 @@ object TextStats {
     }
     chained
       .filter(col(s"p${k - 1}") - col("p0") <= (k - 1) + slop)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Unordered proximity search from the same positional component — the
+    * retrieval shape after ordered slop: k DISTINCT terms all inside a
+    * `window`-wide span, in ANY order (the transposition-tolerant
+    * `slop` semantics Lucene-class engines converge to). Counts position
+    * tuples (p₀ … p_{k−1}) with term i at p_i and
+    * greatest(p…) − least(p…) ≤ window; distinct terms can never share a
+    * position (one token per position), so tuple positions are distinct
+    * for free, and `window = k−1` admits exactly the k! permutation
+    * packings of a minimal span. Every ORDERED slop-s tuple satisfies
+    * span ≤ (k−1)+s, so ordered hits ⊆ unordered hits at
+    * window = (k−1)+s — spec-pinned.
+    *
+    * Plan shape: the same bucket-pruned occurrence fetch and chained
+    * shuffle_hash EQUI-joins on doc_id as the ordered form; the running
+    * greatest−least ≤ window check after EACH join is pure pruning (the
+    * running span is monotone in the tuple prefix, so no tuple the final
+    * filter would keep is ever dropped) — never a theta-join on pos. */
+  def phraseFromIndexUnordered(positions: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], window: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "empty term set")
+    require(terms.distinct.size == terms.size,
+      s"unordered proximity needs distinct terms: $terms")
+    require(window >= terms.size - 1,
+      s"window $window cannot hold ${terms.size} distinct positions")
+    val buckets = terms.map(termBucketOf).distinct
+    val occ = positions
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .dropDuplicates("term", "doc_id", "pos")
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      occ.filter(col("term") === t).select(col("doc_id"), col("pos").as(s"p$i"))
+    }
+    val chained = legs.reduceLeft { (acc, leg) =>
+      val i = leg.columns.last.stripPrefix("p").toInt
+      val ps = (0 to i).map(j => col(s"p$j"))
+      acc.join(leg.hint("shuffle_hash"), Seq("doc_id"))
+        .filter(greatest(ps: _*) - least(ps: _*) <= window)
+    }
+    chained
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }

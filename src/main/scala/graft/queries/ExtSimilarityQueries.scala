@@ -1,0 +1,1168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Indexing, Mining, Multimodal, Sessionize, Similarity, TextStats, Upsert}
+import graft.queries.ExtQueries._
+import graft.queries.Registry.{events, table}
+
+/** Similarity-search / embedding / training operators split out of
+  * [[ExtQueries]]: brute / IVF / LSH / PQ / IVF-PQ ANN, range search,
+  * kNN graph, index maintenance + audits, embedding quantization/drift,
+  * quality-filter training (incl. the hashed ingest-trained legs). */
+object ExtSimilarityQueries {
+
+  val all: Map[String, Q] = Map(
+    // --------------------------------------------------------- similarity
+    // Symmetric int8 scalar quantization of the embedding column — the 4×
+    // memory cut that lets an ANN index serve from RAM at corpus scale.
+    // Per-vector scale = max|x|/127, q_i = floor(x_i·127/max + 0.5); the
+    // reconstruction error is bounded by scale/2 (pinned in ExtSpec). Pure
+    // per-row math — no shuffle, scan-speed at any scale; the HOF lambdas
+    // run interpreted but once per ROW over 64 elements (fine-per-row).
+    // Both engines evaluate the identical IEEE expression tree, so
+    // scale/q_sum/max_err hash-match exactly.
+    "embed_quantize" -> Q(
+      (s, dir) => {
+        val toDouble = transform(col("embedding"), x => x.cast("double"))
+        val withM = table(s, dir, "embeddings")
+          .select(col("vec_id"), toDouble.as("v"),
+            array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+        val qOf = (x: org.apache.spark.sql.Column) =>
+          floor(x * lit(127) / col("m") + lit(0.5))
+        val qArr = transform(col("v"), x => qOf(x))
+        val errArr = transform(col("v"),
+          x => abs(x - qOf(x) * col("m") / lit(127)))
+        withM.select(col("vec_id"),
+          size(col("v")).as("n_dims"),
+          when(col("m") === 0, lit(0.0)).otherwise(round(col("m") / lit(127), 6)).as("scale"),
+          when(col("m") === 0, lit(0L))
+            .otherwise(aggregate(qArr, lit(0.0), (acc, x) => acc + x).cast("long")).as("q_sum"),
+          when(col("m") === 0, lit(0.0))
+            .otherwise(round(array_max(errArr), 6)).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  CAST(len(v) AS INTEGER) AS n_dims,
+             |  CASE WHEN m = 0 THEN 0.0 ELSE round(m / 127, 6) END AS scale,
+             |  CASE WHEN m = 0 THEN 0
+             |       ELSE CAST(list_sum(list_transform(v, x -> floor(x * 127 / m + 0.5))) AS BIGINT)
+             |  END AS q_sum,
+             |  CASE WHEN m = 0 THEN 0.0
+             |       ELSE round(list_max(list_transform(v, x -> abs(x - floor(x * 127 / m + 0.5) * m / 127))), 6)
+             |  END AS max_err
+             |FROM base ORDER BY vec_id""".stripMargin),
+      "int8 scalar quantization of embeddings with reconstruction-error audit"),
+
+    "sim_topk_brute" -> Q(
+      (s, dir) => Similarity.bruteTopK(table(s, dir, "embeddings")),
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT q_id, vec_id,
+             |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q JOIN embeddings ON vec_id <> q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
+             |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "exact cosine top-k (broadcast queries, per-query window)"),
+
+    // RANGE (radius) similarity search — the other retrieval primitive:
+    // where top-k answers "the best k whatever their quality", range
+    // search answers "EVERYTHING within τ" (the contract dedup and
+    // recall-sensitive retrieval actually need — a top-k can silently
+    // truncate a dense neighborhood and fabricate neighbors in a sparse
+    // one). Exact form: broadcast the query set and score in ONE corpus
+    // scan — no shuffle, no window; selection is a filter, so the plan
+    // is embarrassingly parallel and AQE-free by construction. The
+    // filter compares the ROUNDED cosine (both engines round-half-up at
+    // 6dp to identical doubles — the same cross-engine contract the
+    // top-k family ranks on). Zero-norm vectors are filtered BEFORE
+    // scoring on BOTH sides: under ANSI mode a zero divisor is an ERROR
+    // (not NaN), and even as NaN both engines order it above every
+    // double, so an unguarded τ-filter would pass it. At 100 TB the
+    // same filter composes behind the IVF screen exactly like
+    // sim_topk_ivf_indexed (probe matching cells, then this predicate) —
+    // with the residual caveat that bucket screens bound RECALL, which
+    // index_tuning_sweep measures.
+    "sim_range_search" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      Some("""WITH nz AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+             |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM nz WHERE vec_id < 8)
+             |SELECT q_id, vec_id AS neighbor_id, cos
+             |FROM (SELECT q_id, vec_id,
+             |        round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                     CAST(embedding AS DOUBLE[])), 6) AS cos
+             |      FROM q JOIN nz ON vec_id <> q_id)
+             |WHERE cos >= 0.3
+             |ORDER BY q_id, neighbor_id""".stripMargin),
+      "radius (range) similarity search: every neighbor with cosine ≥ τ in one broadcast-join scan"),
+
+    // FILTERED vector search — the production ANN variant every serving
+    // stack ships (Qdrant/Vespa/pgvector "filtered search"): top-k among
+    // only the vectors whose DOCUMENT metadata passes a predicate. The
+    // filter joins BEFORE scoring and ranking (pre-filtering) — the
+    // correct semantics; post-filtering a plain top-k under-fills k
+    // whenever the predicate is selective. The metadata join is keyed on
+    // the shared id (shuffle_hash: both sides corpus-sized); at scale the
+    // predicate pushes into a metadata-partitioned index so the probe
+    // reads only matching buckets — the same pruning story as
+    // sim_topk_ivf_indexed, composed with a filter.
+    "sim_topk_filtered" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val meta = table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val cands = e.join(meta.hint("shuffle_hash"), "vec_id")
+          .filter(col("lang") === "en")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        cands.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             |cand AS (
+             |  SELECT e.vec_id, e.embedding
+             |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+             |  WHERE d.lang = 'en'),
+             |scored AS (
+             |  SELECT q_id, vec_id,
+             |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+             |                                 CAST(embedding AS DOUBLE[])), 6) AS cos
+             |  FROM q JOIN cand ON vec_id <> q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos,
+             |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT q_id, rk, vec_id AS neighbor_id, cos FROM ranked
+             |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+      "metadata-filtered vector search: pre-filter join, then exact top-k per query"),
+
+    // Centroid probing / seeded hyperplanes aren't ANSI-expressible, but the
+    // exact-cosine scoring + top-k IS: both queries persist their (q_id,
+    // vec_id) candidates and DuckDB re-scores + re-ranks the same set.
+    "sim_topk_ivf" -> Q(
+      (s, dir) => Similarity.ivfTopK(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "sim_topk_ivf_cand")),
+      Some(annRescoreSql("sim_topk_ivf_cand")),
+      "IVF-bucketed approximate top-k (√n nlist like the dedup path, nprobe=4)"),
+
+    // Product-quantization ANN: m=8 subspaces × 16 codewords, ADC scoring
+    // (per-query dot-table lookups, never a full-width vector op against
+    // the corpus), exact re-score of the top-(k·4) candidates. The coded
+    // index is 32× smaller than the float vectors — the layout that keeps
+    // a 100 TB corpus's ANN index in RAM. Candidates persisted (OracleAux);
+    // DuckDB re-scores + re-ranks the same set exactly.
+    "sim_topk_pq" -> Q(
+      (s, dir) => Similarity.pqTopK(table(s, dir, "embeddings"),
+        persistCand = OracleAux.persist(dir, "sim_topk_pq_cand")),
+      Some(annRescoreSql("sim_topk_pq_cand")),
+      "product-quantization ANN (ADC lookup scoring + exact candidate re-rank)"),
+
+    // IVF-PQ: coarse √n-bucket quantizer + PQ codes of the RESIDUALS —
+    // the FAISS-style production layout where the index stores m bytes
+    // per vector and a probe touches nprobe/nlist of them. Approx ranking
+    // uses the inner-product decomposition <q,x> = <q,c> + <q,x-c> (raw-
+    // query ADC tables + per-bucket offset); exact re-score of the
+    // overfetched candidates, DuckDB re-ranks the persisted set.
+    "sim_topk_ivfpq" -> Q(
+      (s, dir) => Similarity.ivfpqTopK(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "sim_topk_ivfpq_cand")),
+      Some(annRescoreSql("sim_topk_ivfpq_cand")),
+      "IVF-PQ ANN (residual codes, per-bucket ADC offset, exact re-rank)"),
+
+    // Same ANN semantics served from the CLUSTER-PARTITIONED parquet
+    // index: the probe joins the broadcast bucket list on the partition
+    // column, so dynamic partition pruning reads nprobe/nlist of the index
+    // files and nothing else (PlanShapeSpec asserts the pruning) — the
+    // at-scale serving layout, vs sim_topk_ivf's inline assignment.
+    "sim_topk_ivf_indexed" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        Similarity.scoreTopK(
+          OracleAux.persist(dir, "sim_topk_ivf_idx_cand")(
+            Similarity.ivfIndexCandidates(idx, e, nlist = ivfNlist(s, dir))),
+          e, 8, 5)
+      },
+      Some(annRescoreSql("sim_topk_ivf_idx_cand")),
+      "ANN top-k over the cluster-partitioned IVF index (partition-pruned probe)"),
+
+    // RANGE search served from the same standing index — the at-scale
+    // composition sim_range_search's registration points to: the
+    // multiprobe cell screen bounds the scan to nprobe/nlist of the
+    // corpus, then the exact τ-verify runs only over those candidates
+    // (persisted via OracleAux; DuckDB re-scores + re-filters the SAME
+    // set, so a screen bug that leaks or fabricates candidates breaks
+    // the hash). RECALL is bounded by the probe width — a true neighbor
+    // in an unprobed cell is missed by design; that loss is exactly what
+    // index_tuning_sweep measures per nprobe, and the spec pins
+    // screened ⊆ exact with matching scores. Zero-norm vectors are
+    // nz-filtered in BOTH engines (same ANSI/NaN hazard as the exact
+    // form).
+    "sim_range_ivf" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        val cand = OracleAux.persist(dir, "sim_range_ivf_cand")(
+          Similarity.ivfIndexCandidates(idx, e, nlist = ivfNlist(s, dir)))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        cand.join(e.hint("shuffle_hash"), "vec_id")
+          .join(broadcast(queries), "q_id")
+          .withColumn("cos", round(graft.functions.VectorOps.cosine(
+            col("q_emb"), col("embedding")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      Some(s"""WITH nz AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0),
+             |cand AS (SELECT q_id, vec_id FROM read_parquet(${OracleAux.duckGlob("sim_range_ivf_cand")})),
+             |scored AS (
+             |  SELECT c.q_id, c.vec_id,
+             |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+             |  FROM cand c
+             |  JOIN nz q ON q.vec_id = c.q_id
+             |  JOIN nz e ON e.vec_id = c.vec_id)
+             |SELECT q_id, vec_id AS neighbor_id, cos FROM scored
+             |WHERE cos >= 0.3 ORDER BY q_id, neighbor_id""".stripMargin),
+      "range search over the partition-pruned IVF index: cell screen + exact τ-verify"),
+
+    // Incremental maintenance of the cluster-partitioned IVF index as a
+    // REGISTERED operator: base index from the even vectors (frozen
+    // 16-centroid quantizer), then the odd vectors merge in as one upsert
+    // batch — dynamic partition overwrite rewrites ONLY the touched
+    // buckets, so maintenance cost follows the batch's bucket footprint,
+    // never the index size (Similarity.indexUpsertBatch scaladoc). The
+    // oracle IS the operator's contract: the from-scratch build over the
+    // full corpus is persisted (OracleAux) and DuckDB hash-compares the
+    // incrementally-maintained content against it — merge ≡ rebuild.
+    // Deliberately un-cached: every invocation pays the real build+merge,
+    // so Bench times the maintenance path itself.
+    "index_upsert" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val path = Artifacts.path("graft_ivf_upsert", dir)
+        Similarity.buildIvfIndexFrom(
+          e.filter(col("vec_id") % 2 === 0), centroids, path)
+        Similarity.indexUpsertBatch(
+          e.filter(col("vec_id") % 2 === 1), centroids, path)
+        OracleAux.persist(dir, "index_upsert_full")(
+          Similarity.assignToCentroids(e, centroids).select("vec_id", "c_id"))
+        s.read.schema(Similarity.IvfIndexSchema).parquet(path)
+          .select(col("vec_id"), col("c_id")).orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, c_id
+              |FROM read_parquet(${OracleAux.duckGlob("index_upsert_full")})
+              |ORDER BY vec_id""".stripMargin),
+      "incremental IVF index maintenance (bucket-footprint merge ≡ rebuild)"),
+
+    // Ops-grade health audit of the SERVED ANN index — the check a
+    // vector-serving deployment runs after every maintenance window:
+    // per-cluster population and residual-cosine stats (a cluster whose
+    // members sit far from its centroid is mis-assigned or stale; an
+    // empty cluster wastes a probe). Cosines are folded in exact MICRO
+    // units (×1e6 integers) so every aggregate is order-independent —
+    // no IEEE partial-sum drift between engines or partitionings. The
+    // assignment and the centroid list persist via OracleAux; DuckDB
+    // recomputes the same stats over the same relations.
+    "index_health_audit" -> Q(
+      (s, dir) => {
+        val idx = s.read.schema(Similarity.IvfIndexSchema).parquet(ivfIndexPath(s, dir))
+        val assign = OracleAux.persist(dir, "index_health_assign")(
+          idx.select("vec_id", "c_id"))
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < ivfNlist(s, dir))
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val centIds = OracleAux.persist(dir, "index_health_cents")(
+          cents.select("c_id"))
+        val cosMicro = round(graft.functions.VectorOps.cosine(col("c_emb"), col("embedding")) * 1e6)
+          .cast("long")
+        val stats = assign
+          .join(e.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id")
+          .join(broadcast(cents), "c_id")
+          .withColumn("cos_micro", cosMicro)
+          .groupBy("c_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum("cos_micro").as("sum_micro"),
+            min("cos_micro").as("min_cos_micro"))
+          .withColumn("mean_cos_micro",
+            round(col("sum_micro").cast("double") / col("n_vecs")).cast("long"))
+        centIds.join(stats, Seq("c_id"), "left")
+          .select(col("c_id"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            col("mean_cos_micro"), col("min_cos_micro"))
+          .orderBy("c_id")
+      },
+      Some(s"""WITH assign AS (SELECT vec_id, c_id FROM read_parquet(${OracleAux.duckGlob("index_health_assign")})),
+              |cents AS (SELECT c_id FROM read_parquet(${OracleAux.duckGlob("index_health_cents")})),
+              |scored AS (
+              |  SELECT a.c_id,
+              |    CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+              |                                      CAST(e.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS cos_micro
+              |  FROM assign a
+              |  JOIN embeddings e ON e.vec_id = a.vec_id
+              |  JOIN embeddings c ON c.vec_id = a.c_id),
+              |stats AS (
+              |  SELECT c_id, count(*) AS n_vecs,
+              |    CAST(round(CAST(sum(cos_micro) AS DOUBLE) / count(*)) AS BIGINT) AS mean_cos_micro,
+              |    min(cos_micro) AS min_cos_micro
+              |  FROM scored GROUP BY c_id)
+              |SELECT ct.c_id, coalesce(s.n_vecs, 0) AS n_vecs,
+              |  s.mean_cos_micro, s.min_cos_micro
+              |FROM cents ct LEFT JOIN stats s USING (c_id)
+              |ORDER BY ct.c_id""".stripMargin),
+      "per-cluster population + residual-cosine health audit of the served ANN index"),
+
+    // The knob a vector-serving deployment actually turns: recall@k vs
+    // candidate cost as nprobe sweeps {1,2,4,8}, measured against the
+    // brute-force truth over the SAME persisted index the serving probe
+    // reads. ONE index scan serves all four settings: buckets are probed
+    // once at nprobe=8 with their per-query rank, and a candidate belongs
+    // to setting p iff p >= its bucket's rank (explode over the 4-element
+    // settings array — no per-setting rescan). Everything downstream is
+    // exact integers (candidate counts, top-5 hit counts); the candidate
+    // set persists via OracleAux and DuckDB recomputes truth + rollup
+    // over exactly the same rows.
+    "index_tuning_sweep" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val nlist = ivfNlist(s, dir)
+        val idx = s.read.schema(Similarity.IvfIndexSchema)
+          .parquet(ivfIndexPath(s, dir))
+        val centroids = e.filter(col("vec_id") < nlist)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val queries = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("qc_cos"), asc("c_id"))
+        val probed = queries.join(broadcast(centroids))
+          .withColumn("qc_cos", graft.functions.VectorOps.cosine(col("q_emb"), col("c_emb")))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 8)
+          .select("q_id", "c_id", "rk")
+        val cand = OracleAux.persist(dir, "index_tuning_cand")(
+          idx.join(broadcast(probed), Seq("c_id"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"), col("rk").as("bucket_rk")))
+        val truth = Similarity.bruteTopK(e, 8, 5)
+          .select(col("q_id"), col("neighbor_id").as("vec_id"), lit(1L).as("hit"))
+        cand
+          .withColumn("nprobe", explode(filter(
+            array(lit(1), lit(2), lit(4), lit(8)), p => p >= col("bucket_rk"))))
+          .join(broadcast(truth), Seq("q_id", "vec_id"), "left")
+          .groupBy("nprobe", "q_id")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits_at_5"))
+          .orderBy("nprobe", "q_id")
+      },
+      Some(s"""WITH cand AS (
+              |  SELECT q_id, vec_id, bucket_rk
+              |  FROM read_parquet(${OracleAux.duckGlob("index_tuning_cand")})),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |      FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT q_id, e.vec_id,
+              |    round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+              |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+              |truth AS (
+              |  SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id,
+              |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+              |    FROM scored)
+              |  WHERE rk <= 5),
+              |ex AS (
+              |  SELECT c.q_id, c.vec_id, p.nprobe
+              |  FROM cand c JOIN (VALUES (1), (2), (4), (8)) p(nprobe)
+              |    ON p.nprobe >= c.bucket_rk)
+              |SELECT CAST(ex.nprobe AS INTEGER) AS nprobe, ex.q_id AS q_id,
+              |  count(*) AS n_cand,
+              |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5
+              |FROM ex LEFT JOIN truth t ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+              |GROUP BY ex.nprobe, ex.q_id
+              |ORDER BY 1, 2""".stripMargin),
+      "ANN tuning sweep: recall@5 + candidate cost per nprobe over the served IVF index"),
+
+    // The dedup twin of index_tuning_sweep — the OTHER knob a 100 TB
+    // curation deployment turns: LSH banding (bands b × rows r, b·r = 32
+    // permutations) trades candidate cost against recall at the screen's
+    // Jaccard threshold. ONE signature pass over the standing shingle
+    // artifact serves every setting (re-banding is a narrow projection of
+    // the same 32 signature columns); per-setting candidates come from the
+    // same bucketed self-join the production screen runs, and recall is
+    // measured against the EXACT truth (prefix-filtered set-similarity
+    // join, 100% recall by theorem — not a sampled estimate). Sequential
+    // band boundaries make the {2,4,8,16} candidate sets nest, so recall
+    // and cost are provably monotone in b (spec-pinned). Everything
+    // downstream is exact integers (counts + DIV-rounded ppm); candidates
+    // persist via OracleAux and DuckDB recomputes truth + rollup over
+    // exactly the same rows. At 100 TB the sweep runs on a representative
+    // sample to CHOOSE b, then the screen runs once at the winner —
+    // calibration is cheap, the screen is the expensive pass.
+    "dedup_tuning_sweep" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        val shd = s.read.schema(Dedup.ShingleSchema).parquet(s"$p/shingles")
+        val sigs = Dedup.minhashSignatures(shd).localCheckpoint()
+        val settings = Seq(2, 4, 8, 16)
+        val cand = OracleAux.persist(dir, "dedup_tuning_cand")(
+          settings.map { b =>
+            Dedup.candidatesFromBanded(Dedup.bandRows(sigs, 32, b))
+              .select(lit(b).as("bands"), col("id_a"), col("id_b"))
+          }.reduce(_ unionByName _))
+        val truth = Mining.prefixJaccardPairs(shd, 0.7)
+          .select("id_a", "id_b").localCheckpoint()
+        val spine = s.range(1)
+          .select(explode(array(settings.map(lit): _*)).as("bands"))
+        val perSetting = cand.groupBy("bands").agg(count(lit(1)).as("n_candidates"))
+        val hitCounts = cand
+          .join(truth.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_semi")
+          .groupBy("bands").agg(count(lit(1)).as("n_hits"))
+        val truthCt = truth.agg(count(lit(1)).as("n_true_pairs"))
+        spine
+          .join(broadcast(perSetting), Seq("bands"), "left")
+          .join(broadcast(hitCounts), Seq("bands"), "left")
+          .crossJoin(broadcast(truthCt))
+          .select(col("bands").cast("int").as("bands"),
+            expr("CAST(32 DIV bands AS INT)").as("rows_per_band"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_true_pairs"))
+          .withColumn("recall_ppm",
+            expr("n_hits * 1000000 DIV greatest(n_true_pairs, 1)"))
+          .withColumn("precision_ppm",
+            expr("n_hits * 1000000 DIV greatest(n_candidates, 1)"))
+          .orderBy("bands")
+      },
+      Some(s"""WITH planted AS ($plantedSql),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t,
+              |    generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+              |  FROM planted),
+              |sh AS (
+              |  SELECT doc_id,
+              |    t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+              |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              |shd AS (SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT i.id_a, i.id_b,
+              |      round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+              |    FROM inter i
+              |    JOIN sizes sa ON sa.doc_id = i.id_a
+              |    JOIN sizes sb ON sb.doc_id = i.id_b)
+              |  WHERE jaccard >= 0.7),
+              |cand AS (SELECT bands, id_a, id_b
+              |         FROM read_parquet(${OracleAux.duckGlob("dedup_tuning_cand")})),
+              |spine AS (SELECT * FROM (VALUES (2), (4), (8), (16)) v(bands)),
+              |per_setting AS (SELECT bands, count(*) AS n_candidates FROM cand GROUP BY 1),
+              |hits AS (
+              |  SELECT bands, count(*) AS n_hits
+              |  FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+              |  GROUP BY 1),
+              |tot AS (SELECT count(*) AS n_true_pairs FROM truth)
+              |SELECT CAST(sp.bands AS INTEGER) AS bands,
+              |  CAST(32 // sp.bands AS INTEGER) AS rows_per_band,
+              |  coalesce(p.n_candidates, 0) AS n_candidates,
+              |  coalesce(h.n_hits, 0) AS n_hits,
+              |  tot.n_true_pairs,
+              |  (coalesce(h.n_hits, 0) * 1000000) // greatest(tot.n_true_pairs, 1) AS recall_ppm,
+              |  (coalesce(h.n_hits, 0) * 1000000) // greatest(coalesce(p.n_candidates, 0), 1) AS precision_ppm
+              |FROM spine sp
+              |LEFT JOIN per_setting p ON p.bands = sp.bands
+              |LEFT JOIN hits h ON h.bands = sp.bands
+              |CROSS JOIN tot
+              |ORDER BY 1""".stripMargin),
+      "LSH banding tuning sweep: candidate cost + exact recall/precision per (bands, rows) setting"),
+
+    // The THIRD calibration knob (with index_tuning_sweep and
+    // dedup_tuning_sweep): the quality-filter threshold. A curation run
+    // picks its classifier cutoff from the kept-docs/kept-tokens curve —
+    // too strict starves the corpus, too loose keeps junk. The classifier
+    // score is a sigmoid of the exact integer weight sum (millionths,
+    // quality_classifier), and sigmoid is monotone, so score >= τ is
+    // EXACTLY w_sum >= logit(τ)·1e6 — the whole sweep is integer
+    // comparisons; no float threshold ever evaluates at query time (the
+    // logit cutoffs are compile-time constants shared verbatim with the
+    // oracle SQL). ONE scored pass serves all nine settings via the same
+    // explode-qualifying-settings trick as index_tuning_sweep; totals
+    // ride a 1-row broadcast. At 100 TB: score once, aggregate 9 rows —
+    // the curve costs one corpus scan, the same as scoring at all.
+    "quality_tuning_sweep" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val weights = qualityWeights(dir, toks)
+        // localCheckpoint: scored feeds BOTH the kept explode and the
+        // totals aggregate; without it the corpus scan + weight join (the
+        // dominant cost) would run once per branch
+        val scored = toks.join(broadcast(weights), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("w_millionths").as("w_sum"))
+          .localCheckpoint()
+        val cuts = qualityCuts.map { case (tauPpm, cut) =>
+          struct(lit(tauPpm).as("tau_ppm"), lit(cut).as("cut"))
+        }
+        val totals = scored.agg(count(lit(1)).as("total_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"))
+        val spine = s.range(1)
+          .select(explode(array(cuts: _*)).as("t"))
+          .select(col("t.tau_ppm").as("tau_ppm"),
+            col("t.cut").as("w_cut_millionths"))
+        val kept = scored
+          .select(col("n_tokens"), explode(filter(array(cuts: _*),
+            t => col("w_sum") >= t.getField("cut"))).as("t"))
+          .groupBy(col("t.tau_ppm").as("tau_ppm"))
+          .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("n_tokens_kept"))
+        spine.join(broadcast(kept), Seq("tau_ppm"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("tau_ppm"), col("w_cut_millionths"),
+            coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+            col("total_docs"), col("total_tokens"))
+          .withColumn("docs_ppm",
+            expr("n_docs_kept * 1000000 DIV greatest(total_docs, 1)"))
+          // token counts × 1e6 ride DECIMAL(38,0): int64 overflows at
+          // ~9.2e12 kept tokens (the sample_temperature lesson)
+          .withColumn("tokens_ppm",
+            expr("CAST(CAST(n_tokens_kept AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(total_tokens, 1) AS BIGINT)"))
+          .orderBy("tau_ppm")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT tok, w_millionths FROM read_parquet(${OracleAux.duckGlob("quality_weights")})),
+              |toks AS (
+              |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(w_millionths) AS BIGINT) AS w_sum
+              |  FROM toks JOIN w USING (tok) GROUP BY doc_id),
+              |cuts AS (SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm, CAST(cut AS BIGINT) AS cut
+              |         FROM (VALUES $qualityCutsSql) v(tau_ppm, cut)),
+              |kept AS (
+              |  SELECT c.tau_ppm,
+              |    count(*) AS n_docs_kept, CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens_kept
+              |  FROM scored s JOIN cuts c ON s.w_sum >= c.cut
+              |  GROUP BY 1),
+              |tot AS (SELECT count(*) AS total_docs,
+              |          CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens
+              |        FROM scored)
+              |SELECT c.tau_ppm, c.cut AS w_cut_millionths,
+              |  coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+              |  coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+              |  tot.total_docs, tot.total_tokens,
+              |  (coalesce(k.n_docs_kept, 0) * 1000000) // greatest(tot.total_docs, 1) AS docs_ppm,
+              |  CAST(CAST(coalesce(k.n_tokens_kept, 0) AS HUGEINT) * 1000000
+              |       // greatest(tot.total_tokens, 1) AS BIGINT) AS tokens_ppm
+              |FROM cuts c LEFT JOIN kept k ON k.tau_ppm = c.tau_ppm
+              |CROSS JOIN tot
+              |ORDER BY 1""".stripMargin),
+      "quality-threshold tuning sweep: kept-docs/kept-tokens curve over 9 exact logit cutoffs"),
+
+    // Bucket-skew audit of the standing LSH index — the pre-flight check
+    // before a corpus-scale dedup screen: the bucket self-join's cost and
+    // skew are ENTIRELY determined by the bucket-size distribution, and
+    // pair_mass = Σ n·(n−1)/2 per band is EXACTLY the candidate-pair
+    // count the screen will generate from that band (what AQE's skew
+    // handling will face). Reading the index (two keyed aggregations,
+    // both map-side combinable) costs nothing next to running the screen;
+    // a pathological bucket (empty-shingle-set signatures, boilerplate
+    // collisions) shows up here as max_bucket before it shows up as a
+    // straggler task. Complements dedup_tuning_sweep: the sweep picks the
+    // banding, the audit watches the chosen banding's health as the
+    // corpus grows. Banded rows persist via OracleAux (seeded-hash
+    // signatures DuckDB can't reproduce); DuckDB recomputes the full
+    // rollup over exactly those rows.
+    "dedup_index_audit" -> Q(
+      (s, dir) => {
+        val p = plantedIndexPath(s, dir)
+        val banded = OracleAux.persist(dir, "dedup_audit_banded")(
+          s.read.schema(Dedup.BandedSchema).parquet(s"$p/banded")
+            .select("doc_id", "band", "bhash"))
+        banded
+          .groupBy("band", "bhash").agg(count(lit(1)).as("n"))
+          .groupBy("band")
+          .agg(sum("n").as("n_entries"),
+            count(lit(1)).as("n_buckets"),
+            max("n").as("max_bucket"),
+            sum(expr("n * (n - 1) DIV 2")).as("pair_mass"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"))
+          .orderBy("band")
+      },
+      Some(s"""WITH banded AS (
+              |  SELECT doc_id, band, bhash
+              |  FROM read_parquet(${OracleAux.duckGlob("dedup_audit_banded")})),
+              |buckets AS (
+              |  SELECT band, bhash, count(*) AS n FROM banded GROUP BY 1, 2)
+              |SELECT band, CAST(sum(n) AS BIGINT) AS n_entries,
+              |  count(*) AS n_buckets, CAST(max(n) AS BIGINT) AS max_bucket,
+              |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pair_mass,
+              |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+              |FROM buckets GROUP BY band ORDER BY band""".stripMargin),
+      "LSH index bucket-skew audit: per-band bucket stats + exact candidate-pair mass"),
+
+    // Mixture PLANNING — the schedule a data-mixing run derives before it
+    // samples: at a fixed token budget (= the corpus total, i.e. "re-mix
+    // to the same size") and a uniform per-source target, compute each
+    // source's natural share, its desired allocation, the sampling rate
+    // that achieves it, and the repeat factor (epochs) for undersized
+    // sources. Complements sample_temperature (which derives τ-flattened
+    // ACCEPTANCE rates): the plan is the budget/epoch arithmetic an
+    // operator reads before launching the sample — rate > 1e6 ppm means
+    // the source must repeat, and `epochs` is exactly how many passes.
+    // One scan-speed groupBy + a 1-row broadcast; rate arithmetic rides
+    // DECIMAL(38,0) (int64 overflows at ~9e12 tokens × 1e6 — the
+    // sample_temperature lesson), zero-token sources get rate 0 instead
+    // of a division blow-up. All integers; DuckDB mirrors with HUGEINT.
+    "corpus_mix_plan" -> Q(
+      (s, dir) => mixPlanFrame(s, dir)
+        .select("source", "n_docs", "nat_tokens", "natural_ppm",
+          "target_ppm", "desired_tokens", "rate_ppm", "epochs")
+        .orderBy("source"),
+      Some(s"""WITH $mixPlanCtes
+              |SELECT source, n_docs, nat_tokens, natural_ppm, target_ppm,
+              |  desired_tokens, rate_ppm, epochs
+              |FROM plan ORDER BY source""".stripMargin),
+      "mixture plan: per-source allocation, sampling rate, and epoch schedule at a uniform target"),
+
+    // Mixture EXECUTION — materialize the stream corpus_mix_plan
+    // prescribes and audit what came out. Each doc in source s emits
+    // `rate DIV 1e6` full-epoch copies plus one more iff its seed-salted
+    // md5 ppm uniform lands under `rate % 1e6`, so the per-source token
+    // expectation is EXACTLY the plan's desired_tokens with zero
+    // coordination between rows (pure per-row arithmetic; the explode
+    // factor is the epoch count, bounded by the plan — never corpus
+    // volume). Rates come from the SAME [[mixPlanFrame]] the plan query
+    // publishes, so plan and execution cannot drift. The registered form
+    // is the per-source audit row a loader verifies before training:
+    // realized docs/copies/tokens, achieved mix share, and an
+    // order-independent checksum over the epoch-expanded shuffle keys
+    // (the Shards manifest discipline) — pinning stream content without
+    // shipping the stream. One groupBy on sources; all else narrow.
+    "corpus_mix_schedule" -> Q(
+      (s, dir) => {
+        import graft.ext.Shards.hexVal
+        val rates = mixPlanFrame(s, dir).select("source", "rate_ppm")
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.wsTokenCount(col("text")).cast("long").as("toks"))
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#mix42"))))
+          .withColumn("uval", (1 to 6).map { i =>
+            hexVal(col("h"), i) * lit(math.pow(16, 6 - i).toLong)
+          }.reduce(_ + _))
+          .withColumn("u", expr("uval * 1000000 DIV 16777216"))
+          .withColumn("copies",
+            expr("rate_ppm DIV 1000000 + CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
+          .filter(col("copies") > 0)
+        val stream = docs
+          .select(col("source"), col("doc_id"), col("toks"),
+            explode(expr("sequence(0, copies - 1)")).as("epoch"))
+          .withColumn("k", md5(concat(lit("#ord42:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))))
+        val perSource = stream.groupBy("source").agg(
+          countDistinct("doc_id").as("emitted_docs"),
+          count(lit(1)).as("emitted_copies"),
+          coalesce(sum("toks"), lit(0L)).as("emitted_tokens"),
+          sum(hexVal(col("k"), 1) * 4096 + hexVal(col("k"), 2) * 256
+            + hexVal(col("k"), 3) * 16 + hexVal(col("k"), 4)).as("checksum16"))
+        val tot = perSource.agg(
+          coalesce(sum("emitted_tokens"), lit(0L)).as("tot_emitted"))
+        perSource.crossJoin(broadcast(tot))
+          .withColumn("achieved_ppm",
+            expr("CAST(CAST(emitted_tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV greatest(tot_emitted, 1) AS BIGINT)"))
+          .select("source", "emitted_docs", "emitted_copies",
+            "emitted_tokens", "achieved_ppm", "checksum16")
+          .orderBy("source")
+      },
+      Some(s"""WITH $mixPlanCtes,
+              |docs AS (
+              |  SELECT d.doc_id, d.source,
+              |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS toks,
+              |    p.rate_ppm,
+              |    md5(CAST(d.doc_id AS VARCHAR) || '#mix42') AS h
+              |  FROM documents d JOIN plan p USING (source)),
+              |uu AS (
+              |  SELECT doc_id, source, toks, rate_ppm,
+              |    ((${hexPrefixSql("h", 6)}) * 1000000) // 16777216 AS u
+              |  FROM docs),
+              |cp AS (
+              |  SELECT doc_id, source, toks,
+              |    rate_ppm // 1000000
+              |      + CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+              |  FROM uu),
+              |stream AS (
+              |  SELECT source, doc_id, toks, unnest(range(copies)) AS epoch
+              |  FROM cp WHERE copies > 0),
+              |keyed AS (
+              |  SELECT source, doc_id, toks,
+              |    md5('#ord42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k
+              |  FROM stream),
+              |per AS (
+              |  SELECT source,
+              |    count(DISTINCT doc_id) AS emitted_docs,
+              |    CAST(count(*) AS BIGINT) AS emitted_copies,
+              |    CAST(coalesce(sum(toks), 0) AS BIGINT) AS emitted_tokens,
+              |    CAST(sum((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 4096
+              |      + (instr('0123456789abcdef', substring(k, 2, 1)) - 1) * 256
+              |      + (instr('0123456789abcdef', substring(k, 3, 1)) - 1) * 16
+              |      + (instr('0123456789abcdef', substring(k, 4, 1)) - 1)) AS BIGINT) AS checksum16
+              |  FROM keyed GROUP BY source),
+              |tt AS (SELECT CAST(coalesce(sum(emitted_tokens), 0) AS BIGINT) AS tot_emitted FROM per)
+              |SELECT source, emitted_docs, emitted_copies, emitted_tokens,
+              |  CAST(CAST(emitted_tokens AS HUGEINT) * 1000000 // greatest(tot_emitted, 1) AS BIGINT)
+              |    AS achieved_ppm,
+              |  checksum16
+              |FROM per CROSS JOIN tt ORDER BY source""".stripMargin),
+      "mixture execution: epoch-replicated rate-thresholded stream with per-source realized-mix audit"),
+
+    // The FOURTH calibration knob: sequence-length budget. Concat-and-
+    // chunk packing (pack_sequences) wastes nothing inside the stream,
+    // but its budget choice trades document FRAGMENTATION (docs split
+    // across sequence boundaries — attention never sees them whole)
+    // against per-language tail waste and sequence count. This sweep
+    // reads all three curves from ONE prefix-sum pass (the same
+    // [[packCumStart]] scaffold pack_sequences runs): for each budget L,
+    // a doc fragments iff its [cum_start, cum_start+toks) span crosses a
+    // multiple of L — pure per-row integer arithmetic on the already-
+    // computed cumsum, and the per-language bin/waste totals are a
+    // langs-sized rollup. All exact integers; DuckDB replays the same
+    // arithmetic over its own window cumsum.
+    "pack_budget_sweep" -> Q(
+      (s, dir) => {
+        val budgets = array(lit(512L), lit(2048L), lit(8192L))
+        val cum = packCumStart(s, dir).localCheckpoint()
+        val frag = cum
+          .select(explode(budgets).as("budget"), col("cum_start"), col("toks"))
+          .groupBy("budget")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("toks") > 0 &&
+              expr("cum_start DIV budget") =!= expr("(cum_start + toks - 1) DIV budget"),
+              1L).otherwise(0L)).as("n_frag_docs"))
+        val langTot = cum.groupBy("lang").agg(sum("toks").as("lang_tokens"))
+        val bins = langTot
+          .select(explode(budgets).as("budget"), col("lang_tokens"))
+          .groupBy("budget")
+          .agg(sum(expr("(lang_tokens + budget - 1) DIV budget")).as("n_bins"),
+            sum("lang_tokens").as("total_tokens"))
+        frag.join(bins, Seq("budget"))
+          .withColumn("waste_tokens", expr("n_bins * budget - total_tokens"))
+          .withColumn("frag_ppm",
+            expr("n_frag_docs * 1000000 DIV greatest(n_docs, 1)"))
+          .withColumn("waste_ppm",
+            expr("waste_tokens * 1000000 DIV greatest(n_bins * budget, 1)"))
+          .select("budget", "n_docs", "n_frag_docs", "frag_ppm",
+            "n_bins", "total_tokens", "waste_tokens", "waste_ppm")
+          .orderBy("budget")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             |  FROM documents),
+             |cum AS (
+             |  SELECT lang, toks,
+             |    CAST(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_start
+             |  FROM toks),
+             |b AS (SELECT CAST(budget AS BIGINT) AS budget
+             |      FROM (VALUES (512), (2048), (8192)) v(budget)),
+             |frag AS (
+             |  SELECT b.budget, count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN toks > 0
+             |      AND cum_start // b.budget <> (cum_start + toks - 1) // b.budget
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_frag_docs
+             |  FROM cum CROSS JOIN b GROUP BY 1),
+             |lt AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS lang_tokens FROM cum GROUP BY 1),
+             |bins AS (
+             |  SELECT b.budget,
+             |    CAST(sum((lang_tokens + b.budget - 1) // b.budget) AS BIGINT) AS n_bins,
+             |    CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+             |  FROM lt CROSS JOIN b GROUP BY 1)
+             |SELECT f.budget, f.n_docs, f.n_frag_docs,
+             |  (f.n_frag_docs * 1000000) // greatest(f.n_docs, 1) AS frag_ppm,
+             |  bi.n_bins, bi.total_tokens,
+             |  bi.n_bins * f.budget - bi.total_tokens AS waste_tokens,
+             |  ((bi.n_bins * f.budget - bi.total_tokens) * 1000000)
+             |    // greatest(bi.n_bins * f.budget, 1) AS waste_ppm
+             |FROM frag f JOIN bins bi USING (budget)
+             |ORDER BY 1""".stripMargin),
+      "packing-budget sweep: fragmentation, sequence count, and tail waste per seq-len budget"),
+
+    // Global contiguous row numbering done the scale-safe way (sort-then-
+    // offset via zipWithIndex, Indexing scaladoc) — vs the naive
+    // Window.orderBy form that sorts the world in ONE task. The training-
+    // data use case: assigning stable sample ids to a packed corpus.
+    "global_index" -> Q(
+      (s, dir) => Indexing.globalIndex(
+          table(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "scalable global row numbering (range shuffle + partition-offset zipWithIndex)"),
+
+    "sim_topk_lsh" -> Q(
+      (s, dir) => Similarity.lshTopK(table(s, dir, "embeddings"),
+        persistCand = OracleAux.persist(dir, "sim_topk_lsh_cand")),
+      Some(annRescoreSql("sim_topk_lsh_cand")),
+      "signed-random-projection LSH approximate top-k (4 tables × 8 bits)"),
+
+    // All-pairs k-NN graph — every vector gets its top-5 neighbors (the
+    // sim_topk_* family answers a small probe set; graph-based curation
+    // needs the whole corpus as queries). IVF-blocked: nprobe=2 cells per
+    // vector at the √n nlist sizing law, so per-vector candidate fan-out
+    // is ~2√n, never n; exact-cosine re-score + bounded-heap TopKPerGroup
+    // (plan comments in Similarity.knnGraph). The persisted candidate
+    // table is the oracle seam — DuckDB re-scores and ranks the SAME
+    // pairs, so the compare is exact despite ANN's approximate recall.
+    "sim_knn_graph" -> Q(
+      (s, dir) => Similarity.knnGraph(table(s, dir, "embeddings"),
+        nlist = ivfNlist(s, dir),
+        persistCand = OracleAux.persist(dir, "sim_knn_graph_cand")),
+      Some(annRescoreSql("sim_knn_graph_cand")),
+      "all-pairs k-NN graph via IVF blocking: per-vector top-5, bounded per-group heaps"),
+
+    // Per-DIMENSION embedding health audit — the pre-flight read before
+    // building PQ codebooks or IVF cells: a dead dimension (every value
+    // quantizes to 0) wastes a PQ sub-quantizer, an exploding one
+    // dominates every distance. Per dim over the whole table: value
+    // count, zero count, exact micro-unit min/max/sum/sum-of-squares;
+    // mean and variance are ONE shared float expression over those exact
+    // integers (the embed_drift discipline — components fixed-pointed
+    // BEFORE any sum, n·Σq² − (Σq)² in DECIMAL(38,0)/HUGEINT). Plan: one
+    // posexplode + one dim-keyed combinable aggregation — linear scan,
+    // |dims| output rows, no joins.
+    "embed_dim_audit" -> Q(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vals"),
+          sum(when(col("qv") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min("qv").as("min6"), max("qv").as("max6"),
+          sum("qv").as("s"),
+          sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("q2"))
+        .withColumn("varnum",
+          expr("CAST(n_vals AS DECIMAL(38,0)) * q2 - CAST(s AS DECIMAL(38,0)) * s"))
+        .select(col("dim"), col("n_vals"), col("n_zero"),
+          col("min6"), col("max6"),
+          expr(dimMean).as("mean"), expr(dimVar).as("variance"),
+          when(col("n_zero") === col("n_vals"), 1).otherwise(0).as("dead"))
+        .orderBy("dim"),
+      Some(s"""WITH comp AS (
+              |  SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+              |    unnest(CAST(embedding AS DOUBLE[])) AS v
+              |  FROM embeddings),
+              |q AS (SELECT CAST(dim AS INTEGER) AS dim,
+              |        CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS qv FROM comp),
+              |a AS (
+              |  SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+              |    CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              |    min(qv) AS min6, max(qv) AS max6,
+              |    CAST(sum(qv) AS BIGINT) AS s,
+              |    sum(CAST(qv AS HUGEINT) * qv) AS q2
+              |  FROM q GROUP BY dim),
+              |b AS (
+              |  SELECT *, CAST(n_vals AS HUGEINT) * q2 - CAST(s AS HUGEINT) * s AS varnum
+              |  FROM a)
+              |SELECT dim, n_vals, n_zero, min6, max6, $dimMean AS mean,
+              |  $dimVar AS variance,
+              |  CAST(CASE WHEN n_zero = n_vals THEN 1 ELSE 0 END AS INTEGER) AS dead
+              |FROM b ORDER BY dim""".stripMargin),
+      "per-dimension embedding audit: exact micro-unit moments, dead/exploding-dim flags"),
+
+    // Embedding drift between two corpus snapshots — per-label centroid
+    // cosine + L2 shift, the monitor a pipeline reads after a re-embed or
+    // corpus refresh (did any label's region move?). vec_id parity stands
+    // in for the before/after snapshot key (in production that is a
+    // partition column). Exactness discipline: components are fixed-
+    // pointed to micro-units BEFORE any sum, so the per-(label,dim)
+    // snapshot sums are exact integers in both engines and the ONLY float
+    // math is one final expression over those integers, shared verbatim
+    // with the twin (driftCos/driftShift). Pair products ride
+    // DECIMAL(38,0)/HUGEINT — sa·sb overflows int64 once a snapshot holds
+    // ~10⁴ unit vectors — and ANSI mode makes a 38-digit overflow loud.
+    // Shape: one posexplode (rows × dims, map-side combinable partial
+    // aggregation), one broadcast of the per-label count table, two hash
+    // aggregations — no window, no pairwise join; linear at 100 TB.
+
+    "embed_drift" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings")
+        val counts = base.groupBy("label").agg(
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        val byDim = base
+          .select(col("label"), (col("vec_id") % 2).cast("int").as("snap"),
+            posexplode(col("embedding")).as(Seq("idx", "v")))
+          .withColumn("qv",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+          .groupBy("label", "idx")
+          .agg(sum(when(col("snap") === 0, col("qv")).otherwise(0L)).as("sa"),
+            sum(when(col("snap") === 1, col("qv")).otherwise(0L)).as("sb"))
+        byDim.join(broadcast(counts), "label")
+          .groupBy("label")
+          .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+            sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+            sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("saa"),
+            sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("sbb"),
+            sum(expr("(CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a)" +
+              " * (CAST(sa AS DECIMAL(38,0)) * n_b - CAST(sb AS DECIMAL(38,0)) * n_a)"))
+              .as("d2"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            expr(driftCos).as("cos"), expr(driftShift).as("shift"))
+          .orderBy("label")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT label, vec_id % 2 AS snap, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings),
+              |counts AS (
+              |  SELECT label,
+              |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              |  FROM base GROUP BY 1),
+              |comp AS (
+              |  SELECT label, snap, unnest(emb) AS v,
+              |    generate_subscripts(emb, 1) AS idx
+              |  FROM base),
+              |bydim AS (
+              |  SELECT label, idx,
+              |    CAST(sum(CASE WHEN snap = 0
+              |      THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+              |    CAST(sum(CASE WHEN snap = 1
+              |      THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb
+              |  FROM comp GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT b.label, max(n_a) AS n_a, max(n_b) AS n_b,
+              |    sum(CAST(sa AS HUGEINT) * sb) AS dot,
+              |    sum(CAST(sa AS HUGEINT) * sa) AS saa,
+              |    sum(CAST(sb AS HUGEINT) * sb) AS sbb,
+              |    sum((CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)
+              |        * (CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)) AS d2
+              |  FROM bydim b JOIN counts c USING (label) GROUP BY b.label)
+              |SELECT label, n_a, n_b, $driftCos AS cos, $driftShift AS shift
+              |FROM agg ORDER BY label""".stripMargin),
+      "per-label centroid drift between embedding snapshots: exact integer sums, one shared float expression"),
+
+    // Embedding-space outlier screen — the 5 most ATYPICAL vectors per
+    // label by cosine to their own label's centroid (mislabeled/noisy
+    // sample pruning before training; SemDeDup's complement: instead of
+    // dropping what is too close, surface what is too far). Cosine is
+    // scale-invariant, so the centroid never needs the /n division: the
+    // per-(label,dim) micro-unit component SUMS serve as the centroid
+    // vector, keeping every aggregate an exact DECIMAL(38,0)/HUGEINT
+    // integer — the only float math is one shared final expression
+    // (outlierCos). Zero vectors (cos undefined) are filtered, not
+    // NULL-ranked: Spark orders NULLS FIRST asc, DuckDB NULLS LAST — the
+    // one place the engines' defaults silently disagree. Shape: one
+    // posexplode, per-(label,dim) centroid table broadcast back (labels ×
+    // dims rows — metadata-sized at any corpus scale), per-vector
+    // combinable sums, bounded-heap TopKPerGroup — no window, no join on
+    // data-sized sides; linear at 100 TB.
+    "embed_outliers" -> Q(
+      (s, dir) => {
+        val comp = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("idx", "v")))
+          .withColumn("qv",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+        val cent = comp.groupBy("label", "idx").agg(sum("qv").as("sc"))
+        val cnorm = cent.groupBy("label")
+          .agg(sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("scc"))
+        val scored = comp.join(broadcast(cent), Seq("label", "idx"))
+          .groupBy("vec_id", "label")
+          .agg(sum(expr("CAST(qv AS DECIMAL(38,0)) * sc")).as("dot"),
+            sum(expr("CAST(qv AS DECIMAL(38,0)) * qv")).as("qq"))
+          .join(broadcast(cnorm), "label")
+          .withColumn("cos", expr(outlierCos))
+          .filter(col("cos").isNotNull)
+        graft.plans.TopKPerGroup(scored.select("label", "vec_id", "cos"),
+            5, Seq("label"), Seq(("cos", true), ("vec_id", true)), "rk")
+          .select(col("label"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("label", "rk")
+      },
+      Some(s"""WITH comp AS (
+              |  SELECT vec_id, label, idx,
+              |    CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS qv
+              |  FROM (SELECT vec_id, label,
+              |          unnest(CAST(embedding AS DOUBLE[])) AS v,
+              |          generate_subscripts(embedding, 1) AS idx
+              |        FROM embeddings)),
+              |cent AS (
+              |  SELECT label, idx, CAST(sum(qv) AS BIGINT) AS sc
+              |  FROM comp GROUP BY 1, 2),
+              |cnorm AS (
+              |  SELECT label, sum(CAST(sc AS HUGEINT) * sc) AS scc
+              |  FROM cent GROUP BY 1),
+              |pv AS (
+              |  SELECT c.vec_id, c.label,
+              |    sum(CAST(qv AS HUGEINT) * sc) AS dot,
+              |    sum(CAST(qv AS HUGEINT) * qv) AS qq
+              |  FROM comp c JOIN cent USING (label, idx) GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT vec_id, label, $outlierCos AS cos
+              |  FROM pv JOIN cnorm USING (label)),
+              |ranked AS (
+              |  SELECT label, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY label
+              |      ORDER BY cos ASC, vec_id) AS INTEGER) AS rk
+              |  FROM scored WHERE cos IS NOT NULL)
+              |SELECT label, rk, vec_id, cos FROM ranked
+              |WHERE rk <= 5 ORDER BY label, rk""".stripMargin),
+      "per-label embedding outliers: bottom-5 by exact centroid cosine, fixed-point integer sums"),
+
+    // Typed Aggregator (custom agg kernel): per-label embedding centroid.
+    // Elements formatted %.6f so the cross-engine compare is string-exact.
+    "agg_vector_mean" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ds = table(s, dir, "embeddings")
+          .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+        val agg = new graft.functions.VectorMean.VectorMeanAggregator(64)
+        ds.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn.name("centroid"))
+          .toDF("label", "centroid")
+          .select(col("label"),
+            concat_ws(",", transform(col("centroid"),
+              x => format_string("%.6f", x))).as("centroid_str"))
+          .orderBy("label")
+      },
+      Some("""SELECT label,
+             |  string_agg(printf('%.6f', m), ',' ORDER BY idx) AS centroid_str
+             |FROM (
+             |  SELECT label, idx, avg(v) AS m FROM (
+             |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |           generate_subscripts(embedding, 1) AS idx
+             |    FROM embeddings)
+             |  GROUP BY label, idx)
+             |GROUP BY label ORDER BY label""".stripMargin),
+      "custom typed Aggregator: element-wise vector mean (k-means centroid step)"),
+
+    // Registered k-means loop: 2 Lloyd iterations from the deterministic
+    // seed centroids (assign-L2 → per-cluster VectorMean), each iteration
+    // one broadcast + one groupBy shuffle. Iteration-1 centroids are
+    // rounded to 6 dp IN BOTH ENGINES so the iteration-2 assignment runs
+    // on bit-identical inputs (unrounded means differ in the last ulp
+    // across summation orders, which could flip a near-tie assignment).
+    // Output formatted %.6f like agg_vector_mean so the compare is
+    // string-exact.
+    "kmeans_refine" -> Q(
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        def round6(c: org.apache.spark.sql.DataFrame) =
+          c.select(col("c_id"), transform(col("c_emb"), x => round(x, 6)).as("c_emb"))
+        val c1 = round6(Similarity.kmeansIter(e, Similarity.seedCentroids(e, 8)))
+        val c2 = Similarity.kmeansIter(e, c1)
+        c2.select(col("c_id"),
+            concat_ws(",", transform(col("c_emb"),
+              x => format_string("%.6f", x))).as("centroid_str"))
+          .orderBy("c_id")
+      },
+      // the oracle ranks on the SAME dot-identity distance Spark uses
+      // (|v|²+|c|²−2v·c), not list_distance's direct subtraction — the two
+      // formulas drift by cancellation ulps, which could flip a
+      // near-equidistant vector's argmin between engines
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8),
+             |a1 AS (SELECT vec_id, emb, c_id,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY list_dot_product(emb, emb) + list_dot_product(c_emb, c_emb)
+             |                    - 2 * list_dot_product(emb, c_emb), c_id) AS rk
+             |       FROM e CROSS JOIN c0),
+             |m1 AS (SELECT c_id, idx, round(avg(v), 6) AS cv
+             |       FROM (SELECT c_id, unnest(emb) AS v,
+             |                    generate_subscripts(emb, 1) AS idx
+             |             FROM a1 WHERE rk = 1)
+             |       GROUP BY c_id, idx),
+             |c1 AS (SELECT c_id, list(cv ORDER BY idx) AS c_emb FROM m1 GROUP BY c_id),
+             |a2 AS (SELECT vec_id, emb, c_id,
+             |         row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY list_dot_product(emb, emb) + list_dot_product(c_emb, c_emb)
+             |                    - 2 * list_dot_product(emb, c_emb), c_id) AS rk
+             |       FROM e CROSS JOIN c1),
+             |m2 AS (SELECT c_id, idx, avg(v) AS cv
+             |       FROM (SELECT c_id, unnest(emb) AS v,
+             |                    generate_subscripts(emb, 1) AS idx
+             |             FROM a2 WHERE rk = 1)
+             |       GROUP BY c_id, idx)
+             |SELECT c_id, string_agg(printf('%.6f', cv), ',' ORDER BY idx) AS centroid_str
+             |FROM m2 GROUP BY c_id ORDER BY c_id""".stripMargin),
+      "2-iteration k-means refinement (assign-L2 + typed VectorMean centroid update)"),
+
+    // CDC upsert: the latest orders row per customer (LWW on
+    // (o_orderdate, o_orderkey) DESC) updates that customer's balance;
+    // untouched customers keep their base row. Rank-1 compaction + one
+    // keyed full-outer merge — see Upsert scaladoc for the 100 TB shape.
+    "merge_upsert" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val upd = table(s, dir, "orders").select(
+          col("o_custkey").as("c_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderkey"))
+        Upsert.merge(base, upd, Seq("c_custkey"),
+            Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+          .select(col("c_custkey"),
+            round(coalesce(col("o_totalprice"), col("c_acctbal")), 2).as("balance"),
+            when(col("o_orderkey").isNotNull, lit("update"))
+              .otherwise(lit("base")).as("src"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH latest AS (
+             |  SELECT c_custkey, o_totalprice, o_orderkey FROM (
+             |    SELECT o_custkey AS c_custkey, o_totalprice, o_orderkey,
+             |      row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT c_custkey,
+             |  round(coalesce(l.o_totalprice, c.c_acctbal), 2) AS balance,
+             |  CASE WHEN l.o_orderkey IS NOT NULL THEN 'update' ELSE 'base' END AS src
+             |FROM customer c FULL JOIN latest l USING (c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "CDC last-write-wins upsert: rank-1 log compaction + keyed outer merge")
+  )
+}

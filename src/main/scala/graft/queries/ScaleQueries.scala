@@ -399,6 +399,37 @@ object ScaleQueries {
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
       "proximity phrase search (ordered, span ≤ k−1+slop) from the positional index"),
 
+    // UNORDERED proximity from the same positional component
+    // ([[graft.ext.TextStats.phraseFromIndexUnordered]]): the three terms
+    // anywhere inside a 4-token span, ANY order — the transposition-
+    // tolerant slop semantics Lucene-class engines converge to, and the
+    // natural companion of the ordered form above (same window bound
+    // k−1+2, so ordered hits ⊆ these hits doc-for-doc — scalacheck-pinned
+    // in Bm25IndexSpec). Same bucket-pruned fetch and chained
+    // shuffle_hash equi-joins on doc_id; the running greatest−least ≤ w
+    // check after each join is pure monotone pruning. DuckDB recomputes
+    // the tuple count from text with the same [a-z]+ analyzer.
+    "search_phrase_unordered" -> Q(
+      (s, dir) => {
+        val p = invertedIndexPath(s, dir)
+        TextStats.phraseFromIndexUnordered(
+          s.read.schema(TextStats.PositionSchema).parquet(s"$p/idx/positions"),
+          Seq("hash", "join", "scan"), window = 4)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t,
+             |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''), 1) AS pos
+             |  FROM documents)
+             |SELECT a.doc_id, count(*) AS n_hits
+             |FROM tk a
+             |JOIN tk b ON a.doc_id = b.doc_id
+             |JOIN tk c ON a.doc_id = c.doc_id
+             |WHERE a.t = 'hash' AND b.t = 'join' AND c.t = 'scan'
+             |  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 4
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      "unordered proximity search (k terms within a window, any order) from the positional index"),
+
     // Equi-depth histogram WITHOUT a global sort: decile boundaries come
     // from one grouped percentile aggregate (swap in approx_percentile at
     // sketch-scale — agg_percentiles_approx proves the bound pattern),

@@ -47,7 +47,7 @@ class BenchLineSpec extends AnyFunSuite {
       outFile = "/tmp/graft_bench_artifact_r99.json",
       host = """{"load_start":9999.99,"load_end":9999.99,"mem_avail_gb":9999.99,""" +
         """"calib":{"table_counts":9999.999,"q1_pricing_summary":9999.999,"source_dsv2_scrape":9999.999},""" +
-        """"calib_vs_file":9999.99}""")
+        """"calib_vs_file":9999.99,"total_calib_norm":9999999.99}""")
     assert(line.length <= 1800,
       s"headline line is ${line.length} chars at nTrials=0 — the shrink " +
         "loop would start dropping headline queries; trim the set or names")
@@ -71,6 +71,19 @@ class BenchLineSpec extends AnyFunSuite {
         base.filterNot(committed.contains))
     val x2 = base.map(n => n -> committed(n) * 2.0)
     assert(math.abs(Bench.calibVsBaseline(x2) - 2.0) < 1e-9)
+  }
+
+  test("adaptive retries: >2x disagreement only, slowest-first, capped") {
+    // agreement within 2x → no retry; single sample → no retry
+    assert(Bench.adaptiveRetries(Map(
+      "steady" -> Seq(1.0, 1.9), "single" -> Seq(5.0))).isEmpty)
+    // the r14 shape: a 24 s outlier on a 2.8 s query fires a retry
+    assert(Bench.adaptiveRetries(Map(
+      "dedup_minhash" -> Seq(2.81, 23.99))) == Seq("dedup_minhash"))
+    // slowest-first under the cap: the expensive disagreement wins
+    val storm = (1 to 20).map(i => s"q$i" -> Seq(i.toDouble, i * 3.0)).toMap
+    val picked = Bench.adaptiveRetries(storm, cap = 3)
+    assert(picked == Seq("q20", "q19", "q18"), picked.toString)
   }
 
   test("trial arrays attach to the slowest queries first") {

@@ -148,6 +148,13 @@ class Bm25IndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(slopPlan).isDefined,
       s"no non-empty tb partition-filter list in the slop positions scan:\n$slopPlan")
+    // and the unordered serve
+    val unordPlan = TextStats.phraseFromIndexUnordered(
+        readP(s"$root/idx/positions", TextStats.PositionSchema),
+        Seq("hash", "join"), 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(unordPlan).isDefined,
+      s"no non-empty tb partition-filter list in the unordered positions scan:\n$unordPlan")
     // the pruned serve still ranks correctly
     assert(rows(serve(root, Seq("hash"), 5)) ==
       rows(TextStats.bm25(corpus, Seq("hash"), 5)))
@@ -240,6 +247,87 @@ class Bm25IndexSpec extends SparkSpec {
     // replay duplicates must not inflate tuple counts
     ingest(root, corpus.filter($"doc_id" > 3), 1L)
     assert(slopHits(root, Seq("hash", "scan"), 4) == Seq((2L, 4L)))
+  }
+
+  // scalar brute force for the UNORDERED semantics: tuples (i_0 … i_{k-1})
+  // with toks(i_j) == p(j) and max − min ≤ window (terms distinct, so the
+  // positions are distinct for free)
+  private def scalarUnordered(ts: Seq[String], p: Seq[String], w: Int): Long = {
+    val occs = p.map(t => ts.zipWithIndex.collect { case (`t`, i) => i })
+    def rec(j: Int, lo: Int, hi: Int): Long =
+      if (j == p.size) 1L
+      else occs(j).iterator
+        .filter(i => math.max(hi, i) - math.min(lo, i) <= w)
+        .map(i => rec(j + 1, math.min(lo, i), math.max(hi, i))).sum
+    rec(0, Int.MaxValue, Int.MinValue)
+  }
+
+  private def unorderedHits(root: String, p: Seq[String], w: Int): Seq[(Long, Long)] =
+    TextStats.phraseFromIndexUnordered(
+        readP(s"$root/idx/positions", TextStats.PositionSchema), p, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("unordered proximity: k=2 window=1 ≡ both exact-phrase orders; ordered ⊆ unordered") {
+    val root = java.nio.file.Files.createTempDirectory("graft_b25u").toString
+    ingest(root, corpus.filter($"doc_id" <= 3), 0L)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    // w = k−1 for k=2 admits exactly the two adjacent orders
+    val both = (phrase(root, Seq("hash", "join")).collect() ++
+        phrase(root, Seq("join", "hash")).collect())
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }.toSeq.sorted
+    assert(unorderedHits(root, Seq("hash", "join"), 1) == both)
+    // ordered slop-s hits ⊆ unordered hits at window = (k−1)+s, doc-for-doc
+    for (slop <- 0 to 2) {
+      val ord = slopHits(root, Seq("hash", "join", "scan"), slop).toMap
+      val uno = unorderedHits(root, Seq("hash", "join", "scan"), 2 + slop).toMap
+      ord.foreach { case (d, n) =>
+        assert(uno.getOrElse(d, 0L) >= n,
+          s"ordered slop=$slop doc $d has $n hits but unordered has ${uno.get(d)}")
+      }
+    }
+    // widening the window only adds tuples (monotone)
+    val w4 = unorderedHits(root, Seq("hash", "scan"), 4).toMap
+    val w6 = unorderedHits(root, Seq("hash", "scan"), 6).toMap
+    w4.foreach { case (d, n) => assert(w6.getOrElse(d, 0L) >= n) }
+    // replay duplicates must not inflate tuple counts
+    val before = unorderedHits(root, Seq("hash", "join", "scan"), 4)
+    ingest(root, corpus.filter($"doc_id" > 3), 1L)
+    assert(unorderedHits(root, Seq("hash", "join", "scan"), 4) == before)
+    // distinct-terms and minimal-window preconditions are loud
+    intercept[IllegalArgumentException] {
+      TextStats.phraseFromIndexUnordered(
+        readP(s"$root/idx/positions", TextStats.PositionSchema),
+        Seq("join", "join"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.phraseFromIndexUnordered(
+        readP(s"$root/idx/positions", TextStats.PositionSchema),
+        Seq("hash", "join", "scan"), 1)
+    }
+  }
+
+  test("unordered proximity ≡ scalar brute force on random tie-heavy corpora") {
+    val gen = org.scalacheck.Gen.listOfN(12, for {
+      id <- org.scalacheck.Gen.choose(1L, 500L)
+      toks <- org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf("a", "b", "c"))
+    } yield (id, toks))
+    val queryGen = org.scalacheck.Gen.choose(2, 3).map(k =>
+      scala.util.Random.shuffle(List("a", "b", "c")).take(k))
+    (1 to 5).foreach { i =>
+      val docs = gen.sample.get.groupBy(_._1).map(_._2.head).toSeq
+      val p = queryGen.sample.get
+      val w = p.size - 1 + (i % 3)
+      val root = java.nio.file.Files.createTempDirectory(s"graft_b25u$i").toString
+      ingest(root, docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text"), 0L)
+      val want = docs.flatMap { case (id, ts) =>
+        val n = scalarUnordered(ts, p, w)
+        if (n > 0) Some((id, n)) else None
+      }.sorted
+      assert(unorderedHits(root, p, w) == want,
+        s"unordered mismatch for terms=$p w=$w over $docs")
+    }
   }
 
   test("slop phrase hits ≡ scalar brute force on random tie-heavy corpora") {

@@ -758,4 +758,93 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"the funnel is one windowed pass + one global agg, never a join:\n$plan")
   }
+
+  /** Every executed plan fired while fully running `name` — the
+    * localCheckpointed retrieval legs run as their own SQL executions, so
+    * the final plan alone can't prove what a query read; the listener
+    * sees every QueryExecution the query fires (incl. checkpoint
+    * actions). The bus can deliver one action's event through MORE THAN
+    * ONE QueryExecution object, so assertions on these plans must be
+    * multiplicity-immune (exists/forall, never exact counts). */
+  private def capturedPlans(name: String): Seq[String] = {
+    // first invocation may BUILD the standing artifacts (a one-off
+    // snapshot cost that legitimately scans the source tables); the pin
+    // is about the SERVE, so warm the artifact cache before listening
+    SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+    // keyed by QueryExecution identity: the bus can deliver one
+    // execution's event twice, and AQE can re-stringify the plan between
+    // deliveries, so text-level dedupe is not enough
+    val plans = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        plans.synchronized {
+          plans(System.identityHashCode(qe)) =
+            s"[action=$fn] " + qe.executedPlan.toString
+          ()
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // listener events post asynchronously (the bus drain API is
+    // private[spark]): poll until the captured set is stable
+    def settle(): Unit = {
+      var last = -1
+      var spins = 0
+      while (plans.synchronized(plans.size) != last && spins < 50) {
+        last = plans.synchronized(plans.size)
+        Thread.sleep(100)
+        spins += 1
+      }
+    }
+    spark.listenerManager.register(l)
+    try {
+      // the warm-up run's events may still be in the async queue when the
+      // listener registers — let them land, then drop them
+      settle()
+      plans.synchronized(plans.clear())
+      SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+      settle()
+    } finally spark.listenerManager.unregister(l)
+    plans.values.toSeq
+  }
+
+  private def scanLines(plans: Seq[String]): String =
+    plans.flatMap("Location:[^\\n]*".r.findAllIn(_)).distinct.mkString("\n")
+
+  test("search_hybrid_rrf_indexed: NO scan of the documents or embeddings source tables") {
+    val plans = capturedPlans("search_hybrid_rrf_indexed")
+    assert(plans.exists(_.contains("graft_inverted_idx")) &&
+      plans.exists(_.contains("graft_ivf_index")),
+      s"the serve must read both standing artifacts:\n${scanLines(plans)}")
+    assert(!plans.exists(_.contains("documents.parquet")),
+      s"index-served retrieval scanned the documents source:\n${scanLines(plans)}")
+    assert(!plans.exists(_.contains("embeddings.parquet")),
+      s"index-served retrieval scanned the embeddings source:\n${scanLines(plans)}")
+  }
+
+  test("search_rag_context_indexed: the only source access is the k-bounded chunk fetch") {
+    val plans = capturedPlans("search_rag_context_indexed")
+    assert(!plans.exists(_.contains("embeddings.parquet")),
+      s"index-served RAG retrieval scanned the embeddings source:\n${scanLines(plans)}")
+    // every documents access must BE the chunk stage (it computes
+    // chunk_id and joins the broadcast fused list) — a retrieval-stage
+    // text scan would show up as a documents plan with no chunk_id
+    val docPlans = plans.filter(_.contains("documents.parquet"))
+    assert(docPlans.nonEmpty, "the chunk fetch must read the retrieved docs")
+    docPlans.foreach { p =>
+      assert(p.contains("chunk_id") && p.contains("BroadcastHashJoin"),
+        s"a documents scan outside the k-bounded chunk fetch:\n$p")
+    }
+  }
+
+  test("index-served hybrid retrieval ≡ corpus-direct, bit-identically") {
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .collect().map(_.toString).toSeq
+    assert(rows("search_hybrid_rrf_indexed") == rows("search_hybrid_rrf"),
+      "index-served hybrid RRF diverged from the corpus-direct form")
+    assert(rows("search_rag_context_indexed") == rows("search_rag_context"),
+      "index-served RAG context diverged from the corpus-direct form")
+  }
 }

@@ -16,7 +16,15 @@ class RegistrySpec extends AnyFunSuite {
     "EtlQueries" -> EtlQueries.all,
     "RelationalQueries" -> RelationalQueries.all,
     "AdvancedQueries" -> AdvancedQueries.all,
-    "ExtQueries" -> ExtQueries.all,
+    // the six themed modules BEHIND ExtQueries.all, listed individually:
+    // the union would shadow a cross-submodule name collision before this
+    // spec could see it
+    "ExtTextQueries" -> ExtTextQueries.all,
+    "ExtDedupQueries" -> ExtDedupQueries.all,
+    "ExtSimilarityQueries" -> ExtSimilarityQueries.all,
+    "ExtEventsQueries" -> ExtEventsQueries.all,
+    "ExtAnalyticsQueries" -> ExtAnalyticsQueries.all,
+    "ExtMultimodalQueries" -> ExtMultimodalQueries.all,
     "TpchExtraQueries" -> TpchExtraQueries.all,
     "ScaleQueries" -> ScaleQueries.all,
     "CurationQueries" -> CurationQueries.all,
@@ -76,13 +84,15 @@ class RegistrySpec extends AnyFunSuite {
     // +search_bm25_indexed → 247; +search_phrase_indexed → 248;
     // +search_phrase_slop, +quality_sgd_hashed → 250;
     // +corpus_build_incremental → 251;
-    // +quality_sgd_eval_hashed → 252):
+    // +quality_sgd_eval_hashed → 252;
+    // +search_phrase_unordered → 253;
+    // +search_hybrid_rrf_indexed, +search_rag_context_indexed → 255):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 252 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 255 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")
