@@ -37,14 +37,47 @@ object Artifacts {
     * nothing and removes the cross-process race entirely. */
   private val procTag: String = java.lang.ProcessHandle.current().pid().toString
 
+  /** Every path this process handed out, deleted at JVM exit: per-PID
+    * paths fix the cross-process race but would otherwise LEAK a full
+    * artifact set per JVM into /tmp (bench + verify + probe legs each
+    * being fresh JVMs, a round would stack many copies until the disk
+    * fills). Nothing reads these paths after the owning JVM exits — the
+    * DuckDB oracle side-channel lives in OracleAux, not here. */
+  private val issued = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    issued.keys.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      scala.util.Try(rm(new java.io.File(p)))
+    }))
+
   /** The digest-keyed, process-unique path for `prefix` over `dir` — no
-    * caching, for callers that manage their own build lifecycle. */
-  def path(prefix: String, dir: String): String =
-    s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}-p$procTag"
+    * caching, for callers that manage their own build lifecycle.
+    * Registered for exit-time deletion like every issued path. */
+  def path(prefix: String, dir: String): String = {
+    val p =
+      s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}-p$procTag"
+    issued.putIfAbsent(p, ())
+    p
+  }
 
   /** Path for `prefix` over `dir`; `build(path)` runs exactly once per
     * (prefix, dir) per process — even under concurrent first callers. */
   def cached(prefix: String, dir: String)(build: String => Unit): String =
     cache.getOrElseUpdate((prefix, dir),
       new Build(() => { val p = path(prefix, dir); build(p); p })).value
+
+  /** A fresh per-invocation scratch dir, registered for exit-time
+    * deletion like every issued path — the replacement for bare
+    * `Files.createTempDirectory` in registered queries (each bench trial
+    * of an uncached query would otherwise leak its dir into /tmp
+    * forever). */
+  def scratch(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    issued.putIfAbsent(p, ())
+    p
+  }
 }

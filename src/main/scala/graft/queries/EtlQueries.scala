@@ -139,8 +139,7 @@ object EtlQueries {
     // exact parse), so the oracle is the same SQL as etl_pipeline.
     "etl_csv_roundtrip" -> Q(
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_csv")
-          .resolve("out").toString
+        val out = Artifacts.scratch("graft_csv") + "/out"
         CsvSink(out).write(Transform.transform(RawSource.syntheticRaw(s, dir)))
         val schema = StructType(StructField("p_partkey", LongType) +: Schemas.clean.fields)
         s.read.option("header", "true").schema(schema).csv(out).orderBy("p_partkey")
@@ -154,8 +153,7 @@ object EtlQueries {
     // write → schema'd read. Doubles survive via shortest-repr.
     "etl_json_roundtrip" -> Q(
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_json")
-          .resolve("out").toString
+        val out = Artifacts.scratch("graft_json") + "/out"
         Transform.transform(RawSource.syntheticRaw(s, dir))
           .write.mode("overwrite").json(out)
         val schema = StructType(StructField("p_partkey", LongType) +: Schemas.clean.fields)
@@ -172,8 +170,7 @@ object EtlQueries {
     // IEEE754 natively, no text repr involved.
     "etl_orc_roundtrip" -> Q(
       (s, dir) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_orc")
-          .resolve("out").toString
+        val out = Artifacts.scratch("graft_orc") + "/out"
         Transform.transform(RawSource.syntheticRaw(s, dir))
           .write.mode("overwrite").orc(out)
         s.read.orc(out).orderBy("p_partkey")

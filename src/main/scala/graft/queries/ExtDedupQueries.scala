@@ -171,8 +171,7 @@ object ExtDedupQueries {
     // (CompactionMatrixSpec) instead.
     "dedup_cascade_incremental" -> Q(
       (s, dir) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_cascinc").toString
+        val root = Artifacts.scratch("graft_cascinc")
         val corpus = Dedup.planted(table(s, dir, "documents")).localCheckpoint()
         val emb = table(s, dir, "embeddings")
         val cents = graft.ext.Similarity.seedCentroids(emb, ivfNlist(s, dir))
