@@ -29,15 +29,20 @@ object Bench {
     // scale-slope diff (seen once: a dying parent process took the
     // SparkContext down mid-leg and the tail read as 4 ms/query)
     val failures = scala.collection.mutable.Map.empty[String, String]
-    def runOnce(name: String, dir: String): Boolean =
+    // failKey separates an adaptive RETRY's crash from the query's own
+    // sweep status: a failed retry on a twice-green query must read as
+    // "<name>:retry" in failure_detail, never as a gate failure on a
+    // query whose errors entry says it passed (ADVICE r15)
+    def runOnce(name: String, dir: String, failKey: String = ""): Boolean =
       try {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         true
       } catch {
         case t: Throwable =>
-          failures(name) = (t.getClass.getSimpleName + ": " +
-            String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n]", " ").take(160))
+          failures(if (failKey.isEmpty) name else failKey) =
+            (t.getClass.getSimpleName + ": " +
+              String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n]", " ").take(160))
           false
       }
 
@@ -118,18 +123,67 @@ object Bench {
         name -> (t, ok)
       }.toMap
     }
+    // second scale point (default: the 0.1× leg at sf0.01) IN the
+    // artifact — a per-query scale slope that cross-round diffs can
+    // machine-check, instead of scale evidence living only in PERF.md
+    // prose. One trial per query: the slope signal is the ratio's order
+    // of magnitude, not a ±10% timing. Runs BETWEEN the primary sweeps
+    // and their adaptive retries, so a retry is decorrelated from the
+    // contention window that flagged it (ADVICE r15: a back-to-back
+    // third sample can land inside the same host storm as sweep 2).
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    val results2 =
+      if (new java.io.File(sfDir2).isDirectory) {
+        if (only.isEmpty) graft.queries.Warmup.artifacts(spark, sfDir2)
+        // under a name filter there is no artifact pre-build, so a single
+        // run of an artifact-backed query would time build + query and
+        // invert the exact speedup a targeted probe is measuring; two
+        // runs + min absorb the build like the main leg's trials do
+        val legTrials = if (only.isEmpty) 1 else 2
+        val base = names.map { name =>
+          val runs = (1 to legTrials).map { _ =>
+            val t0 = System.nanoTime()
+            val ok = runOnce(name, sfDir2)
+            val t = (System.nanoTime() - t0) / 1e9
+            releaseAfter(name)
+            (t, ok)
+          }
+          (name, runs)
+        }
+        // the filtered leg's two trials get the SAME >2x-disagreement
+        // arbitration as the primary sweeps (ADVICE r15: targeted-probe
+        // scale ratios were exposed to the exact phantom-outlier shape
+        // directive r14 #3 fixed) — one extra sample, OK-only, min-folded
+        val retry2: Map[String, (Double, Boolean)] =
+          if (legTrials < 2) Map.empty
+          else adaptiveRetries(base.map { case (n, rs) => n -> rs.map(_._1) }.toMap)
+            .map { n =>
+              val t0 = System.nanoTime()
+              val ok = runOnce(n, sfDir2, n + ":retry_sf2")
+              val t = (System.nanoTime() - t0) / 1e9
+              releaseAfter(n)
+              n -> (t, ok)
+            }.toMap
+        base.map { case (name, runs) =>
+          val extra = retry2.get(name).collect { case (t, true) => t }
+          (name, (runs.map(_._1) ++ extra).min, runs.forall(_._2))
+        }
+      } else Seq.empty
+
     // Adaptive third trial (judge directive r14 #3): when a query's two
     // sweep samples disagree by >2x, BOTH may be sitting in the same
     // contention window (r14: a 24 s outlier trial on a 2.8 s query) —
     // one more spaced sample makes the min trustworthy. Fires only on
     // outliers, capped at 12 queries per run (slowest-first — that's
     // where a phantom reading costs the most) so a host storm can't turn
-    // the tail into a third full sweep.
+    // the tail into a third full sweep. Deliberately scheduled AFTER the
+    // sf2 leg (minutes of unrelated work), so the retry sample cannot
+    // share the contention window that produced the disagreement.
     val adaptive: Map[String, (Double, Boolean)] =
       adaptiveRetries(names.map(n => n -> sweeps.map(_(n)._1)).toMap)
         .map { n =>
           val t0 = System.nanoTime()
-          val ok = runOnce(n, sfDir)
+          val ok = runOnce(n, sfDir, n + ":retry")
           val t = (System.nanoTime() - t0) / 1e9
           releaseAfter(n)
           n -> (t, ok)
@@ -138,7 +192,8 @@ object Bench {
     // flag a query that passed both full sweeps as errored nor let the
     // crashed run's near-zero wall time deflate the min — only an OK
     // retry contributes its sample (the failure itself stays visible in
-    // failure_detail via runOnce's capture)
+    // failure_detail under "<name>:retry", distinct from the query's own
+    // sweep status)
     val results = names.map { name =>
       val sweepRuns = sweeps.map(_(name))
       val retryOk = adaptive.get(name).collect { case (t, true) => t }
@@ -156,32 +211,6 @@ object Bench {
     // a crashed query must be visible, not just a suspiciously fast time
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-
-    // second scale point (default: the 0.1× leg at sf0.01) IN the
-    // artifact — a per-query scale slope that cross-round diffs can
-    // machine-check, instead of scale evidence living only in PERF.md
-    // prose. One trial per query: the slope signal is the ratio's order
-    // of magnitude, not a ±10% timing.
-    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
-    val results2 =
-      if (new java.io.File(sfDir2).isDirectory) {
-        if (only.isEmpty) graft.queries.Warmup.artifacts(spark, sfDir2)
-        // under a name filter there is no artifact pre-build, so a single
-        // run of an artifact-backed query would time build + query and
-        // invert the exact speedup a targeted probe is measuring; two
-        // runs + min absorb the build like the main leg's trials do
-        val legTrials = if (only.isEmpty) 1 else 2
-        names.map { name =>
-          val runs = (1 to legTrials).map { _ =>
-            val t0 = System.nanoTime()
-            val ok = runOnce(name, sfDir2)
-            val t = (System.nanoTime() - t0) / 1e9
-            releaseAfter(name)
-            (t, ok)
-          }
-          (name, runs.map(_._1).min, runs.forall(_._2))
-        }
-      } else Seq.empty
     val qs2 = results2.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total2 = results2.map(_._2).sum

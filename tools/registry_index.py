@@ -6,7 +6,7 @@ the latest Verify dump's oracle_sql.json, and PERF.md's 8x probe tables.
 COVERAGE.md stays the narrative; this file is the mechanical audit surface.
 
 Usage:
-    python3 tools/registry_index.py [verify_out_dir] [sweep_8x.json] [sweep_8x_distinct.json] > REGISTRY_INDEX.md
+    python3 tools/registry_index.py [verify_out_dir] [sweep_8x.json] [sweep_8x_distinct.json] [bench.json] [prior_bench.json] > REGISTRY_INDEX.md
 
 Default verify_out_dir: /tmp/verify_out (written by `sbt "runMain
 graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`).
@@ -21,6 +21,14 @@ sweep_8x_distinct.json (judge directive r13 #4) is the same two-leg
 artifact over the DISTINCT-docs 8x copy (tools/probe8x.py ... distinct):
 its ratio fills the `8x distinct` column, separating duplication-driven
 quadratic candidate growth from genuine super-scaling.
+
+bench.json (judge directive r15 #4) is this round's full Bench artifact
+(BENCH_FULL.json): its per-query min divided by host.calib_vs_file fills
+the `norm s` column — host-calibration-normalized seconds, the per-query
+twin of the artifact's total_calib_norm. prior_bench.json is the PRIOR
+round's committed artifact: every query whose normalized seconds moved
+>1.5x in either direction is listed in a movers section at the bottom,
+ready for one-line adjudication in PERF.md's round close.
 """
 import glob
 import json
@@ -83,20 +91,38 @@ def sweep_ratios(path):
             if q in small and q not in bad and small[q] > 0}
 
 
+def bench_norms(path):
+    """query -> host-calibration-normalized seconds (min ÷ calib_vs_file)
+    from a full Bench artifact; {} when the calibration is unusable (the
+    -1 sentinel must never fabricate normalized numbers)."""
+    if not path or not os.path.exists(path):
+        return {}
+    art = json.load(open(path))
+    calib = art.get("host", {}).get("calib_vs_file", -1.0)
+    if calib <= 0:
+        return {}
+    bad = set(art.get("errors", []))
+    return {q: t / calib for q, t in art.get("queries", {}).items() if q not in bad}
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     sweep_path = sys.argv[2] if len(sys.argv) > 2 else None
     sweep_d_path = sys.argv[3] if len(sys.argv) > 3 else None
+    bench_path = sys.argv[4] if len(sys.argv) > 4 else None
+    prior_bench_path = sys.argv[5] if len(sys.argv) > 5 else None
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     oracles = set(json.load(open(oracle_path))) if os.path.exists(oracle_path) else set()
     sites = definition_sites()
     ratios = sweep_ratios(sweep_path)
     ratios.update(latest_ratios())
     ratios_d = sweep_ratios(sweep_d_path)
+    norms = bench_norms(bench_path)
+    prior_norms = bench_norms(prior_bench_path)
     gated = {"q2_min_cost_supplier", "q11_important_stock", "q20_potential_promotion"}
     print("# REGISTRY_INDEX — machine-generated per-query audit table")
     print()
-    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out <sweep_8x.json> <sweep_8x_distinct.json> > REGISTRY_INDEX.md`")
+    print("Regenerate with: `python3 tools/registry_index.py /tmp/verify_out <sweep_8x.json> <sweep_8x_distinct.json> <bench.json> <prior_bench.json> > REGISTRY_INDEX.md`")
     print("(after a fresh `sbt \"runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out\"`).")
     print("`oracle` = DuckDB hash-compare SQL registered; `8x` = 8x-data/1x-data seconds")
     print("from the full-registry sweep artifact, overridden by PERF.md's curated")
@@ -110,9 +136,11 @@ def main():
     print("BM25 dl/avgdl consumers) are not leg-comparable on that column.")
     print()
     print(f"{len(sites)} definition sites, {len(oracles)} oracles in {oracle_path}.")
+    print("`norm s` = this round's bench min ÷ host calib_vs_file (per-query")
+    print("calibration-normalized seconds, judge directive r15 #4).")
     print()
-    print("| query | defined at | oracle | latest 8x ratio | 8x distinct |")
-    print("|---|---|---|---|---|")
+    print("| query | defined at | oracle | latest 8x ratio | 8x distinct | norm s |")
+    print("|---|---|---|---|---|---|")
     for name in sorted(sites):
         if name in gated and name not in oracles:
             oracle = "gated (partsupp)"
@@ -120,7 +148,26 @@ def main():
             oracle = "yes" if name in oracles else "rows-only"
         r = f"{ratios[name]:.2f}" if name in ratios else ""
         rd = f"{ratios_d[name]:.2f}" if name in ratios_d else ""
-        print(f"| {name} | {sites[name]} | {oracle} | {r} | {rd} |")
+        nm = f"{norms[name]:.3f}" if name in norms else ""
+        print(f"| {name} | {sites[name]} | {oracle} | {r} | {rd} | {nm} |")
+    if norms and prior_norms:
+        movers = []
+        for q in sorted(set(norms) & set(prior_norms)):
+            prev, cur = prior_norms[q], norms[q]
+            if prev > 0 and (cur > 1.5 * prev or prev > 1.5 * cur):
+                movers.append((q, prev, cur))
+        print()
+        print("## Normalized movers vs prior round (>1.5x either way)")
+        print()
+        if movers:
+            print("Each needs one line of adjudication in PERF.md's round close.")
+            print()
+            print("| query | prior norm s | this norm s | ratio |")
+            print("|---|---|---|---|")
+            for q, prev, cur in sorted(movers, key=lambda m: -m[2] / m[1]):
+                print(f"| {q} | {prev:.3f} | {cur:.3f} | ×{cur / prev:.2f} |")
+        else:
+            print("None — every shared query within ×1.5 normalized of last round.")
     missing = oracles - set(sites)
     if missing:
         print()
