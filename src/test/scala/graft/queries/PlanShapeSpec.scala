@@ -851,6 +851,44 @@ class PlanShapeSpec extends SparkSpec {
       "the exact rerank must join the broadcast candidate list")
   }
 
+  test("search_hybrid_batch: one postings scan + one corpus-wide index scan for ALL 8 queries") {
+    val plans = capturedPlans("search_hybrid_batch")
+    assert(!plans.exists(_.contains("documents.parquet")) &&
+      !plans.exists(_.contains("embeddings.parquet")),
+      s"batched serve scanned a source table:\n${scanLines(plans)}")
+    // the lexical leg: every captured execution holds AT MOST ONE
+    // postings scan (the union-bucket-pruned tf fetch feeding the
+    // checkpoint); scan count is O(1) in batch size by construction —
+    // multiplicity-immune phrasing because the listener can deliver an
+    // execution twice and AQE can re-stringify
+    // DISTINCT scan lines per execution: AQE renders initial + final
+    // plan sections in one string, so the same physical scan's text can
+    // appear twice — dedupe before counting
+    plans.foreach { p =>
+      val postingScans = "Location:[^\\n]*graft_inverted_idx[^\\n]*postings".r
+        .findAllIn(p).toSet.size
+      assert(postingScans <= 1,
+        s"a single execution scans the postings component $postingScans times:\n$p")
+    }
+    // the dense leg: per execution, at most one quant-index scan WITHOUT
+    // a pushed vec_id filter (the corpus-wide pass); the other quant scan
+    // is the 8-row query fetch, recognizable by its pushed In filter
+    plans.foreach { p =>
+      val corpusScans = p.split("\n")
+        .filter(l => l.contains("FileScan") && l.contains("graft_quant_index"))
+        .filterNot(_.contains("In(vec_id"))
+        .map(l => l.substring(l.indexOf("FileScan"))) // strip tree prefixes
+        .toSet.size
+      assert(corpusScans <= 1,
+        s"a single execution runs $corpusScans corpus-wide index scans:\n$p")
+    }
+    // per-query top-k must be the native node, not a window sort
+    assert(plans.exists(_.contains("TopKPerGroup")),
+      "batched per-query top-k must plan as the TopKPerGroup node")
+    assert(!plans.exists(_.contains("WindowExec")),
+      "no window sort in the batched serve")
+  }
+
   test("search_rag_context_indexed: the only source access is the k-bounded chunk fetch") {
     val plans = capturedPlans("search_rag_context_indexed")
     assert(!plans.exists(_.contains("embeddings.parquet")),
