@@ -17,6 +17,7 @@ object Warmup {
     ExtQueries.ivfIndexPath(s, dir)
     ExtQueries.quantIndexPath(s, dir)
     ScaleQueries.invertedIndexPath(s, dir)
+    ScaleQueries.inflatedIndexPath(s, dir)
     ExtQueries.plantedIndexPath(s, dir)
     ExtQueries.plantedChunksPath(s, dir)
     ExtQueries.simhashPairsCached(s, dir)

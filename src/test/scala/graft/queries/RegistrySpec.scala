@@ -89,13 +89,14 @@ class RegistrySpec extends AnyFunSuite {
     // +search_hybrid_rrf_indexed, +search_rag_context_indexed → 255;
     // +sim_topk_exact_pruned → 256;
     // +text_redact_multi → 257;
-    // +search_hybrid_batch → 258):
+    // +search_hybrid_batch → 258;
+    // +compact_policy → 259):
     // see COVERAGE.md tally.
     // The partsupp-gated TPC-H trio (q2/q11/q20) self-registers only when
     // the driver ships that table, so the pin allows exactly +0 or +3.
     // If this fails after an edit you did not expect to change the
     // surface, an entry was silently dropped or duplicated.
-    val expected = 258 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
+    val expected = 259 + (if (graft.queries.TpchExtraQueries.partsuppAvailable) 3 else 0)
     assert(graft.SparkEntry.registry.size == expected,
       s"registry has ${graft.SparkEntry.registry.size} queries (want $expected); " +
         "update this pin AND COVERAGE.md")
