@@ -94,7 +94,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warm-up: JIT + codegen caches, small scale
-    names.foreach { n => runOnce(n, "/root/testdata/sf0.001"); release() }
+    // warm-up failures keyed apart too: a query that crashes only at the
+    // warm-up scale must not pre-populate a bare-name failure string for
+    // a run the gate legs then report green
+    names.foreach { n => runOnce(n, "/root/testdata/sf0.001", n + ":warmup"); release() }
     // once-per-corpus derived artifacts (IVF index, edge list, pair
     // table, partitioned layout) are snapshot builds, not query work:
     // built here so trial 1 times the operator, not the build. Skipped
@@ -141,9 +144,12 @@ object Bench {
         // runs + min absorb the build like the main leg's trials do
         val legTrials = if (only.isEmpty) 1 else 2
         val base = names.map { name =>
+          // sf2-leg failures keyed "<name>:sf2" — the bare key is reserved
+          // for the primary gate leg, so a primary failure's reason can
+          // never be overwritten by (or confused with) a slope-leg crash
           val runs = (1 to legTrials).map { _ =>
             val t0 = System.nanoTime()
-            val ok = runOnce(name, sfDir2)
+            val ok = runOnce(name, sfDir2, name + ":sf2")
             val t = (System.nanoTime() - t0) / 1e9
             releaseAfter(name)
             (t, ok)
@@ -229,7 +235,7 @@ object Bench {
     val calib = if (only.nonEmpty) Seq.empty else calibration.map { name =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = runOnce(name, sfDir)
+        val ok = runOnce(name, sfDir, name + ":calib")
         val t = (System.nanoTime() - t0) / 1e9
         releaseAfter(name)
         if (ok) Some(t) else None

@@ -100,13 +100,16 @@ object HybridSearch {
     *     quantized serving index (judge directive r15 #1) — STILL exact
     *     (the fused form shares the direct form's oracle, and a truncated
     *     nprobe probe can't: exact top-30 recall needs nprobe ≈ nlist on
-    *     this corpus — PERF.md r15), but the per-query corpus-wide work
-    *     is now the 1-byte-code bounds pass; full-width floats are
-    *     touched only for the provable candidate set (cosine upper bound
-    *     ≥ the k-th best lower bound), fetched through a broadcast +
-    *     partition-pruned join on the candidates' cells. Exactness is by
-    *     bound admissibility, not by luck — QuantBoundSpec pins it. The
-    *     query vector itself is fetched from the index too, so the serve
+    *     this corpus — PERF.md r15), but the per-query corpus-wide
+    *     COMPUTE is now the 1-byte-code bounds pass: the float cosine
+    *     runs only on the provable candidate set (cosine upper bound ≥
+    *     the k-th best lower bound), reached through a broadcast join.
+    *     (On the registered flat layout the rerank scan still decodes
+    *     the float column row-wise; the partitioned layout additionally
+    *     prunes that I/O when data clusters —
+    *     [[Similarity.buildQuantIndex]].) Exactness is by bound
+    *     admissibility, not by luck — QuantBoundSpec pins it. The query
+    *     vector itself is fetched from the index too, so the serve
     *     touches ONLY artifacts.
     *
     * Fusion tail is [[fuse]] — shared with the direct form by
@@ -160,23 +163,18 @@ object HybridSearch {
       .agg(max("tf").as("tf"), max("dl").as("dl"))
       .localCheckpoint()
     val stats = TextStats.corpusStatsFromLedger(statsLedger)
-    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
     val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("q_id", "term")
-    val pinned = unionTerms.map(t =>
-      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)))
-    val lexScored = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))))
-      .withColumn("sc",
-        col("idf") * ((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    // the SHARED per-(term, doc) scoring tree + pinned-order sum
+    // (TextStats.bm25ScoredTerms / bm25PinnedSum — one formula for the
+    // single-query and batched serves); terms outside a query's own list
+    // never reach its sum (the qt join restricts rows first) and the
+    // union-order chain contributes an exact 0.0 for them
+    val lexScored = TextStats.bm25ScoredTerms(tf, stats)
       .join(broadcast(qt), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
-      .agg(pinned.reduceLeft(_ + _).as("score"))
+      .agg(TextStats.bm25PinnedSum(unionTerms).as("score"))
       .select(col("q_id"), col("doc_id"), round(col("score"), 6).as("bm25"))
     val lex = graft.plans.TopKPerGroup(lexScored, k, Seq("q_id"),
       Seq(("bm25", false), ("doc_id", true)), "lex_rk")

@@ -188,24 +188,38 @@ object TextStats {
     * `stats` is the 1-row (n_docs, avgdl) frame. */
   private def bm25Rank(tf: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame, terms: Seq[String],
-      topN: Int): org.apache.spark.sql.DataFrame = {
+      topN: Int): org.apache.spark.sql.DataFrame =
+    bm25ScoredTerms(tf, stats).groupBy("doc_id")
+      .agg(bm25PinnedSum(terms).as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(topN)
+
+  /** The per-(term, doc) BM25 partial-score frame (k1 = 1.2, b = 0.75):
+    * document frequencies derived from `tf` itself, idf and the saturated
+    * tf term as ONE expression tree shared by [[bm25Rank]] (single-query
+    * forms) and [[HybridSearch.hybridRrfBatchFromIndex]] (the batched
+    * serve) — so the two Spark forms cannot drift on the formula or its
+    * constants. `tf` carries (term, doc_id, tf, dl); `stats` the 1-row
+    * (n_docs, avgdl). */
+  private[graft] def bm25ScoredTerms(tf: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("dfreq"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))))
       .withColumn("sc",
         col("idf") * ((col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
-    val pinned = terms.map(t =>
-      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)))
-    scored.groupBy("doc_id")
-      .agg(pinned.reduceLeft(_ + _).as("score"))
-      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
-      .orderBy(desc("bm25"), col("doc_id"))
-      .limit(topN)
   }
+
+  /** The FIXED-ORDER per-document score sum over `terms` (an explicit
+    * coalesce chain, not a float `sum()` aggregate) — bit-stable across
+    * partitionings and engines; shared like [[bm25ScoredTerms]]. */
+  private[graft] def bm25PinnedSum(terms: Seq[String]): Column =
+    terms.map(t => coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)))
+      .reduceLeft(_ + _)
 
   /** The DuckDB twin of [[bm25]] — same expression tree, same pinned
     * summation order, same (1 - b) = 0.25 constant folding. */

@@ -50,15 +50,16 @@ object Artifacts {
     * delete fail silently — never a recursive sweep that could eat
     * another JVM's in-flight build. */
   private val parents = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    issued.keys.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      scala.util.Try(rm(new java.io.File(p)))
-    }
+    issued.keys.foreach(p =>
+      scala.util.Try(deleteRecursively(new java.io.File(p))))
     parents.keys.foreach(p => scala.util.Try(new java.io.File(p).delete()))
   }))
 
@@ -77,12 +78,7 @@ object Artifacts {
         case OrphanDir(pid) if pid != procTag &&
             scala.util.Try(java.lang.ProcessHandle.of(pid.toLong).isEmpty)
               .getOrElse(false) =>
-          def rm(f: java.io.File): Unit = {
-            val sub = f.listFiles()
-            if (sub != null) sub.foreach(rm)
-            f.delete(); ()
-          }
-          scala.util.Try(rm(d))
+          scala.util.Try(deleteRecursively(d)); ()
         case _ => ()
       }
     }

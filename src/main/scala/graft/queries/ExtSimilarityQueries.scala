@@ -63,8 +63,9 @@ object ExtSimilarityQueries {
     // scalar stats only (parquet column pruning — the float column never
     // enters the bounds scan), τ = k-th best cosine LOWER bound as a
     // 1-row broadcast frame, and only vectors whose UPPER bound beats
-    // τ−slop are fetched full-width (broadcast + partition-pruned join
-    // on their cells) for the exact rerank. The result is bit-identical
+    // τ−slop reach the float cosine (broadcast candidate join above the
+    // rerank scan; float I/O pruning additionally needs the partitioned
+    // layout — measured note on buildQuantIndex). The result is bit-identical
     // to brute force BY BOUND ADMISSIBILITY (QuantBoundSpec pins
     // ub ≥ true cosine ∀ vectors; the superset property is pinned on
     // random corpora), so the oracle is the plain exact scan — same

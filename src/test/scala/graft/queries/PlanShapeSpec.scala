@@ -861,12 +861,17 @@ class PlanShapeSpec extends SparkSpec {
     // checkpoint); scan count is O(1) in batch size by construction —
     // multiplicity-immune phrasing because the listener can deliver an
     // execution twice and AQE can re-stringify
-    // DISTINCT scan lines per execution: AQE renders initial + final
-    // plan sections in one string, so the same physical scan's text can
-    // appear twice — dedupe before counting
+    // Count scans in the FINAL plan section only: AQE renders the
+    // initial plan below the final one in the same string, so a naive
+    // whole-string count double-counts every scan, while a text-level
+    // dedupe would also collapse a GENUINE second scan of the same
+    // component (identical stringification) — the exact regression this
+    // test exists to catch. Splitting off "== Initial Plan ==" keeps the
+    // count honest in both directions.
+    def finalSection(p: String): String = p.split("== Initial Plan ==")(0)
     plans.foreach { p =>
       val postingScans = "Location:[^\\n]*graft_inverted_idx[^\\n]*postings".r
-        .findAllIn(p).toSet.size
+        .findAllIn(finalSection(p)).size
       assert(postingScans <= 1,
         s"a single execution scans the postings component $postingScans times:\n$p")
     }
@@ -874,11 +879,9 @@ class PlanShapeSpec extends SparkSpec {
     // a pushed vec_id filter (the corpus-wide pass); the other quant scan
     // is the 8-row query fetch, recognizable by its pushed In filter
     plans.foreach { p =>
-      val corpusScans = p.split("\n")
+      val corpusScans = finalSection(p).split("\n")
         .filter(l => l.contains("FileScan") && l.contains("graft_quant_index"))
-        .filterNot(_.contains("In(vec_id"))
-        .map(l => l.substring(l.indexOf("FileScan"))) // strip tree prefixes
-        .toSet.size
+        .count(l => !l.contains("In(vec_id"))
       assert(corpusScans <= 1,
         s"a single execution runs $corpusScans corpus-wide index scans:\n$p")
     }
