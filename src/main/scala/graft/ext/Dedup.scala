@@ -61,20 +61,40 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** Word k-shingles as (doc_id, s) rows: posexplode tokens, then window
-    * `lead` within each doc. Everything stays in WholeStageCodegen; the
-    * only wide op is the doc_id shuffle (which downstream signature
-    * aggregation needs anyway). */
-  def shingleRows(docsWithText: DataFrame, k: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val tk = docsWithText.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t0")))
-    val withLeads = (1 until k).foldLeft(tk)((d, i) =>
-      d.withColumn(s"t$i", lead("t0", i).over(w)))
-    withLeads.filter(col(s"t${k - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*).as("s"))
+  /** Zipped k-gram windows of a token-array column: element i of the
+    * result is the struct of tokens (t[i+1], …, t[i+k]) — one entry per
+    * gram start position, empty for arrays shorter than k (the
+    * `greatest(…, 0)` length clamp). Built from k shifted `slice`s fused
+    * by `arrays_zip`, ALL regular codegen'd expressions — this is the
+    * codegen replacement for two earlier forms measured much slower:
+    * the per-position `transform(sequence(…), i -> slice(…))` chain is
+    * an interpreted HigherOrderFunction doing O(len·k) interpreted work
+    * per doc, and the posexplode + window-`lead` row form pays a full
+    * token-stream Exchange + sort per shingling pass (at 100 TB: a
+    * corpus-sized shuffle that exists only to reassemble adjacency the
+    * source row already had). Struct fields are named "0".."k-1"
+    * (arrays_zip's positional naming for unnamed inputs). */
+  private[graft] def gramZip(tk: Column, k: Int): Column = {
+    val m = greatest(size(tk) - (k - 1), lit(0))
+    arrays_zip((0 until k).map(i => slice(tk, lit(i + 1), m)): _*)
   }
+
+  /** `concat_ws(" ", g.0 … g.k-1)` over one [[gramZip]] struct. */
+  private[graft] def gramString(g: Column, k: Int): Column =
+    concat_ws(" ", (0 until k).map(i => g.getField(i.toString)): _*)
+
+  /** Word k-shingles as (doc_id, s) rows: zero-shuffle, fully codegen'd
+    * — tokens → [[gramZip]] → explode → concat. The earlier window-`lead`
+    * row form shuffled and sorted the whole exploded token stream (one
+    * Exchange per shingling pass) just to see k consecutive tokens that
+    * were already adjacent in the source row's array; slicing the array
+    * k ways and zipping keeps the plan narrow, so shingling runs at scan
+    * speed and the FIRST wide op downstream is the aggregation that
+    * actually needs a shuffle. Output rows/values are identical. */
+  def shingleRows(docsWithText: DataFrame, k: Int = 3): DataFrame =
+    docsWithText
+      .select(col("doc_id"), explode(gramZip(tokens(col("text")), k)).as("g"))
+      .select(col("doc_id"), gramString(col("g"), k).as("s"))
 
   // ------------------------------------------------------------- minhash
   /** Seeded universal-hash parameters for the MinHash permutations. */

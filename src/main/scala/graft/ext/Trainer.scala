@@ -168,50 +168,101 @@ object Trainer {
     fd("aggregate(fs, 0L, (acc, e) -> acc + e.x6 * coalesce(try_element_at(wm, e.slot), 0L)) - mm",
       "1000000")
 
+  /** 1-row broadcast context for the FROZEN per-slot stats: the sorted
+    * slot domain plus slot→m6 / slot→den lookup maps — built once per
+    * training fold so the per-epoch kernel never joins the 4096-row
+    * stats frame again ([[hashedStepCtx]]). */
+  private def statsCtxOf(stats: DataFrame): DataFrame =
+    stats.agg(
+      sort_array(collect_list(col("slot"))).as("slots"),
+      map_from_entries(collect_list(struct(col("slot"), col("m6")))).as("msm"),
+      map_from_entries(collect_list(struct(col("slot"), col("den")))).as("dsm"))
+
+  /** The per-slot update over the gradient map `gm`, old weights `wm`,
+    * and stats maps — EXACTLY the row-frame arithmetic
+    * (coalesce(w,0) − fd((coalesce(graw,0) − m6·rr)·lr, den) over the
+    * stats slot domain), expressed over broadcast maps so one epoch is
+    * ONE fused job instead of a graw checkpoint + three 4096-row joins.
+    * rr = fd(gm[intercept], 10⁶), 0 on an empty batch — the empty-batch
+    * weight-hold contract is unchanged (gm lookups coalesce to 0). */
+  private val hashedGradExpr: String = {
+    val g = "(coalesce(try_element_at(gm, s), 0L) - try_element_at(msm, s) * rr)"
+    s"transform(slots, s -> coalesce(try_element_at(wm, s), 0L) - ${fd(s"$g*$HashLrNum", "try_element_at(dsm, s)")})"
+  }
+
+  /** ONE centered, preconditioned epoch as a fused single-pass plan:
+    * docs × broadcast(wctx) → residuals → ONE slot-keyed combinable
+    * shuffle → ONE 1-row gradient-map fold → the map-typed update. The
+    * result is the NEXT 1-row (wm, mm) state. This private kernel is the
+    * one definition both [[hashedStep]] (row frames in/out — the ingest
+    * leg's interface) and [[hashedEpochs]] (map-state loop) execute, so
+    * batch-K-epochs ≡ K-identical-ingest-batches still holds by shared
+    * arithmetic. */
+  private def hashedStepCtx(docs: DataFrame, wctx: DataFrame,
+      sctx: DataFrame): DataFrame = {
+    val r = docs.crossJoin(broadcast(wctx))
+      .withColumn("z6", expr(hashedZ6))
+      .withColumn("r6", expr(
+        s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
+    r.select(explode(col("fs")).as("e"), col("r6"))
+      .select(col("e.slot").as("slot"), (col("e.x6") * col("r6")).as("xr"))
+      .groupBy("slot").agg(sum("xr").as("graw"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("graw"))))
+        .as("gm"))
+      .crossJoin(broadcast(sctx))
+      .crossJoin(broadcast(wctx.select("wm")))
+      // R = Σ_docs r6, recovered from the intercept's raw gradient (an
+      // exact 10⁶-multiple); try_element_at misses coalesce to 0 so an
+      // empty batch reduces to w − fd(0, den) = w (weights held exactly)
+      .withColumn("rr",
+        expr(fd("coalesce(try_element_at(gm, -1L), 0L)", "1000000")))
+      .withColumn("wa", expr(hashedGradExpr))
+      // mm = Σ m6·w over the slot domain (msm[-1] is 0 by construction,
+      // so the intercept contributes nothing — same as the row form's
+      // left-join sum); wa is positionally aligned with slots
+      .select(map_from_arrays(col("slots"), col("wa")).as("wm"),
+        expr("aggregate(zip_with(slots, wa, (s, w) -> try_element_at(msm, s) * w), 0L, (acc, x) -> acc + x)")
+          .as("mm"))
+  }
+
+  /** The map-typed weight state exploded back to (slot, w) rows. */
+  private def wctxRows(wctx: DataFrame): DataFrame =
+    wctx.select(explode(col("wm")).as(Seq("slot", "w")))
+
   /** ONE centered, preconditioned gradient step over a [[hashedDocs]]
     * array frame against the (slot, w) weights and the (frozen) per-slot
     * stats — the shared kernel of the batch [[hashedEpochs]] loop and
     * the online [[hashedSgdIngestBatch]] ingest leg, so batch-K-epochs ≡
-    * K-identical-ingest-batches holds by construction. The weight domain
-    * is the STATS slots (w is left-joined, absent = 0), so an EMPTY
-    * weight frame is a well-defined zero init, and an EMPTY doc batch
-    * yields graw = ∅ and rr = 0 — the update reduces to w − fd(0, den),
-    * holding the incoming weights exactly (the empty-batch lesson from
-    * the 3-feature [[step]], hashed edition; spec-pinned). */
-  def hashedStep(docs: DataFrame, w: DataFrame, stats: DataFrame): DataFrame = {
-    val r = docs.crossJoin(broadcast(hashedCtx(w, stats)))
-      .withColumn("z6", expr(hashedZ6))
-      .withColumn("r6", expr(
-        s"500000 + ${fd("500000*z6", "1000000 + abs(z6)")} - y*1000000"))
-    val graw = r.select(explode(col("fs")).as("e"), col("r6"))
-      .select(col("e.slot").as("slot"), (col("e.x6") * col("r6")).as("xr"))
-      .groupBy("slot").agg(sum("xr").as("graw"))
-      .localCheckpoint()
-    // R = Σ_docs r6, recovered from the intercept's raw gradient
-    // (an exact 10⁶-multiple); agg keeps the frame 1-row on empty
-    val rF = graw.filter(col("slot") === -1L)
-      .agg(coalesce(sum(expr(fd("graw", "1000000"))), lit(0L)).as("rr"))
-    stats.select("slot", "m6", "den")
-      .join(graw, Seq("slot"), "left")
-      .join(w, Seq("slot"), "left")
-      .crossJoin(broadcast(rF))
-      .select(col("slot"), expr(
-        s"coalesce(w, 0L) - ${fd(s"(coalesce(graw, 0L) - m6*rr)*$HashLrNum", "den")}")
-        .as("w"))
-  }
+    * K-identical-ingest-batches holds by construction (both run
+    * [[hashedStepCtx]]). The weight domain is the STATS slots, so an
+    * EMPTY weight frame is a well-defined zero init, and an EMPTY doc
+    * batch yields gm = ∅ and rr = 0 — the update reduces to
+    * w − fd(0, den), holding the incoming weights exactly (the
+    * empty-batch lesson from the 3-feature [[step]], hashed edition;
+    * spec-pinned). */
+  def hashedStep(docs: DataFrame, w: DataFrame, stats: DataFrame): DataFrame =
+    wctxRows(hashedStepCtx(docs, hashedCtx(w, stats), statsCtxOf(stats)))
 
   /** K full-batch epochs of centered, preconditioned hashed-feature
     * logistic regression from zero init. Returns the per-slot stats
     * frame plus the K per-epoch (slot, w) weight frames (weight domain
     * = the fold's slots; an empty fold yields empty frames — the exact
-    * SQL-twin answer). */
+    * SQL-twin answer). The loop carries the 1-row map STATE
+    * (localCheckpointed per epoch — one fused job each, replacing the
+    * old form's per-epoch graw checkpoint + three 4096-row joins + row
+    * checkpoint); the returned frames are cheap explode views of the
+    * checkpointed states. */
   def hashedEpochs(feats: DataFrame, k: Int): (DataFrame, Seq[DataFrame]) = {
     val stats = hashedStats(feats)
     val docs = hashedDocs(feats)
-    var w = stats.select(col("slot"), lit(0L).as("w"))
+    val sctx = statsCtxOf(stats).localCheckpoint()
+    // zero init over the stats slot domain: wm = {s → 0}, mm = 0
+    var wctx = sctx.select(
+      map_from_arrays(col("slots"), expr("transform(slots, s -> 0L)")).as("wm"),
+      lit(0L).as("mm"))
     val out = (1 to k).map { _ =>
-      w = hashedStep(docs, w, stats).localCheckpoint()
-      w
+      wctx = hashedStepCtx(docs, wctx, sctx).localCheckpoint()
+      wctxRows(wctx)
     }
     (stats, out)
   }

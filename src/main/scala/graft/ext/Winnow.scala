@@ -39,14 +39,18 @@ object Winnow {
     StructField("doc_id", LongType),
     StructField("fh", StringType)))
 
-  /** The k-gram hash positions winnowing selects from: (doc_id, pos, h). */
+  /** The k-gram hash positions winnowing selects from: (doc_id, pos, h).
+    * Gram assembly is the codegen'd [[Dedup.gramZip]] slice-zip (md5
+    * per exploded row), not the earlier interpreted
+    * `transform(sequence(…), i -> md5(slice(…)))` HigherOrderFunction —
+    * same rows, same hashes, per-task cost at scan speed. */
   private def grams(docs: DataFrame, k: Int): DataFrame = docs
     .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     .filter(size(col("t")) >= k)
     .select(col("doc_id"),
-      posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(k))).cast("binary")))))
-    .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      posexplode(Dedup.gramZip(col("t"), k)).as(Seq("p0", "g")))
+    .select(col("doc_id"), (col("p0") + 1).as("pos"),
+      md5(Dedup.gramString(col("g"), k).cast("binary")).as("h"))
 
   /** The selected fingerprints: distinct (doc_id, sel, fh) where `sel`
     * encodes (hash, position) and `fh` is the bare 32-hex digest — the

@@ -40,9 +40,12 @@ object CurationQueries {
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= n)
+      // codegen'd slice-zip gram assembly (Dedup.gramZip) instead of the
+      // interpreted transform(sequence)+slice HOF — same rows/values
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => concat_ws(" ", slice(col("t"), i, lit(n))))).as("gram"))
+        explode(graft.ext.Dedup.gramZip(col("t"), n)).as("g"))
+      .select(col("doc_id"),
+        graft.ext.Dedup.gramString(col("g"), n).as("gram"))
 
   private val gramSql =
     s"""SELECT doc_id, array_to_string(t[pos:pos+${N - 1}], ' ') AS gram
@@ -125,13 +128,13 @@ object CurationQueries {
   /** Word n-grams with positions for the rewrite: (doc_id, pos, gram). */
   private def spanGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      // codegen'd slice-zip gram assembly (Dedup.gramZip; empty array for
+      // sub-n docs) instead of the interpreted transform+slice HOF —
+      // posexplode's 0-based index + 1 is exactly the old 1-based pos
       .select(col("doc_id"),
-        explode(when(size(col("t")) >= n,
-            transform(sequence(lit(1), size(col("t")) - (n - 1)),
-              i => struct(i.as("pos"),
-                concat_ws(" ", slice(col("t"), i, lit(n))).as("gram"))))
-          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+        posexplode(graft.ext.Dedup.gramZip(col("t"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        graft.ext.Dedup.gramString(col("g"), n).as("gram"))
 
   /** The distinct grams appearing in ≥2 documents — the once-per-corpus
     * artifact `text_dedup_spans_indexed` serves from (only MEMBERSHIP in

@@ -13,6 +13,32 @@ class ExtSpec extends SparkSpec {
   private def docs = table(spark, sf("sf0.001"), "documents")
   private def embs = table(spark, sf("sf0.001"), "embeddings")
 
+  test("shingleRows slice-zip form ≡ window-lead reference (k = 1..4)") {
+    // the r16 optimization replaced the posexplode + window-`lead` row
+    // form (one token-stream Exchange + sort per shingling pass) with the
+    // codegen'd gramZip slice-zip; this pins multiset equality per doc
+    // against an inline copy of the OLD form over the real corpus —
+    // including the short-doc (< k tokens) and planted-duplicate edges
+    val corpus = Dedup.planted(docs)
+    for (k <- 1 to 4) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tk = corpus.select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t0")))
+      val withLeads = (1 until k).foldLeft(tk)((d, i) =>
+        d.withColumn(s"t$i", lead("t0", i).over(w)))
+      val reference = withLeads.filter(col(s"t${k - 1}").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until k).map(i => col(s"t$i")): _*).as("s"))
+        .groupBy("doc_id", "s").count()
+      val current = Dedup.shingleRows(corpus, k).groupBy("doc_id", "s").count()
+      val (nRef, nCur) = (reference.count(), current.count())
+      assert(nCur == nRef &&
+        current.unionByName(reference).distinct().count() == nRef,
+        s"k=$k: slice-zip shingles differ from the window-lead reference")
+    }
+  }
+
   test("minhash: catches every planted exact dup, only verified pairs emitted") {
     val pairs = Dedup.minhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
