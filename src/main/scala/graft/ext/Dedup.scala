@@ -929,14 +929,16 @@ object Dedup {
     * id_b, cos ≥ τ): id_b is dropped, witnessed by its highest-cosine
     * smaller-id mate. Keyed on the dropped id — co-partitions with the
     * pair shuffle that feeds it. */
-  private def semanticDropRule(scored: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_b").orderBy(desc("cos"), asc("id_a"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("id_b").as("vec_id"), col("c_id"),
-        col("id_a").as("witness"), col("cos"))
-  }
+  private def semanticDropRule(scored: DataFrame): DataFrame =
+    // rank-1 via max_by under (cos, −id_a): exactly the window's
+    // (cos DESC, id_a ASC) first row, with map-side partial aggregation
+    // instead of a shuffle + sort of every scored pair (r16 optimization;
+    // NaN-largest double ordering keeps the two forms agreeing)
+    scored.groupBy(col("id_b").as("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("id_a"), col("cos")),
+        struct(col("cos"), -col("id_a"))).as("b"))
+      .select(col("vec_id"), col("b.c_id").as("c_id"),
+        col("b.id_a").as("witness"), col("b.cos").as("cos"))
 
   /** One micro-batch of semantic dedup at ingest: PROBE the standing
     * cluster-partitioned assignment index for the batch's semantic

@@ -194,8 +194,17 @@ object Graph {
     * on the graph key exactly like the global variant. */
   def pprFixedPoint(edgesWithDeg: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
+    // nodes and the seed list are MATERIALIZED once (localCheckpoint):
+    // both are referenced by every teleport round, and as lazy frames
+    // each round's plan re-derived them from scratch — the r16 plan
+    // audit read ELEVEN scans of the edge artifact for 3 rounds (the
+    // outer-join null filters break canonical-plan equality, so Spark's
+    // ReuseExchange never unified the copies). One |V|-row and one
+    // k-row materialization replace 2 aggregate+TakeOrdered passes per
+    // round; the per-round rank⋈edges join is untouched.
     val nodes = edgesWithDeg.select(col("src").as("node")).distinct()
-    val seed = broadcast(seeds.select(col("node").as("sn")))
+      .localCheckpoint()
+    val seed = broadcast(seeds.select(col("node").as("sn")).localCheckpoint())
     def teleported(inflow: DataFrame): DataFrame =
       nodes
         .join(seed, col("node") === col("sn"), "left")

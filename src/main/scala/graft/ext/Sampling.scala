@@ -21,15 +21,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform-in-(0,1) from the first 6 hex digits of a seed-salted md5 —
-    * instr arithmetic shared verbatim by the DuckDB twin (no hex→int
-    * cast exists in both engines). Column-API lookup ([[Shards.hexVal]])
-    * so any hash-valued Column works, not only one literally named `h`. */
-  private def hexU(h: Column): Column = {
-    val uval = (1 to 6).map { i =>
-      Shards.hexVal(h, i) * lit(math.pow(16, 6 - i).toLong)
-    }.reduce(_ + _)
-    (uval.cast("double") + lit(0.5)) / lit(16777216.0)
-  }
+    * one codegen'd base-16 conv ([[Shards.hexPrefixVal]]); the DuckDB
+    * twin keeps its per-digit instr arithmetic (no hex→int cast exists
+    * there) — same digits, same value. */
+  private def hexU(h: Column): Column =
+    (Shards.hexPrefixVal(h, 6).cast("double") + lit(0.5)) / lit(16777216.0)
 
   /** The k-doc quality-weighted sample: (doc_id, quality, wkey) ordered
     * by selection key. */

@@ -33,6 +33,17 @@ object Shards {
   private[graft] def hexVal(h: Column, i: Int): Column =
     call_function("instr", lit("0123456789abcdef"), substring(h, i, 1)) - 1
 
+  /** Integer value of the first `n` lowercase-hex digits of `h` — EXACTLY
+    * Σ_{i=1..n} hexVal(h,i)·16^{n−i}, computed as one codegen'd
+    * base-16 `conv` instead of n substring+instr+multiply chains (the
+    * r16 optimization: the per-digit form dominated the per-row cost of
+    * the md5-uniform operators — ×48 replicas per row in the bootstrap).
+    * The DuckDB twins keep their per-digit instr arithmetic (no hex→int
+    * cast exists there); only VALUES must agree, and both read the same
+    * digits. */
+  private[graft] def hexPrefixVal(h: Column, n: Int): Column =
+    conv(substring(h, 1, n), 16, 10).cast("long")
+
   /** Shuffle key + shard assignment. Adds `h` (the global shuffle key),
     * `ht` (content hash, for the checksum) and `shard`. The shard id
     * folds the first FOUR hex digits (16 bits, uniform over 0..65535) mod
@@ -46,8 +57,7 @@ object Shards {
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(seed))))
       .withColumn("ht", md5(col("text")))
     withKeys.withColumn("shard",
-      ((hexVal(col("h"), 1) * 4096 + hexVal(col("h"), 2) * 256 +
-        hexVal(col("h"), 3) * 16 + hexVal(col("h"), 4)) % nShards).cast("int"))
+      (hexPrefixVal(col("h"), 4) % nShards).cast("int"))
   }
 
   /** Per-shard audit: sizes, token mass, key range, and an

@@ -42,15 +42,25 @@ object Similarity {
   /** Cluster assignment: nearest (by cosine) of the `nlist` centroids.
     * Centroids here are the deterministic seed vectors `vec_id < nlist`
     * (a k-means refinement would slot in identically). */
+  /** Rank-1-per-key via ONE aggregation instead of a row_number window:
+    * `max_by` under the (primary, −tiebreak) struct order picks exactly
+    * the window's (primary DESC, tiebreak ASC) first row — including the
+    * NaN edge (doubles order NaN largest, so desc-rank-1 and max agree)
+    * — but aggregates with MAP-SIDE PARTIAL reduction: the n×k scored
+    * stream collapses to one row per key before the exchange, where the
+    * window form shuffled and SORTED all n×k rows (the r16 optimization;
+    * the scored rows of one vector are consecutive in the broadcast-join
+    * output, so the partial agg absorbs them immediately). */
   def assignClusters(embeddings: DataFrame, nlist: Int): DataFrame = {
     val centroids = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
     embeddings.join(broadcast(centroids))
       .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("c_id")),
+        struct(col("c_cos"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.c_id").as("c_id"))
   }
 
   /** Multi-probe cluster assignment: each vector lands in its `nprobe`
@@ -60,11 +70,14 @@ object Similarity {
   def assignClustersMulti(embeddings: DataFrame, nlist: Int, nprobe: Int): DataFrame = {
     val centroids = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
-    embeddings.join(broadcast(centroids))
-      .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nprobe)
+    // top-nprobe via the bounded-heap TopKPerGroup node: same key shuffle
+    // a window would need, O(n log k) heaps instead of a full sort of the
+    // n×nlist scored stream (r16 optimization; rank-1 sites use max_by)
+    graft.plans.TopKPerGroup(
+      embeddings.join(broadcast(centroids))
+        .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
+        .select(col("vec_id"), col("c_id"), col("c_cos")),
+      nprobe, Seq("vec_id"), Seq(("c_cos", false), ("c_id", true)), "rk")
       .select(col("vec_id"), col("c_id"))
   }
 
@@ -80,14 +93,19 @@ object Similarity {
   def assignClustersL2(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val e = embeddings.withColumn("v_nsq", VectorOps.normSq(col("embedding")))
     val c = centroids.withColumn("c_nsq", VectorOps.normSq(col("c_emb")))
-    val w = Window.partitionBy("vec_id").orderBy(asc("c_dist"), asc("c_id"))
+    // rank-1 via min_by under (c_dist, c_id) — exactly the window's
+    // (ASC, ASC) first row (NaN sorts largest, so both forms avoid it);
+    // map-side partial aggregation replaces the n×k shuffle + sort
     e.join(broadcast(c))
       .withColumn("c_dist", sqrt(greatest(
         col("v_nsq") + col("c_nsq")
           - lit(2.0) * VectorOps.dot(col("c_emb"), col("embedding")),
         lit(0.0))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("c_id"), col("c_dist")),
+        struct(col("c_dist"), col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.c_id").as("c_id"), col("b.c_dist").as("c_dist"))
       .select(col("vec_id"), col("embedding"), col("c_id"), col("c_dist"))
   }
 
@@ -110,7 +128,9 @@ object Similarity {
   def seedCentroids(embeddings: DataFrame, nlist: Int): DataFrame =
     embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"),
-        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+        // native array cast (codegen) — identical element-wise float→
+        // double widening the transform HOF did interpreted
+        col("embedding").cast("array<double>").as("c_emb"))
 
   // ------------------------------------------------------------ LSH ANN
   /** Signed-random-projection LSH: `nTables` independent `nBits`-bit
@@ -344,7 +364,7 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       subDim: Int = 8, overfetch: Int = 4): DataFrame = {
     val toDouble = (c: org.apache.spark.sql.Column) =>
-      transform(c, x => x.cast("double"))
+      c.cast("array<double>") // native cast, not the interpreted HOF
     val centroids = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), toDouble(col("embedding")).as("c_emb"))
     // (vec_id, c_id, residual): one broadcast pass, residual per row
@@ -425,14 +445,15 @@ object Similarity {
     * incremental maintenance needs: the quantizer must stay frozen across
     * batches (re-deriving seeds from each batch would re-bucket the world).
     * Same broadcast + per-vector window shape as [[assignClusters]]. */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    // same max_by rank-1 as [[assignClusters]] (see the rationale there)
     vectors.join(broadcast(centroids))
       .withColumn("c_cos", VectorOps.cosine(col("c_emb"), col("embedding")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
-  }
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("c_id")),
+        struct(col("c_cos"), -col("c_id"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.c_id").as("c_id"))
 
   /** [[buildIvfIndex]] with a frozen centroid table (the incremental-
     * maintenance twin of the seed-derived build). */
@@ -488,11 +509,16 @@ object Similarity {
     * scale = max|x|/127 matches [[QuantizeInt8]]'s internal m/127 by
     * construction (same double-widened max over the same elements). */
   def quantRows(embeddings: DataFrame, nlist: Int): DataFrame = {
-    val absArr = transform(col("embedding"), x => abs(x.cast("double")))
+    val dArr = col("embedding").cast("array<double>")
+    val absArr = transform(dArr, x => abs(x))
+    // max|x| = greatest(max x, −min x) — exact for doubles, all codegen
+    // (the abs-transform HOF survives only in the l1 fold below, where
+    // no builtin expresses Σ|x|)
+    val absMax = greatest(array_max(dArr), -array_min(dArr))
     assignClusters(embeddings, nlist)
       .select(col("vec_id"),
         graft.functions.Int8Ops.quantize(col("embedding")).as("qcode"),
-        (array_max(absArr) / lit(127.0)).as("scale"),
+        (absMax / lit(127.0)).as("scale"),
         VectorOps.norm(col("embedding")).as("norm"),
         aggregate(absArr, lit(0.0), (acc, x) => acc + x).as("l1"),
         col("embedding"), col("c_id"))

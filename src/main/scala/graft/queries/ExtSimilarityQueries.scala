@@ -24,10 +24,11 @@ object ExtSimilarityQueries {
     // scale/q_sum/max_err hash-match exactly.
     "embed_quantize" -> Q(
       (s, dir) => {
-        val toDouble = transform(col("embedding"), x => x.cast("double"))
+        val toDouble = col("embedding").cast("array<double>")
         val withM = table(s, dir, "embeddings")
           .select(col("vec_id"), toDouble.as("v"),
-            array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+            // max|x| = greatest(max, −min): exact, codegen (no abs HOF)
+            greatest(array_max(toDouble), -array_min(toDouble)).as("m"))
         val qOf = (x: org.apache.spark.sql.Column) =>
           floor(x * lit(127) / col("m") + lit(0.5))
         val qArr = transform(col("v"), x => qOf(x))
@@ -721,16 +722,13 @@ object ExtSimilarityQueries {
     // shipping the stream. One groupBy on sources; all else narrow.
     "corpus_mix_schedule" -> Q(
       (s, dir) => {
-        import graft.ext.Shards.hexVal
         val rates = mixPlanFrame(s, dir).select("source", "rate_ppm")
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextStats.wsTokenCount(col("text")).cast("long").as("toks"))
           .join(broadcast(rates), Seq("source"))
           .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#mix42"))))
-          .withColumn("uval", (1 to 6).map { i =>
-            hexVal(col("h"), i) * lit(math.pow(16, 6 - i).toLong)
-          }.reduce(_ + _))
+          .withColumn("uval", graft.ext.Shards.hexPrefixVal(col("h"), 6))
           .withColumn("u", expr("uval * 1000000 DIV 16777216"))
           .withColumn("copies",
             expr("rate_ppm DIV 1000000 + CASE WHEN u < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
@@ -744,8 +742,7 @@ object ExtSimilarityQueries {
           countDistinct("doc_id").as("emitted_docs"),
           count(lit(1)).as("emitted_copies"),
           coalesce(sum("toks"), lit(0L)).as("emitted_tokens"),
-          sum(hexVal(col("k"), 1) * 4096 + hexVal(col("k"), 2) * 256
-            + hexVal(col("k"), 3) * 16 + hexVal(col("k"), 4)).as("checksum16"))
+          sum(graft.ext.Shards.hexPrefixVal(col("k"), 4)).as("checksum16"))
         val tot = perSource.agg(
           coalesce(sum("emitted_tokens"), lit(0L)).as("tot_emitted"))
         perSource.crossJoin(broadcast(tot))

@@ -628,10 +628,7 @@ object StatsQueries {
             explode(sequence(lit(0), lit(bootB - 1))).as("rep"))
           .withColumn("h", md5(concat(col("event_id").cast("string"),
             lit(":"), col("rep").cast("string"), lit("#boot42"))))
-          .withColumn("uval", (1 to 6).map { i =>
-            graft.ext.Shards.hexVal(col("h"), i) *
-              lit(math.pow(16, 6 - i).toLong)
-          }.reduce(_ + _))
+          .withColumn("uval", graft.ext.Shards.hexPrefixVal(col("h"), 6))
           .withColumn("u", expr("uval * 1000000 DIV 16777216"))
           .withColumn("cnt", expr(poissonCnt))
           .groupBy("rep")
