@@ -618,9 +618,22 @@ object Dedup {
     // definition ([[chunkRows]]), so the two layers can never chunk a
     // document differently
     val chunks = chunkRows(planted(docs), chunkTokens)
-    val firstWins = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk").orderBy("doc_id", "chunk_id")
-    val flagged = chunks.withColumn("rn", row_number().over(firstWins))
+    // first-occurrence flag via ONE chunk-keyed min aggregation + a
+    // shuffle_hash join back (r17), replacing the PARTITION BY chunk
+    // row_number window: the window buffered EVERY instance of a hot
+    // boilerplate chunk (by definition the most frequent key in the
+    // corpus) in one task's sort — map-side partial min bounds per-task
+    // state to one row per distinct chunk, the join probe streams, and
+    // AQE can skew-split a join where it cannot split a window. (doc_id,
+    // chunk_id) is unique per chunk row, so min(struct) IS the window's
+    // (doc_id, chunk_id)-ordered first row, deterministically.
+    val firsts = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("f"))
+    val flagged = chunks.join(firsts.hint("shuffle_hash"), "chunk")
+      .withColumn("rn",
+        when(col("f.doc_id") === col("doc_id") &&
+          col("f.chunk_id") === col("chunk_id"), 1).otherwise(2))
+      .drop("f")
     // collect_list skips nulls, so the when() collects exactly the keepers
     val keptOrdered = concat_ws(" ", transform(
       array_sort(collect_list(when(col("rn") === 1,
@@ -658,18 +671,30 @@ object Dedup {
   }
 
   /** (doc_id, chunk_id, chunk) rows for any (doc_id, text) frame — the
-    * 10-token chunking [[lineDedup]] and the boilerplate screens share. */
+    * 10-token chunking [[lineDedup]] and the boilerplate screens share.
+    *
+    * r17 shape: NARROW chunk assembly, fully codegen. Chunk i is tokens
+    * [i·ct, (i+1)·ct) of the source row's own array, so the old
+    * posexplode → (doc, chunk_id)-keyed groupBy (a corpus-sized token
+    * shuffle plus an interpreted sort+transform per chunk, just to
+    * reassemble adjacency the row already had) collapses to one
+    * `regexp_extract_all` over the space-joined tokens: each
+    * `\S+( \S+){0,ct-1}` match greedily consumes exactly one chunk's
+    * tokens left to right, and posexplode's index IS the chunk id.
+    * Whitespace-only docs keep their single empty chunk (the join is ""
+    * and the regex matches nothing — the `when` restores the one empty
+    * chunk the old groupBy emitted). Value-identical — pinned in
+    * ExtSpec against an inline copy of the explode+groupBy form. */
   private[graft] def chunkRows(docs: DataFrame,
       chunkTokens: Int = 10): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-    val orderedTokens = concat_ws(" ", transform(
-      array_sort(collect_list(struct(col("pos"), col("t")))),
-      x => x.getField("t")))
-    tok
-      .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
-      .groupBy("doc_id", "chunk_id")
-      .agg(orderedTokens.as("chunk"))
+    val joined = concat_ws(" ", tokens(col("text")))
+    val chunks = when(length(joined) === 0, array(lit("")))
+      .otherwise(regexp_extract_all(joined,
+        lit(s"\\S+( \\S+){0,${chunkTokens - 1}}"), lit(0)))
+    docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("cid", "chunk")))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        col("chunk"))
   }
 
   /** Per-doc boilerplate rollup given chunk rows and a (chunk, nd)

@@ -301,13 +301,28 @@ object Similarity {
       .agg(min_by(col("j"), struct(col("fit"), col("j"))).as("code"))
   }
 
+  /** The ADC per-pair sum Σ_s qdot in FIXED ascending subspace order as a
+    * codegen aggregation (the bm25PinnedSum shape, r17): one
+    * `max(when(s = i))` term per subspace, folded left from 0.0 —
+    * bit-identical double addition to the earlier
+    * collect_list → array_sort → interpreted-HOF fold (each (key, s)
+    * group carries exactly one row after the codebook joins, and the
+    * fold visits subspaces in the same ascending order from the same 0.0
+    * seed), but whole-stage-codegen'd and MAP-SIDE partially aggregable:
+    * the shuffle carries one m-slot row per (q, vec) instead of an
+    * m-element collected array sorted per group. */
+  private[graft] def pinnedSubspaceSum(m: Int): org.apache.spark.sql.Column =
+    (0 until m).map(i =>
+      coalesce(max(when(col("s") === i, col("qdot"))), lit(0.0)))
+      .foldLeft(lit(0.0): org.apache.spark.sql.Column)(_ + _)
+
   /** PQ ANN candidates via asymmetric distance computation (ADC): a
     * query's dot with a coded vector ≈ Σ_s ⟨q_s, cw(code_s)⟩, i.e. m
     * lookups into the per-query table of m·ksub precomputed subspace dots.
     * The ADC table (queries × codebook) is broadcast-tiny; scoring is ONE
     * broadcast lookup join on (s, code) + a (q, vec)-keyed reduction —
     * never a full-width vector op against the corpus. The per-pair sum
-    * folds in fixed subspace order (sorted collect) so ranking is
+    * folds in fixed subspace order ([[pinnedSubspaceSum]]) so ranking is
     * bit-deterministic. Candidates: top-(k·overfetch) per query by approx
     * dot; [[pqTopK]] re-scores them exactly with [[scoreTopK]] — same
     * contract and DuckDB re-rank oracle as the IVF/LSH paths. */
@@ -326,10 +341,7 @@ object Similarity {
     val approx = codes.withColumnRenamed("code", "j")
       .join(broadcast(adc), Seq("s", "j"))
       .groupBy("q_id", "vec_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("s"), col("qdot")))),
-          e => e.getField("qdot")),
-        lit(0.0), (acc, x) => acc + x).as("adot"))
+      .agg(pinnedSubspaceSum(m).as("adot"))
       .filter(col("vec_id") =!= col("q_id"))
     val w = Window.partitionBy("q_id").orderBy(desc("adot"), asc("vec_id"))
     approx.withColumn("rk", row_number().over(w))
@@ -408,10 +420,7 @@ object Similarity {
       .join(broadcast(probed.select("q_id", "c_id")), "c_id")
       .join(broadcast(adc), Seq("q_id", "s", "j"))
       .groupBy("q_id", "vec_id", "c_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("s"), col("qdot")))),
-          e => e.getField("qdot")),
-        lit(0.0), (acc, x) => acc + x).as("res_dot"))
+      .agg(pinnedSubspaceSum(m).as("res_dot"))
       .join(broadcast(probed), Seq("q_id", "c_id"))
       .withColumn("adot", col("qc_dot") + col("res_dot"))
       .filter(col("vec_id") =!= col("q_id"))

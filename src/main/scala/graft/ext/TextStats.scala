@@ -58,18 +58,29 @@ object TextStats {
     * bounds: 3n ≤ Σlen ≤ 10n, no float division), tokens containing an
     * alphabetic character, and DISTINCT Gopher stop-words present.
     *
-    * Shape: one explode + one doc-keyed aggregation — the same single
-    * doc_id exchange as [[repetitionStats]], co-partitioned with the rest
-    * of the curation pipeline at 100 TB (the per-row array alternative is
-    * the 26× slower interpreted-HOF trap documented there). */
-  def gopherTokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("t"))).as("sum_len"),
-        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
-        countDistinct(when(col("t").isin(GopherStops: _*), col("t")))
-          .as("n_stop"))
+    * Shape (r17): fully NARROW — every aggregate is derivable from the
+    * source row's own token array with codegen built-ins, so the leg has
+    * zero exchanges and runs at scan speed (the r16 form exploded the
+    * token stream into a doc_id-keyed aggregation — a corpus-sized
+    * shuffle that existed only to re-group tokens the row already held).
+    * No interpreted HOF anywhere: Σlen = length(concat_ws("", t)) (the
+    * separator-free join's length IS the token-length sum), the
+    * alpha-token count is ONE regexp_count over the lowercased text
+    * (`\S*[a-z]\S*` consumes a whole whitespace-delimited token per
+    * match, so matches ≡ tokens containing a letter), and the distinct
+    * stop-word count is eight codegen `array_contains` probes (distinct
+    * ≡ presence: each stop word can match at most once). Value-identical
+    * to the explode+agg form — pinned in ExtSpec. */
+  def gopherTokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = Dedup.tokens(col("text"))
+    docs.select(col("doc_id"),
+      size(t).cast("long").as("n_words"),
+      length(concat_ws("", t)).cast("long").as("sum_len"),
+      regexp_count(lower(col("text")), lit("\\S*[a-z]\\S*")).cast("long")
+        .as("n_alpha"),
+      GopherStops.map(s => when(array_contains(t, s), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop"))
+  }
 
   // ---------------------------------------------------------- repetition
   /** Gopher-style repetition scores per document: the fraction of
@@ -78,29 +89,30 @@ object TextStats {
     * High values mark boilerplate/spam — the standard pre-training
     * quality gate alongside [[qualityScore]].
     *
-    * Shape: explode + two doc-keyed count-distinct aggregations — the
-    * shuffles are keyed on doc_id like every other per-document text agg,
-    * so at 100 TB this co-partitions with the rest of the curation
-    * pipeline. Measured against the "zero-shuffle" per-row alternative
-    * (size/array_distinct over the [[Dedup.shingles]] HOF array): the
-    * array form is 26× SLOWER at sf0.1 (17.7 s vs 0.68 s) — the
-    * interpreted transform+slice per document dwarfs the doc_id
-    * exchanges it saves. Don't "optimize" this back. `docs` needs
-    * (doc_id, text). */
+    * Shape (r17): fully NARROW — zero exchanges. Every count the two
+    * fractions need lives in the source row's own arrays: tokens via
+    * size/array_distinct, 3-grams via size/array_distinct over the
+    * codegen [[Dedup.gramZip]] slice-zip (struct distinctness ≡
+    * gram-string distinctness — tokens cannot contain the " " joiner, so
+    * the join is injective; pinned in ExtSpec against the explode+agg
+    * reference). History: the r15 explode+agg form paid one doc_id
+    * exchange satisfied for free by the window-lead gram pass; r16's
+    * gramZip conversion (right at scale) re-exposed the gram
+    * count-distinct's two exchanges and regressed this query ×1.7 — the
+    * per-row form removes the explode and ALL the exchanges. The old
+    * warning about the 26×-slower per-row alternative measured the
+    * interpreted `transform(sequence, i -> slice)` HOF array, not this
+    * all-codegen form. `docs` needs (doc_id, text). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
-    val tstats = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), countDistinct("t").as("n_tok_d"))
-    val sstats = Dedup.shingleRows(docs, 3).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_3g"), countDistinct("s").as("n_3g_d"))
-    docs.select("doc_id")
-      .join(tstats, Seq("doc_id"), "left")
-      .join(sstats, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(lit(1.0) - col("n_tok_d").cast("double") / col("n_tok"),
-          lit(0.0)), 6).as("dup_token_frac"),
-        round(coalesce(lit(1.0) - col("n_3g_d").cast("double") / col("n_3g"),
-          lit(0.0)), 6).as("dup_3gram_frac"))
+    val t = Dedup.tokens(col("text"))
+    val g = Dedup.gramZip(t, 3)
+    docs.select(col("doc_id"),
+      round(coalesce(
+        lit(1.0) - size(array_distinct(t)).cast("double") / size(t),
+        lit(0.0)), 6).as("dup_token_frac"),
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(0.0)).as("dup_3gram_frac"))
   }
 
   // -------------------------------------------------------------- langid

@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,9 +22,10 @@ import org.apache.spark.sql.types._
   * position complement assumes docs under 10⁶ tokens (the corpus max is
   * ~10³; a longer corpus raises the pad width).
   *
-  * Plan shapes: fingerprint selection is one narrow posexplode + a
-  * doc_id-PARTITIONED window (a doc's grams fit one task by
-  * construction — never gram-partitioned, the hot-boilerplate hazard);
+  * Plan shapes: fingerprint selection is fully NARROW — one compiled
+  * per-row pass ([[graft.functions.WinnowSelect]]: a doc's grams live in
+  * its own row by construction — never gram-partitioned, the
+  * hot-boilerplate hazard, and never shuffled at all);
   * every cross-doc join keys on the 16-byte digest, never gram text,
   * with `shuffle_hash` pinned (fingerprint fan-out is data-dependent).
   * Selection is per-document, so a delta batch's fingerprints never
@@ -39,48 +39,43 @@ object Winnow {
     StructField("doc_id", LongType),
     StructField("fh", StringType)))
 
-  /** The k-gram hash positions winnowing selects from: (doc_id, pos, h).
-    * Gram assembly is the codegen'd [[Dedup.gramZip]] slice-zip (md5
-    * per exploded row), not the earlier interpreted
-    * `transform(sequence(…), i -> md5(slice(…)))` HigherOrderFunction —
-    * same rows, same hashes, per-task cost at scan speed. */
-  private def grams(docs: DataFrame, k: Int): DataFrame = docs
-    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-    .filter(size(col("t")) >= k)
-    .select(col("doc_id"),
-      posexplode(Dedup.gramZip(col("t"), k)).as(Seq("p0", "g")))
-    .select(col("doc_id"), (col("p0") + 1).as("pos"),
-      md5(Dedup.gramString(col("g"), k).cast("binary")).as("h"))
+  /** The r17 narrow fingerprint selection: the whole per-document pass
+    * (gram hashing, min-of-window with rightmost tie-break, per-doc
+    * distinct, the loud 10^6 pad-contract guard) runs INSIDE the source
+    * row via [[graft.functions.WinnowSelect]] — one compiled pass, zero
+    * shuffles. The earlier row form posexploded the gram stream into a
+    * doc_id-keyed Exchange+Sort (window min) plus a distinct Exchange:
+    * corpus-sized shuffles that existed only to reassemble per-document
+    * adjacency the row already had. Value-identical (ScaleOpsSpec pins
+    * the distributed counts against a scalar reference; ExtSpec pins
+    * this form against an inline copy of the window form). */
+  private def winnowSel(k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowSelect(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          split(trim(col("text")), "\\s+")), k, w))
 
   /** The selected fingerprints: distinct (doc_id, sel, fh) where `sel`
     * encodes (hash, position) and `fh` is the bare 32-hex digest — the
     * cross-doc join key. Shared by every consumer so all read the SAME
     * fingerprint definition. */
-  def fingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
-    // loud 10^6-pad-contract guard ([[Guards.padGuard]]): a doc over 10^6
-    // tokens fails the job instead of silently corrupting the
-    // lexicographic min-of-window (a negative complement lpads to a
-    // '-'-prefixed string that sorts BELOW every digit)
-    val guard = Guards.padGuard(col("pos"), 1000000L, "winnowing: gram position")
-    val keyed = grams(docs, k).withColumn("kq",
-      concat(col("h"),
-        lpad((lit(1000000) - col("pos") + guard).cast("string"), 7, "0")))
-    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    keyed
-      .withColumn("sel", min("kq").over(win))
-      .filter(col("pos") >= w) // full windows only (sub-w docs emit none)
-      .select(col("doc_id"), col("sel")).distinct()
+  def fingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"), explode(winnowSel(k, w)).as("sel"))
       .withColumn("fh", substring(col("sel"), 1, 32))
-  }
 
   /** Per-doc fingerprint stats — the `text_winnowing` body: gram volume,
     * selected fingerprints, how many are shared with another doc, and
     * the realized sample rate. */
   def stats(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
-    val g = grams(docs, k)
     val fps = fingerprints(docs, k, w)
     val freq = fps.groupBy("fh").agg(countDistinct("doc_id").as("nd"))
-    val perDocG = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // gram volume is per-row arithmetic (positions = tokens − k + 1 for
+    // any doc holding ≥ k tokens) — the gram stream is never materialized
+    val perDocG = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), (size(col("t")) - (k - 1)).cast("long").as("n_grams"))
     val perDocF = fps.join(freq.hint("shuffle_hash"), "fh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"),

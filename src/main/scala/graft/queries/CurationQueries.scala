@@ -85,27 +85,20 @@ object CurationQueries {
     * non-degenerate, expected chunk ≈ 17 chars. Chunk IDENTITY is still
     * md5 of the chunk text — a handful per doc. */
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
-    val L = length(col("text"))
-    val codes = transform(split(col("text"), ""), c => ascii(c))
-    def at(i: Column) = element_at(col("codes"), i)
-    val bs = when(L >= 4,
-      filter(sequence(lit(4), L), i =>
-        pmod(at(i - 3) * 29791 + at(i - 2) * 961 + at(i - 1) * 31 + at(i),
-          lit(17)) === 0))
-      .otherwise(array().cast("array<int>"))
+    // ONE compiled per-row pass (graft.functions.CdcChunks) for the whole
+    // boundary-scan + digest chain (r17). The previous Column form ran
+    // four interpreted HOF passes per CHARACTER (transform(split(text,''),
+    // ascii) + filter(sequence…) + transform + zip_with) — the documented
+    // interpreted-HOF scale trap; the expression does the identical
+    // arithmetic (same mod-17 polynomial, same md5 chunk identity, same
+    // code-point semantics) in compiled JVM code at scan speed.
+    // Value-identical — pinned in ScaleOpsSpec against an inline copy of
+    // the old HOF chain, plus the standing shift-robustness/lossless specs.
+    val chunks = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CdcChunks(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
     docs
-      .select(col("doc_id"), col("text"), codes.as("codes"))
-      .select(col("doc_id"), col("text"), bs.as("bs"))
-      .withColumn("ends",
-        when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
-          .otherwise(concat(col("bs"), array(L))))
-      .withColumn("starts",
-        concat(array(lit(1)),
-          transform(slice(col("ends"), lit(1), size(col("ends")) - 1), x => x + 1)))
-      .select(col("doc_id"),
-        explode(zip_with(col("starts"), col("ends"), (st, en) =>
-          struct(md5(col("text").substr(st, en - st + 1).cast("binary")).as("h"),
-            (en - st + 1).as("clen")))).as("c"))
+      .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
   }
 

@@ -39,6 +39,139 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------- r17 narrow-form equivalences
+  /** Edge corpus for the per-row rewrites: empty / whitespace-only text,
+    * sub-k docs, all-duplicate tokens, exact chunk-boundary lengths,
+    * mixed-case stopwords, digit/punct tokens, a long periodic doc. */
+  private def edgeDocs = {
+    import spark.implicits._
+    Seq(
+      (9000001L, ""),
+      (9000002L, "   "),
+      (9000003L, "one"),
+      (9000004L, "a a"),
+      (9000005L, "x y z"),
+      (9000006L, "w w w w w w w w w w w"),
+      (9000007L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (9000008L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (9000009L, "The THE the of OF and that xyzzy 123 !? a1 1a 11 , ..."),
+      (9000010L, ("tick tock " * 30).trim)
+    ).toDF("doc_id", "text")
+  }
+  private def pinCorpus = docs.select("doc_id", "text").unionByName(edgeDocs)
+
+  private def assertSameRows(current: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val (nCur, nRef) = (current.count(), reference.count())
+    assert(nCur == nRef &&
+      current.unionByName(reference).distinct().count() == nRef,
+      s"$what: narrow form differs from the reference ($nCur vs $nRef rows)")
+  }
+
+  test("repetitionStats per-row form ≡ explode+agg reference") {
+    val corpus = pinCorpus
+    val toks = corpus.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("t"))
+    val tstats = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct("t").as("n_tok_d"))
+    val sstats = Dedup.shingleRows(corpus, 3).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_3g"), countDistinct("s").as("n_3g_d"))
+    val reference = corpus.select("doc_id")
+      .join(tstats, Seq("doc_id"), "left")
+      .join(sstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) - col("n_tok_d").cast("double") / col("n_tok"),
+          lit(0.0)), 6).as("dup_token_frac"),
+        round(coalesce(lit(1.0) - col("n_3g_d").cast("double") / col("n_3g"),
+          lit(0.0)), 6).as("dup_3gram_frac"))
+    assertSameRows(TextStats.repetitionStats(corpus), reference, "repetitionStats")
+  }
+
+  test("gopherTokenStats per-row form ≡ explode+agg reference") {
+    val corpus = pinCorpus
+    val reference = corpus
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("t"))).as("sum_len"),
+        sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        countDistinct(when(col("t").isin(TextStats.GopherStops: _*), col("t")))
+          .as("n_stop"))
+    assertSameRows(TextStats.gopherTokenStats(corpus), reference, "gopherTokenStats")
+  }
+
+  test("winnow fingerprints expression ≡ window-min reference (k,w sweeps)") {
+    val corpus = pinCorpus
+    for ((k, w) <- Seq((4, 5), (2, 3), (3, 4), (1, 1))) {
+      val grams = corpus
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          posexplode(Dedup.gramZip(col("t"), k)).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          md5(Dedup.gramString(col("g"), k).cast("binary")).as("h"))
+      val keyed = grams.withColumn("kq", concat(col("h"),
+        lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+      val reference = keyed
+        .withColumn("sel", min("kq").over(win))
+        .filter(col("pos") >= w)
+        .select(col("doc_id"), col("sel")).distinct()
+        .withColumn("fh", substring(col("sel"), 1, 32))
+      assertSameRows(Winnow.fingerprints(corpus, k, w), reference,
+        s"winnow fingerprints k=$k w=$w")
+    }
+  }
+
+  test("chunkRows regex form ≡ posexplode+groupBy reference (ct = 3, 10)") {
+    val corpus = pinCorpus
+    for (ct <- Seq(3, 10)) {
+      val tok = corpus.select(col("doc_id"),
+        posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "t")))
+      val orderedTokens = concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")))
+      val reference = tok
+        .withColumn("chunk_id", (col("pos") / ct).cast("long"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(orderedTokens.as("chunk"))
+      assertSameRows(Dedup.chunkRows(corpus, ct), reference, s"chunkRows ct=$ct")
+    }
+  }
+
+  test("lineDedup min-struct first-occurrence ≡ row_number window reference") {
+    val corpus = pinCorpus
+    val chunks = Dedup.chunkRows(Dedup.planted(corpus), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    val flagged = chunks.withColumn("rn", row_number().over(w))
+    val keptOrdered = concat_ws(" ", transform(
+      array_sort(collect_list(when(col("rn") === 1,
+        struct(col("chunk_id"), col("chunk"))))),
+      x => x.getField("chunk")))
+    val reference = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(keptOrdered.cast("binary")).as("kept_fp"))
+    assertSameRows(Dedup.lineDedup(corpus), reference, "lineDedup")
+  }
+
+  test("ADC pinned subspace sum ≡ ordered collect fold (random doubles)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (key <- 1 to 50; s <- 0 until 8)
+      yield (key, s, (rnd.nextDouble() - 0.5) * 1e3)
+    val df = rows.toDF("key", "s", "qdot")
+    val current = df.groupBy("key").agg(Similarity.pinnedSubspaceSum(8).as("adot"))
+    val reference = df.groupBy("key")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("qdot")))),
+          e => e.getField("qdot")),
+        lit(0.0), (acc, x) => acc + x).as("adot"))
+    assertSameRows(current, reference, "pinnedSubspaceSum")
+  }
+
   test("minhash: catches every planted exact dup, only verified pairs emitted") {
     val pairs = Dedup.minhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -430,6 +430,55 @@ class ScaleOpsSpec extends SparkSpec {
     assert(h1 != h2, "the edited doc is not byte-identical")
   }
 
+  test("cdc chunks: native expression ≡ the interpreted HOF boundary chain") {
+    // the r17 CdcChunks expression runs the whole boundary scan + digest
+    // in one compiled pass; this pins row-set equality against an inline
+    // copy of the OLD four-HOF Column chain over adversarial strings:
+    // empty, sub-4-char, boundary-dense periodic text, multi-byte chars,
+    // seeded random ASCII, plus real corpus docs
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh XYZ.,!?0123456789\néü中"
+    val synth = Seq("", "a", "abc", "abcd", "abcde", "aaaa" * 50,
+      "héllo wörld — 中文文本 mixed ascii and not",
+      ("ab" * 100) + "cd") ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(300))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = synth.zipWithIndex
+      .map { case (t, i) => (8000000L + i, t) }.toDF("doc_id", "text")
+      .unionByName(table(spark, sf("sf0.001"), "documents")
+        .select("doc_id", "text"))
+    def refChain(d: org.apache.spark.sql.DataFrame) = {
+      val L = length(col("text"))
+      val codes = transform(split(col("text"), ""), c => ascii(c))
+      def at(i: org.apache.spark.sql.Column) = element_at(col("codes"), i)
+      val bs = when(L >= 4,
+        filter(sequence(lit(4), L), i =>
+          pmod(at(i - 3) * 29791 + at(i - 2) * 961 + at(i - 1) * 31 + at(i),
+            lit(17)) === 0))
+        .otherwise(array().cast("array<int>"))
+      d.select(col("doc_id"), col("text"), codes.as("codes"))
+        .select(col("doc_id"), col("text"), bs.as("bs"))
+        .withColumn("ends",
+          when(size(col("bs")) > 0 && element_at(col("bs"), -1) === L, col("bs"))
+            .otherwise(concat(col("bs"), array(L))))
+        .withColumn("starts",
+          concat(array(lit(1)),
+            transform(slice(col("ends"), lit(1), size(col("ends")) - 1), x => x + 1)))
+        .select(col("doc_id"),
+          explode(zip_with(col("starts"), col("ends"), (st, en) =>
+            struct(md5(col("text").substr(st, en - st + 1).cast("binary")).as("h"),
+              (en - st + 1).as("clen")))).as("c"))
+        .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
+    }
+    // chunk rows are a multiset per doc — compare (doc, h, clen) counts
+    val cur = graft.queries.CurationQueries.cdcChunks(docs)
+      .groupBy("doc_id", "h", "clen").count()
+    val ref = refChain(docs).groupBy("doc_id", "h", "clen").count()
+    val (nCur, nRef) = (cur.count(), ref.count())
+    assert(nCur == nRef && cur.unionByName(ref).distinct().count() == nRef,
+      s"CdcChunks differs from the HOF chain ($nCur vs $nRef distinct rows)")
+  }
+
   test("cdc chunks: lossless partition of every doc (lengths sum to doc length)") {
     val docs = Seq((1L, "abcd"), (2L, "x"), (3L, ("y" * 257))).toDF("doc_id", "text")
     val sums = graft.queries.CurationQueries.cdcChunks(docs)

@@ -261,12 +261,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("dedup_lines: three keyed exchanges plus the output sort, zero joins") {
+  test("dedup_lines: narrow chunking, windowless first-occurrence, bounded exchanges") {
     val plan = explained("dedup_lines")
-    // doc-chunk assembly, chunk-text first-occurrence window, doc survival
-    // agg, then the deterministic output sort — and nothing else
-    assert("Exchange".r.findAllIn(plan).size == 4, plan)
-    assert(!plan.contains("Join"), plan)
+    // r17 shape: chunk assembly is per-row (no token shuffle); the
+    // first-occurrence pick is a chunk-keyed min aggregation joined back
+    // (shuffle_hash) — a PARTITION BY chunk window would buffer every
+    // instance of a hot boilerplate chunk in one task
+    assert(!plan.contains("Window"),
+      s"first-occurrence must stay windowless:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    // chunk-keyed agg (+ the join-back probe side), doc survival agg, and
+    // the deterministic output sort — the per-token exchange is gone
+    assert("Exchange".r.findAllIn(plan).size <= 4, plan)
   }
 
   test("text_entropy: two keyed aggregations plus the output sort, zero joins") {
