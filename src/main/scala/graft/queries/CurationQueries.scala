@@ -160,46 +160,26 @@ object CurationQueries {
     val dups = dupGrams.getOrElse(dupGramTable(docs, n))
     val starts = grams.join(dups.hint("shuffle_hash"), Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(collect_set("pos").as("starts"))
-    // Interval-merge pre-pass: fold the sorted dup starts into disjoint
-    // coverage intervals [x, x+n-1], then emit the kept tokens as the
-    // GAPS between intervals — O(len + |intervals|) per doc, replacing
-    // the O(len·|starts|) per-token exists() scan. On a boilerplate-
-    // saturated doc (every position a dup start) the old form walked
-    // len·len pairs; this walks one interval. Output is position-for-
-    // position identical: gaps enumerate exactly the uncovered indices
-    // in ascending order, which is what the filter produced.
-    val ivT = "array<struct<lo:int,hi:int>>"
-    val ivs = aggregate(
-      array_sort(col("starts")), array().cast(ivT),
-      (acc, x) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > 0 && x <= last.getField("hi") + 1,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last.getField("lo").as("lo"),
-              greatest(last.getField("hi"), x + (n - 1)).as("hi")))))
-          .otherwise(concat(acc,
-            array(struct(x.as("lo"), (x + (n - 1)).as("hi")))))
-      })
-    val kept = {
-      val gapLo = concat(array(lit(1)),
-        transform(col("ivs"), iv => iv.getField("hi") + 1))
-      val gapHi = concat(
-        transform(col("ivs"), iv => iv.getField("lo") - 1),
-        array(size(col("t"))))
-      flatten(zip_with(gapLo, gapHi, (a, b) =>
-        when(a <= b, sequence(a, b)).otherwise(array().cast("array<int>"))))
-    }
+    // Per-doc rewrite audit in ONE compiled pass (r17,
+    // graft.functions.DedupSpanAudit): sort the dup starts, sweep the
+    // token positions with a covered-until watermark, stream kept tokens
+    // straight into the md5 — O(len + |starts|) per doc. The previous
+    // Column form ran a six-HOF interpreted chain per doc (interval-merge
+    // aggregate, two transforms, zip_with+sequence+flatten gap
+    // enumeration, element_at transform into the digest). Output is
+    // position-for-position identical — pinned in ScaleOpsSpec against an
+    // independent per-token scalar reference.
+    val audit = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DedupSpanAudit(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("t")),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          coalesce(col("starts"), array().cast("array<int>"))), n))
     toks.join(starts, Seq("doc_id"), "left")
-      .withColumn("starts",
-        coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("ivs", ivs)
-      .withColumn("kept", kept)
+      .withColumn("audit", audit)
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
-        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(concat_ws(" ",
-          transform(col("kept"), i => element_at(col("t"), i))).cast("binary"))
-          .as("clean_fp"))
+        col("audit.n_removed").cast("long").as("n_removed"),
+        col("audit.clean_fp").as("clean_fp"))
       .orderBy("doc_id")
   }
 
