@@ -58,28 +58,25 @@ object TextStats {
     * bounds: 3n ≤ Σlen ≤ 10n, no float division), tokens containing an
     * alphabetic character, and DISTINCT Gopher stop-words present.
     *
-    * Shape (r17): fully NARROW — every aggregate is derivable from the
-    * source row's own token array with codegen built-ins, so the leg has
-    * zero exchanges and runs at scan speed (the r16 form exploded the
-    * token stream into a doc_id-keyed aggregation — a corpus-sized
-    * shuffle that existed only to re-group tokens the row already held).
-    * No interpreted HOF anywhere: Σlen = length(concat_ws("", t)) (the
-    * separator-free join's length IS the token-length sum), the
-    * alpha-token count is ONE regexp_count over the lowercased text
-    * (`\S*[a-z]\S*` consumes a whole whitespace-delimited token per
-    * match, so matches ≡ tokens containing a letter), and the distinct
-    * stop-word count is eight codegen `array_contains` probes (distinct
-    * ≡ presence: each stop word can match at most once). Value-identical
-    * to the explode+agg form — pinned in ExtSpec. */
+    * Shape (r17): fully NARROW — all four aggregates come from one
+    * compiled pass over the source row's own token array
+    * ([[graft.functions.GopherCounts]]): zero exchanges, one token scan,
+    * scan speed at any document length. The r16 form exploded the token
+    * stream into a doc_id-keyed aggregation — a corpus-sized shuffle
+    * that existed only to re-group tokens the row already held — and the
+    * first narrow cut (regexp_count + array_contains built-ins) re-read
+    * every token several times, which the 8× probe showed as a
+    * data-proportional constant worth removing. Value-identical to the
+    * explode+agg form — pinned in ExtSpec. */
   def gopherTokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val t = Dedup.tokens(col("text"))
-    docs.select(col("doc_id"),
-      size(t).cast("long").as("n_words"),
-      length(concat_ws("", t)).cast("long").as("sum_len"),
-      regexp_count(lower(col("text")), lit("\\S*[a-z]\\S*")).cast("long")
-        .as("n_alpha"),
-      GopherStops.map(s => when(array_contains(t, s), 1L).otherwise(0L))
-        .reduce(_ + _).as("n_stop"))
+    val c = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.GopherCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          Dedup.tokens(col("text"))), GopherStops))
+    docs.select(col("doc_id"), c.as("gc"))
+      .select(col("doc_id"), col("gc.n_words").as("n_words"),
+        col("gc.sum_len").as("sum_len"), col("gc.n_alpha").as("n_alpha"),
+        col("gc.n_stop").as("n_stop"))
   }
 
   // ---------------------------------------------------------- repetition
@@ -89,30 +86,33 @@ object TextStats {
     * High values mark boilerplate/spam — the standard pre-training
     * quality gate alongside [[qualityScore]].
     *
-    * Shape (r17): fully NARROW — zero exchanges. Every count the two
-    * fractions need lives in the source row's own arrays: tokens via
-    * size/array_distinct, 3-grams via size/array_distinct over the
-    * codegen [[Dedup.gramZip]] slice-zip (struct distinctness ≡
-    * gram-string distinctness — tokens cannot contain the " " joiner, so
-    * the join is injective; pinned in ExtSpec against the explode+agg
-    * reference). History: the r15 explode+agg form paid one doc_id
-    * exchange satisfied for free by the window-lead gram pass; r16's
-    * gramZip conversion (right at scale) re-exposed the gram
-    * count-distinct's two exchanges and regressed this query ×1.7 — the
-    * per-row form removes the explode and ALL the exchanges. The old
-    * warning about the 26×-slower per-row alternative measured the
-    * interpreted `transform(sequence, i -> slice)` HOF array, not this
-    * all-codegen form. `docs` needs (doc_id, text). */
+    * Shape (r17): fully NARROW — zero exchanges. All four counts the two
+    * fractions need come from one compiled hash-set pass over the source
+    * row's own token array ([[graft.functions.RepetitionCounts]]),
+    * O(len) per document. History: the r15 explode+agg form paid one
+    * doc_id exchange satisfied for free by the window-lead gram pass;
+    * r16's gramZip conversion (right at scale) re-exposed the gram
+    * count-distinct's two exchanges and regressed this query ×1.7; the
+    * first narrow cut here (`size(array_distinct(...))` built-ins) fixed
+    * the exchanges but deduplicated strings/structs by PAIRWISE
+    * comparison — O(len²) per doc, a data-proportional constant the 8×
+    * probe exposed. The old warning about the 26×-slower per-row
+    * alternative measured the interpreted `transform(sequence, i ->
+    * slice)` HOF array — also not this form. Value-identical to the
+    * explode+agg form — pinned in ExtSpec. `docs` needs (doc_id, text). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val t = Dedup.tokens(col("text"))
-    val g = Dedup.gramZip(t, 3)
-    docs.select(col("doc_id"),
-      round(coalesce(
-        lit(1.0) - size(array_distinct(t)).cast("double") / size(t),
-        lit(0.0)), 6).as("dup_token_frac"),
-      when(size(g) > 0,
-        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
-        .otherwise(lit(0.0)).as("dup_3gram_frac"))
+    val c = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RepetitionCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          Dedup.tokens(col("text"))), 3))
+    docs.select(col("doc_id"), c.as("rc"))
+      .select(col("doc_id"),
+        round(coalesce(
+          lit(1.0) - col("rc.n_tok_d").cast("double") / col("rc.n_tok"),
+          lit(0.0)), 6).as("dup_token_frac"),
+        when(col("rc.n_g") > 0,
+          round(lit(1.0) - col("rc.n_g_d").cast("double") / col("rc.n_g"), 6))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
   }
 
   // -------------------------------------------------------------- langid
