@@ -125,34 +125,6 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The narrow per-row signature pass (r17): same (doc_id, m0..m{n-1})
-    * frame as `minhashSignatures(shingleRows(docs, k), numPerms, seed)`,
-    * computed entirely inside each source row by
-    * [[graft.functions.MinhashSig]] — no shingle explode, no per-gram
-    * hash rows, no doc_id exchange; the signature leaves the scan fully
-    * formed. Docs with fewer than k tokens emit no row, exactly as they
-    * emitted no shingle rows (the filter mirrors the explode's drop).
-    * Value-identity pinned in ExtSpec. Serves the INLINE screens, where
-    * the corpus text is at hand; artifact-fed paths keep consuming
-    * persisted shingle rows through [[minhashSignatures]]. */
-  def minhashSignaturesFromDocs(docsWithText: DataFrame, k: Int = 3,
-      numPerms: Int = 32, seed: Long = 42L): DataFrame = {
-    val t = tokens(col("text"))
-    val sig = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.functions.MinhashSig(
-        org.apache.spark.sql.GraftColumnBridge.expression(t),
-        k, perms(numPerms, seed), MinhashPrime))
-    docsWithText
-      .filter(size(t) >= k)
-      // two-step select: the slot extraction references the ONE signature
-      // array 32 times, and CollapseProject keeps a multi-referenced
-      // non-cheap alias in its own projection — the expression runs once
-      // per row, never once per slot
-      .select(col("doc_id"), sig.as("ms"))
-      .select(col("doc_id") +: (0 until numPerms).map(j =>
-        element_at(col("ms"), j + 1).as(s"m$j")): _*)
-  }
-
   /** LSH banding: signature columns → `numBands` (band, bandHash) rows.
     * Candidate pairs then come from a self-equi-join on (band, bandHash) —
     * ONE shuffle keyed by band hash, never an all-pairs comparison. At
@@ -243,16 +215,8 @@ object Dedup {
       persistCand: DataFrame => DataFrame,
       score: (Column, Column, Column) => Column,
       scoreName: String, threshold: Double): DataFrame = {
-    val pl = planted(docs)
-    val sh = shingleRows(pl).localCheckpoint()
-    // signatures come from the narrow per-row pass over the corpus text
-    // (r17) — the shingle rows are checkpointed for the exact verify
-    // only; the banded rows are checkpointed exactly like
-    // minhashCandidates did, so the bucket self-join's two sides share
-    // one signature materialization
-    val banded = bandRows(minhashSignaturesFromDocs(pl), 32, 8)
-      .localCheckpoint()
-    verifyPairsOver(sh.distinct(), persistCand(candidatesFromBanded(banded)),
+    val sh = shingleRows(planted(docs)).localCheckpoint()
+    verifyPairsOver(sh.distinct(), persistCand(minhashCandidates(sh)),
       score, scoreName, threshold)
   }
 
@@ -354,10 +318,7 @@ object Dedup {
     // needs them again for the index merge — shingling is the expensive
     // step, so it must run once per batch, not once per use)
     val deltaSh = deltaShingles.getOrElse(shingleRows(deltaDocs).localCheckpoint())
-    // delta signatures via the narrow per-row pass over the batch text
-    // (r17): the batch is at hand as (doc_id, text), so the banded probe
-    // rows never pay the shingle-row hash+min aggregation
-    val deltaBanded = bandRows(minhashSignaturesFromDocs(deltaDocs), 32, 8)
+    val deltaBanded = bandedSignatures(deltaSh)
     // id_d =!= id_b: if the probed index already contains the delta's own
     // signatures (an at-least-once replay after the index merge landed),
     // the band join would emit spurious exact self-pairs (d, d, 1.0) that

@@ -74,14 +74,8 @@ object ExtDedupQueries {
         val surv1 = corpus.groupBy("text").agg(min("doc_id").as("doc_id"))
           .select("doc_id", "text").localCheckpoint()
         val sh = Dedup.shingleRows(surv1).localCheckpoint()
-        // banded rows from the narrow per-row signature pass over surv1's
-        // text (r17; the shingle rows stay checkpointed for the exact
-        // verify only); checkpointed so the bucket self-join's two sides
-        // share one signature materialization
-        val banded2 = Dedup.bandRows(Dedup.minhashSignaturesFromDocs(surv1),
-          32, 8).localCheckpoint()
         val pairs2 = Dedup.minhashPairsIndexed(
-          banded2, sh.distinct(), 0.7,
+          Dedup.bandedSignatures(sh), sh.distinct(), 0.7,
           persistCand = OracleAux.persist(dir, "dedup_cascade_cand"))
         val drops2 = pairs2.select(col("id_b").as("doc_id")).distinct()
           .localCheckpoint()
@@ -266,11 +260,8 @@ object ExtDedupQueries {
         val surv1 = corpus.groupBy("text").agg(min("doc_id").as("doc_id"))
           .select("doc_id", "text").localCheckpoint()
         val sh = Dedup.shingleRows(surv1).localCheckpoint()
-        // same narrow signature pass as dedup_cascade's stage 2 (r17)
-        val banded2 = Dedup.bandRows(Dedup.minhashSignaturesFromDocs(surv1),
-          32, 8).localCheckpoint()
         val drops2 = Dedup.minhashPairsIndexed(
-            banded2, sh.distinct(), 0.7,
+            Dedup.bandedSignatures(sh), sh.distinct(), 0.7,
             persistCand = OracleAux.persist(dir, "corpus_build_cand"))
           .select(col("id_b").as("doc_id")).distinct()
         val surv2 = surv1.join(drops2, Seq("doc_id"), "left_anti")

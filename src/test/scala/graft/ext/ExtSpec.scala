@@ -173,13 +173,6 @@ class ExtSpec extends SparkSpec {
     assertSameRows(Dedup.simhashes(corpus), reference, "simhashes")
   }
 
-  test("minhash per-row signature ≡ shingle explode + 32-min aggregation reference") {
-    val corpus = pinCorpus
-    val reference = Dedup.minhashSignatures(Dedup.shingleRows(corpus))
-    assertSameRows(Dedup.minhashSignaturesFromDocs(corpus), reference,
-      "minhashSignaturesFromDocs")
-  }
-
   test("ADC pinned subspace sum ≡ ordered collect fold (random doubles)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
