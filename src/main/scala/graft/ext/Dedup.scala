@@ -415,21 +415,31 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- simhash
-  /** 64-bit SimHash per doc in ONE compiled per-row pass
-    * ([[graft.functions.SimHash64]], r17): per-token xxhash64 + 64 bit
-    * votes + sign assembly all inside the source row — zero exchanges,
-    * scan speed. The earlier row form exploded the token stream into a
-    * doc_id-keyed aggregation with 64 conditional-sum columns (and before
-    * that, a 64-wide zip_with HOF measured ~100× slower) — per-token
-    * aggregation machinery that existed only to re-group tokens the row
-    * already held. Value-identical (ExtSpec pins this form against an
-    * inline copy of the explode+agg form). Output: (doc_id, sh). */
-  def simhashes(docsWithText: DataFrame): DataFrame =
-    docsWithText.select(col("doc_id"),
-      org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.SimHash64(
-          org.apache.spark.sql.GraftColumnBridge.expression(
-            tokens(col("text"))))).as("sh"))
+  /** 64-bit SimHash per doc via explode → ONE codegen'd hash-aggregation
+    * with 64 per-bit vote sums, then constant-shift bit assembly. (The
+    * nested higher-order formulation — 64-wide zip_with per token — was
+    * CodegenFallback and ~100× slower at sf0.1. A r17 per-row expression
+    * attempt (compiled per-token vote loop, no exchange) measured ×1.5
+    * SLOWER on the 8×-distinct corpus in a same-window A/B — 6.3 s vs
+    * 4.3 s — because the explode+agg form runs fully inside whole-stage
+    * codegen while a CodegenFallback expression also drops the
+    * surrounding stage out of codegen, and the exchange it removed
+    * carries only one 64-int partial row per doc per task. Keep this
+    * form; don't "narrow" it again without beating that number.)
+    * Output: (doc_id, sh). */
+  def simhashes(docsWithText: DataFrame): DataFrame = {
+    val hashed = docsWithText
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val assembled = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc_id"), assembled.as("sh"))
+  }
 
   /** SimHash near-dup pairs: candidates via 4×16-bit chunk banding (a pair
     * within Hamming distance ≤3 of a 64-bit hash must agree on ≥1 of 4

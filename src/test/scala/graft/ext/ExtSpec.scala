@@ -157,22 +157,6 @@ class ExtSpec extends SparkSpec {
     assertSameRows(Dedup.lineDedup(corpus), reference, "lineDedup")
   }
 
-  test("simhash per-row expression ≡ explode + 64-vote aggregation reference") {
-    val corpus = pinCorpus
-    val hashed = corpus
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val voteAggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    val assembled = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    val reference = votes.select(col("doc_id"), assembled.as("sh"))
-    assertSameRows(Dedup.simhashes(corpus), reference, "simhashes")
-  }
-
   test("ADC pinned subspace sum ≡ ordered collect fold (random doubles)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
